@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization stats, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All operators are pure native-expression column pipelines (JVM-side,
+whole-stage codegen — no Python UDFs), so they run at scan speed and
+scale linearly: no shuffles at all except where an aggregate is
+explicitly requested. At 100 TB each of these is a single map-only
+pass over the documents table.
+
+Engine-native extensions beyond the reference (which has only X1–X9
+scalar string ops, SURVEY.md §2.8); the ingestion-side normalization
+(lower/trim, ETL:642/756) reappears here as ``norm_text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Default per-"language" marker profiles for the heuristic language ID.
+# Real deployments pass their own profiles (e.g. top-k stopwords per
+# language); scoring = count of marker-token hits per profile, argmax
+# wins. Deterministic, vocabulary-driven, zero-UDF.
+DEFAULT_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "query_ish": ["table", "row", "column", "join", "query"],
+    "exec_ish": ["scan", "hash", "merge", "batch", "spark"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text form for hashing/dedup: lower + trim + collapsed
+    whitespace (the reference's email normalization pattern, ETL:642)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def marker_hits(toks: Column, markers: list[str]) -> Column:
+    """Number of tokens that are in ``markers`` (duplicates counted)."""
+    lits = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char length, average token
+    length, digit ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_digit = n_char - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("text_len", n_char)
+        .withColumn("avg_token_len", F.round(n_char.cast("double") / n_tok, 2))
+        .withColumn("digit_ratio", F.round(n_digit.cast("double") / n_char, 4))
+    )
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 10_000,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Heuristic quality gate (Gopher/C4-style length + stopword-density
+    rules): emits ``stopword_ratio`` and a boolean ``quality_ok``."""
+    stop = stopwords or ["the", "a", "and", "of", "to"]
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    ratio = F.round(marker_hits(toks, stop).cast("double") / n_tok, 4)
+    ok = (n_tok >= min_tokens) & (n_tok <= max_tokens) & (ratio >= min_stopword_ratio)
+    return df.withColumn("stopword_ratio", ratio).withColumn("quality_ok", ok)
+
+
+def with_lang_guess(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Marker-token language ID: score each profile, take the argmax
+    (ties break on profile-name order). Emits ``lang_guess`` plus one
+    ``score_<name>`` column per profile."""
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    toks = tokens(text_col)
+    out = df
+    for name, markers in profiles.items():
+        out = out.withColumn(f"score_{name}", marker_hits(toks, markers))
+    guess = None
+    best = None
+    for name in profiles:
+        score = F.col(f"score_{name}")
+        if guess is None:
+            guess, best = F.lit(name), score
+        else:
+            is_better = score > best
+            guess = F.when(is_better, F.lit(name)).otherwise(guess)
+            best = F.when(is_better, score).otherwise(best)
+    return out.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full md5 of normalized text plus a 63-bit
+    integer prefix (join/bucket-friendly)."""
+    h = F.md5(norm_text(text_col))
+    return df.withColumn("content_hash", h).withColumn(
+        "fingerprint", F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    )

@@ -1,0 +1,686 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named query over
+the driver's star schema, paired with an ANSI-SQL oracle for DuckDB.
+
+Each entry maps a reference operator family (cites ``ETL:NNN`` ≡
+``/root/reference/weekly alignments GQL API.py:NNN``) onto the driver's
+tables. Conventions that make the oracle-differential hash stable:
+
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (2 decimals) on both sides;
+- timestamps in outputs are formatted as strings (UTC both sides);
+- collected arrays are sorted and null-free on both sides.
+
+Catalog shape: ``QUERIES[name] = (fn, oracle_sql | None)`` where ``fn``
+takes ``(spark, sf_dir)``. ``None`` oracle → driver does rows-only check
+(reserved for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.join import anti, cross, outer_merge, semi
+from graphql_api_etl_spark.sources.registry import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A. Reference-parity relational core
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = """
+WITH lhs AS (SELECT * FROM customer WHERE c_acctbal > 0),
+     rhs AS (SELECT * FROM orders WHERE o_totalprice > 50000),
+     m AS (
+       SELECT c_mktsegment, o_orderkey, o_orderpriority,
+              CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                   WHEN c_custkey IS NOT NULL THEN 'left_only'
+                   ELSE 'right_only' END AS _merge
+       FROM lhs FULL OUTER JOIN rhs ON c_custkey = o_custkey
+     )
+SELECT c_mktsegment, _merge,
+       count(*) AS n_rows,
+       count(o_orderkey) AS n_orders,
+       coalesce(list_sort(list(DISTINCT o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)),
+                CAST([] AS VARCHAR[])) AS priorities
+FROM m
+GROUP BY c_mktsegment, _merge
+"""
+
+
+@_q("flagship_reconcile", _FLAGSHIP_SQL)
+def flagship_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §3.3 / §7.2): full-outer join with ``_merge``
+    provenance (reference J1/J2, ETL:391–425) consumed as a grouped
+    reconciliation report with a collected set (A1, ETL:563–569).
+
+    Inputs are filtered asymmetrically so all three provenance slices
+    are non-empty, mirroring the file-vs-API drift the reference
+    reconciles. One shuffle for the join, one for the agg; the agg
+    gets map-side partial aggregation for the counts.
+    """
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    merged = outer_merge(customer, orders, left_on="c_custkey", right_on="o_custkey")
+    return merged.groupBy("c_mktsegment", "_merge").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+    )
+
+
+@_q(
+    "j_outer_provenance_counts",
+    """
+WITH lhs AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+     m AS (
+       SELECT CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'both'
+                   WHEN o_orderkey IS NOT NULL THEN 'left_only'
+                   ELSE 'right_only' END AS _merge
+       FROM lhs FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+     )
+SELECT _merge, count(*) AS n FROM m GROUP BY _merge
+""",
+)
+def j_outer_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way provenance split cardinalities over the fact-fact outer
+    join (F2/F9: ``_merge`` slices + ``shape[0]`` gates, ETL:422–429).
+    The |both|+|left_only|+|right_only| partition invariant (SURVEY §5)
+    is property-tested in tests/test_join_provenance.py."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    merged = outer_merge(orders, lineitem, left_on="o_orderkey", right_on="l_orderkey")
+    return merged.groupBy("_merge").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "j_left_anti_unmatched",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+""",
+)
+def j_left_anti_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J8/J9: ``not in`` ETL:957–960, index-isin negation
+    ETL:889–891): customers with no big-ticket order. Spark broadcasts
+    the right side of left-anti when it fits."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti(customer, big, on="c_custkey").select("c_custkey", "c_name")
+
+
+@_q(
+    "j_left_semi_matched",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def j_left_semi_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (F4 membership filters at scale, ETL:441, 943–945):
+    IN-list becomes a left-semi join instead of a driver-collected list."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi(customer, urgent, on="c_custkey").select("c_custkey", "c_mktsegment")
+
+
+@_q(
+    "j_cross_product",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def j_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (J6/J7 nested Python loops, ETL:881–886,
+    948–955): small×small; Spark broadcasts one side automatically."""
+    return cross(
+        _t(spark, sf_dir, "region").select("r_name"),
+        _t(spark, sf_dir, "nation").select("n_name"),
+    )
+
+
+@_q(
+    "j_broadcast_dims",
+    """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def j_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension lookup joins (J10 name→email map, ETL:636–647) as
+    broadcast hash joins: the fact side never shuffles for the join."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projections / transforms / filters / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "p_transform_chain",
+    """
+SELECT CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) AS unit_str,
+       lower(trim(c_name)) AS name_norm,
+       CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS balance_flag,
+       round(c_acctbal, 2) AS acctbal,
+       coalesce(c_mktsegment, '') AS segment_filled
+FROM customer
+""",
+)
+def p_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + derived columns + conditional update + null fill
+    (P1/P4/P5/X1/X2/X5/X7: Unit int→str ETL:262–263, masked backfill
+    ETL:759–771, NaN→"" ETL:349). Pure narrow projection — no shuffle,
+    whole-stage codegen, column-pruned scan."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").cast("string").alias("unit_str"),
+        F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+        F.when(F.col("c_acctbal") < 0, F.lit("negative")).otherwise(F.lit("ok")).alias("balance_flag"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("segment_filled"),
+    )
+
+
+@_q(
+    "f_filter_chain",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+  AND l_quantity IS NOT NULL
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity > 25
+""",
+)
+def f_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate (F1 dropna ETL:257, F4 isin ETL:441, range +
+    null tests): every conjunct reaches the parquet scan as a pushed
+    filter (verified in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.na.drop(subset=["l_quantity"])
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 25)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@_q(
+    "x_string_functions",
+    """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       string_split(p_type, ' ')[1] AS type_head,
+       contains(p_type, 'BRASS') AS is_brass,
+       CAST(split_part(CAST(p_retailprice AS VARCHAR), '.', 1) AS VARCHAR) AS price_int_str,
+       concat(p_brand, '/', p_type) AS brand_type
+FROM part
+""",
+)
+def x_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (X1–X4, X7–X8: lower ETL:642, split-take
+    ETL:332/351, contains ETL:331, f-string concat ETL:633). The
+    float→int-string truncation reproduces the reference's zip/remoteId
+    handling (``str.split(".").str[0]``, ETL:351)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.split(F.col("p_retailprice").cast("string"), "\\.").getItem(0).alias("price_int_str"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@_q(
+    "p_rownum_synth",
+    """
+SELECT c_mktsegment,
+       concat('user+', CAST((row_number() OVER (ORDER BY c_mktsegment) - 1) * 100 AS VARCHAR),
+              '@example.com') AS synth_email
+FROM (SELECT DISTINCT c_mktsegment FROM customer)
+""",
+)
+def p_rownum_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-synthesized value per distinct key (P7: enumerate distinct
+    names → ``f"...+{i*100}@..."`` ETL:631–634) via a window row_number
+    — the distributed replacement for pandas' implicit row index."""
+    seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    w = W.orderBy("c_mktsegment")
+    return seg.withColumn(
+        "synth_email",
+        F.concat(
+            F.lit("user+"),
+            ((F.row_number().over(w) - 1) * 100).cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+
+
+@_q(
+    "a_bool_all_guard",
+    """
+SELECT bool_and(o_totalprice > 0) AS all_positive,
+       bool_and(o_orderpriority = '1-URGENT') AS all_urgent,
+       count(*) AS n
+FROM orders
+""",
+)
+def a_bool_all_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-column ALL() predicate (F8/A6: ``(remoteId=="").all()``
+    ETL:390 — the runtime plan-switch input). One partial-aggregated
+    boolean per partition, one tiny final reduce."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_and(F.col("o_orderpriority") == "1-URGENT").alias("all_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Aggregates / set ops / hierarchy
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_collect_set_per_group",
+    """
+SELECT n_name,
+       coalesce(list_sort(list(DISTINCT c_mktsegment) FILTER (WHERE c_mktsegment IS NOT NULL)),
+                CAST([] AS VARCHAR[])) AS segments,
+       count(DISTINCT c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def a_collect_set_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + collect-distinct-set (A1: locations per district,
+    ``groupby(...)["..."].unique()`` ETL:563–569). Arrays sorted for
+    order-insensitive comparison."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    joined = nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left_outer")
+    return joined.groupBy("n_name").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+@_q(
+    "a_distinct_values",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+)
+def a_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct rows / distinct column values (A2/A3: drop_duplicates
+    ETL:781, ``.unique()`` ETL:438). Partial-agg dedup before shuffle."""
+    return _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@_q(
+    "a_hierarchy_levels",
+    """
+SELECT r_name AS group_name, CAST(NULL AS VARCHAR) AS parent_name, 1 AS level, TRUE AS is_top
+FROM (SELECT DISTINCT r_name FROM region)
+UNION ALL
+SELECT n_name AS group_name, r_name AS parent_name, 2 AS level, FALSE AS is_top
+FROM (SELECT DISTINCT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey)
+""",
+)
+def a_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (parent/child) modeling with parent-before-child dedup
+    (A4: one row per Region, one per (Region, District), Regions first —
+    ETL:283–308). Ordering is a sink-protocol concern: the ``level``
+    column drives level-phased writes (SURVEY §7 hard part 2), so no
+    global sort is needed."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    top = (
+        region.select("r_name")
+        .dropDuplicates(["r_name"])
+        .select(
+            F.col("r_name").alias("group_name"),
+            F.lit(None).cast("string").alias("parent_name"),
+            F.lit(1).alias("level"),
+            F.lit(True).alias("is_top"),
+        )
+    )
+    child = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name")
+        .dropDuplicates(["n_name", "r_name"])
+        .select(
+            F.col("n_name").alias("group_name"),
+            F.col("r_name").alias("parent_name"),
+            F.lit(2).alias("level"),
+            F.lit(False).alias("is_top"),
+        )
+    )
+    return top.unionByName(child)
+
+
+@_q(
+    "so_union_distinct",
+    """
+SELECT n_nationkey AS nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT n_nationkey AS nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def so_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION distinct of two reshaped frames (SO1/SO2: concat +
+    drop_duplicates ETL:799–800)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust_nations = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return cust_nations.unionByName(supp_nations).distinct()
+
+
+@_q(
+    "so_except",
+    """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+""",
+)
+def so_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SO4: pair-list ``not in`` ETL:957–960) as
+    EXCEPT DISTINCT."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust.subtract(supp)
+
+
+@_q(
+    "v_count_gates",
+    """
+SELECT (SELECT count(*) FROM customer) AS n_customer,
+       (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM lineitem) AS n_lineitem,
+       (SELECT count(*) FROM orders) = (SELECT count(DISTINCT o_orderkey) FROM orders) AS orders_key_unique
+""",
+)
+def v_count_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-gate arithmetic (A5/A7/V1: ``shape[0]`` checks
+    ETL:20/38–42/429): row counts + a key-uniqueness reconciliation
+    check, as one tiny DataFrame."""
+    c = _t(spark, sf_dir, "customer").count()
+    o_df = _t(spark, sf_dir, "orders")
+    o = o_df.count()
+    li = _t(spark, sf_dir, "lineitem").count()
+    o_distinct = o_df.select("o_orderkey").distinct().count()
+    return spark.createDataFrame(
+        [(c, o, li, o == o_distinct)],
+        "n_customer bigint, n_orders bigint, n_lineitem bigint, orders_key_unique boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Analytical benchmarks (TPC-H-shaped; the engine's headline queries)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan→filter→agg plan.
+    Eight aggregates in one pass, partial-aggregated map-side; at 100 TB
+    this is scan-bound with a tiny shuffle (|groups| ≈ 6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-06-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    The customer filter prunes before the join; top-k ordering
+    tie-breaks on o_orderkey so the LIMIT is deterministic across
+    engines."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-06-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5_local_volume",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with region pruning. Dim tables
+    broadcast; the fact-fact orders⋈lineitem is the only real shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. Event streams: windows, sessions, JSON props
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_tumbling_window",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (engine-native extension;
+    the reference has no temporal operators — SURVEY §2.10). Batch shape
+    of the Structured Streaming windowed agg in streaming/windows.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via lag + running
+    sum (engine-native; streaming variant uses session_window). One
+    shuffle on user_id serves both window functions and the final agg
+    (same partitioning — Catalyst reuses the exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+    )
+
+
+@_q(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)), 2) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured prop extraction (S4's JSON flattening applied to
+    a payload column): regexp path keeps it engine-portable; the engine
+    also exposes get_json_object/from_json for real JSON."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+    )

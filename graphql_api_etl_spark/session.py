@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the driver harness (local[N], 128 GiB box) but every
+knob is chosen to also be the right call on a 1000-executor cluster:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join split,
+  broadcast conversion when runtime stats allow it);
+- Arrow on (vectorized pandas interchange for the few Pandas-UDF
+  operators — similarity/multimodal — and fast ``toPandas``);
+- UTC session timezone (timestamp semantics identical to the DuckDB
+  oracle and to any other engine reading the same parquet);
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  coalescing makes the static number mostly irrelevant as long as it
+  is an upper bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "graphql_api_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and
+    bench share sizing with the driver harness.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # Files: keep scan partitions big enough to amortize task setup
+        # locally; on a 100 TB cluster the 128m default splits are right.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

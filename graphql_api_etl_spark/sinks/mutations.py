@@ -1,0 +1,115 @@
+"""Batched mutation sink (reference K2–K5).
+
+The reference posts one HTTP request per row (``locationAdd`` per
+record ETL:357–366, ``userAddNewToAccount`` per user ETL:679–686,
+``hierarchyGroupPermissionAdd`` per pair ETL:707–714) — the dominant
+cost of the whole pipeline. Here the sink is ``foreachPartition`` with
+client-side batching: each executor opens one client, posts
+``batch_size`` records per call, and emits a per-record status that is
+collected back as a status DataFrame for A8 success accounting
+(ETL:706–731) — so "how many failed" is an aggregate, not a
+driver-side loop.
+
+The wire client is pluggable; :class:`MockMutationClient` records
+payloads in-memory for tests (the real GraphQL client is a thin
+adapter with the same ``post_batch`` contract — observable behavior of
+``GQLAPI.post`` at ETL:169–175). Timeout tolerance (K4's
+``httpx.ReadTimeout`` pass at ETL:224–246) maps to ``max_retries``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("record", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class MockMutationClient:
+    """In-memory client: records every batch; optionally fails records
+    matching a predicate (for A8/V5 failure-path tests)."""
+
+    def __init__(self, fail_when=None):
+        self.batches: list[list[dict]] = []
+        self.fail_when = fail_when
+
+    def post_batch(self, operation: str, records: list[dict]) -> list[tuple[dict, bool, str | None]]:
+        self.batches.append(records)
+        out = []
+        for r in records:
+            if self.fail_when is not None and self.fail_when(r):
+                out.append((r, False, "mock failure"))
+            else:
+                out.append((r, True, None))
+        return out
+
+
+class MutationSink:
+    """``foreachPartition``-batched mutation writer returning a status
+    DataFrame.
+
+    ``client_factory`` is called once per partition ON THE EXECUTOR
+    (serializable factory, not a shared connection — the driver never
+    holds the socket). Retries are per batch with no backoff state
+    shared across partitions.
+    """
+
+    def __init__(self, client_factory, operation: str, batch_size: int = 100, max_retries: int = 2):
+        self.client_factory = client_factory
+        self.operation = operation
+        self.batch_size = batch_size
+        self.max_retries = max_retries
+
+    def write(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        factory = self.client_factory
+        operation = self.operation
+        batch_size = self.batch_size
+        max_retries = self.max_retries
+
+        def run_partition(rows: Iterable[Row]) -> Iterator[tuple[str, bool, str | None]]:
+            client = factory()
+            buf: list[dict] = []
+
+            def flush() -> Iterator[tuple[str, bool, str | None]]:
+                if not buf:
+                    return
+                last_err: Exception | None = None
+                for _ in range(max_retries + 1):
+                    try:
+                        results = client.post_batch(operation, list(buf))
+                        for rec, ok, err in results:
+                            yield (json.dumps(rec, sort_keys=True, default=str), ok, err)
+                        buf.clear()
+                        return
+                    except Exception as exc:  # noqa: BLE001 — timeout tolerance (K4)
+                        last_err = exc
+                for rec in buf:
+                    yield (json.dumps(rec, sort_keys=True, default=str), False, str(last_err))
+                buf.clear()
+
+            for row in rows:
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_size:
+                    yield from flush()
+            yield from flush()
+
+        status_rdd = df.rdd.mapPartitions(run_partition)
+        return spark.createDataFrame(status_rdd, STATUS_SCHEMA)
+
+
+def write_level_phased(sink: MutationSink, hierarchy_df: DataFrame, level_col: str = "level") -> list[DataFrame]:
+    """Parent-before-child ordering as phased writes (SURVEY §7 hard
+    part 2): one sink pass per level, ascending — within a level rows
+    are unordered and fully parallel."""
+    levels = [r[0] for r in hierarchy_df.select(level_col).distinct().orderBy(level_col).collect()]
+    return [sink.write(hierarchy_df.filter(hierarchy_df[level_col] == lv)) for lv in levels]

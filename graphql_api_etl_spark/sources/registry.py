@@ -1,0 +1,223 @@
+"""Schema registry + loaders for the engine's sources.
+
+The reference infers every schema at runtime (Excel header row at
+ETL:257/261, CSV header at ETL:935, ``json_normalize`` of the GraphQL
+response at ETL:218; ``ETL:NNN`` cites
+``/root/reference/weekly alignments GQL API.py``). Schema errors there
+surface as KeyErrors mid-pipeline. This engine instead declares every
+source schema up front (SURVEY.md §1.3) and normalizes column names at
+the ingestion boundary (``"REGION / SUPERVISOR"`` → ``region_supervisor``)
+so downstream plans never need backtick-quoted columns.
+
+At 100 TB the declared schema matters for a second reason: explicit
+``ReadSchema`` means column pruning at the parquet footer level, and no
+inference pass over the data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver star-schema tables (/root/testdata/sf*/<name>.parquet).
+# Declared rather than inferred: parquet carries its own schema, but the
+# registry is the single source of truth the rest of the engine validates
+# against (and what a cluster deployment would publish in its catalog).
+# ---------------------------------------------------------------------------
+
+STAR_TABLES: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one registered star-schema table from parquet.
+
+    Parquet supplies the physical schema; we read without forcing the
+    registry schema (parquet-to-requested-schema coercion can silently
+    widen types) and let the scan prune to whatever the query selects.
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; we read nanos as long (runtime legacy
+    conf) and truncate to microsecond timestamps — same truncation
+    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both engines
+    see identical values.
+    """
+    if name not in STAR_TABLES:
+        raise KeyError(f"unknown table {name!r}; registered: {sorted(STAR_TABLES)}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_field = next(f for f in df.schema.fields if f.name == "ts")
+    if isinstance(ts_field.dataType, T.LongType):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    names = names or list(STAR_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL API) and return them."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
+
+
+# ---------------------------------------------------------------------------
+# Column-name normalization (ingestion boundary).
+# The reference's Excel headers embed spaces and slashes
+# ("REGION / SUPERVISOR", "Zip Code", "DM Email" — ETL:257, 261, 754).
+# ---------------------------------------------------------------------------
+
+
+def normalize_column_name(name: str) -> str:
+    """``"REGION / SUPERVISOR"`` → ``region_supervisor``."""
+    s = name.strip().lower()
+    s = re.sub(r"[^0-9a-z]+", "_", s)
+    return s.strip("_")
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Rename every column through :func:`normalize_column_name`."""
+    mapping = {c: normalize_column_name(c) for c in df.columns}
+    return df.withColumnsRenamed(mapping)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """CSV scan (reference S2, ETL:935): header on, declared schema if given."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return normalize_columns(reader.csv(path))
+
+
+def read_excel_sheet(spark: SparkSession, path: str, sheet_name: str, schema: T.StructType | None = None) -> DataFrame:
+    """Excel sheet scan (reference S1, ETL:255).
+
+    Spark has no built-in xlsx reader; workbooks are driver-sized inputs
+    in the reference domain (one retail chain's store list), so read on
+    the driver with pandas and parallelize. For genuinely large sheets
+    the deployment answer is "convert to parquet upstream"; this adapter
+    is gated behind an import-try because openpyxl may be absent.
+    """
+    try:
+        import pandas as pd  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas required for Excel ingestion") from exc
+    try:
+        pdf = __import__("pandas").read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:  # openpyxl missing
+        raise NotImplementedError("openpyxl not installed; convert xlsx to parquet/csv upstream") from exc
+    sdf = spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
+    return normalize_columns(sdf)
+
+
+def discover_input_files(directory: str) -> dict[str, str | None]:
+    """Directory file discovery (reference S5, ETL:101–110): first .xlsx
+    and first .csv win, deterministically by sorted name."""
+    import os
+
+    files = sorted(os.listdir(directory))
+    first = lambda ext: next((os.path.join(directory, f) for f in files if f.lower().endswith(ext)), None)
+    return {"xlsx": first(".xlsx"), "csv": first(".csv")}

@@ -1,0 +1,7 @@
+"""Structured Streaming layer: the paginated-connection source's
+incremental variant, windowed/sessionized event aggregation, and
+stateful helpers."""
+
+from graphql_api_etl_spark.streaming.windows import windowed_counts, sessionized
+
+__all__ = ["windowed_counts", "sessionized"]
