@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 
 from graphql_api_etl_spark.operators.text import norm_text, tokens
 
+
+def repartition_for_cpu(df: DataFrame) -> DataFrame:
+    """Spread a narrow-partitioned input across the cluster's cores
+    before a CPU-heavy map stage. No-op when already wide enough."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # MinHash parameters: h is a 28-bit md5 prefix, so a*h + b stays far
 # below 2^63 for a < 2^31 (no overflow in any BIGINT engine).
 MINHASH_P = 4_294_967_311  # prime > 2^32
@@ -49,17 +58,47 @@ def minhash_params(n: int = N_MINHASHES) -> list[tuple[int, int]]:
     return out
 
 
+def _shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    ``toks`` MUST be a materialized column reference, not an inline
+    tokenizer expression: lambda-captured expressions are re-evaluated
+    per array element (measured: inline tokens() turned this into
+    O(L²) regex work — 15 ms/doc). The n=2 hot path is zip_with over
+    two slices: O(L) with no per-element array copies.
+    """
+    L = F.size(toks)
+    if n == 2:
+        grams = F.zip_with(
+            F.slice(toks, 1, L - 1),
+            F.slice(toks, 2, L - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    else:
+        head = F.slice(toks, 1, L - (n - 1))
+        grams = F.transform(
+            head,
+            lambda x, i: F.concat_ws(
+                " ", F.array(x, *[F.element_at(toks, i + 1 + j) for j in range(1, n)])
+            ),
+        )
+    return F.array_distinct(F.when(L >= n, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
 def shingles(text_col: Column | str, n: int = 2) -> Column:
-    """Distinct word n-gram shingles; degenerate short docs collapse to
-    one whole-text shingle so every doc has ≥1."""
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """Column-expression form (case-normalized; short docs collapse to
+    one whole-text shingle). Fine for ad-hoc use; the operators below
+    go through :func:`shingled` so the tokenizer runs once per row."""
+    return _shingles_from_tokens(tokens(norm_text(text_col)), n)
+
+
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """(id, sh) DataFrame with the tokenizer materialized in its own
+    projection so downstream slice/zip references don't re-run it."""
+    toked = repartition_for_cpu(df).select(
+        F.col(id_col), tokens(norm_text(text_col)).alias("__toks")
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return toked.select(F.col(id_col), _shingles_from_tokens(F.col("__toks"), n).alias("sh"))
 
 
 def shingle_hash(col: Column) -> Column:
@@ -88,15 +127,23 @@ def minhash_signatures(
     explode(shingles) → portable 28-bit hash → k permutation-min
     aggregates in ONE groupBy pass (partial aggregation makes the
     shuffle carry k mins per doc, not the shingle stream).
+
+    The md5-derived hash is materialized as a column BEFORE the
+    aggregate so it is computed once per shingle, not once per shingle
+    per permutation; the input is repartitioned first because document
+    corpora often arrive as few large files (locally: one parquet = one
+    partition) and the explode+hash stage must use every core.
     """
     params = minhash_params()
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, n_gram)).alias("shingle"))
-    h = shingle_hash(F.col("shingle"))
+    sh = shingled(df, text_col, id_col, n_gram).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    hashed = sh.select(id_col, shingle_hash(F.col("shingle")).alias("hv"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -144,22 +191,74 @@ def jaccard_pairs(
     from :func:`lsh_candidate_pairs`): verification join only — the
     scale path.
     """
-    sets = df.select(F.col(id_col), shingles(text_col, n_gram).alias("sh"))
+    sets = shingled(df, text_col, id_col, n_gram)
     if candidates is None:
+        # Count-based exact Jaccard: |∩| falls out of the inverted-index
+        # self-join as a groupBy count, and |∪| = |A|+|B|-|∩| because
+        # shingle sets are distinct — no per-pair array materialization
+        # (the array_intersect formulation is quadratic in doc length
+        # per pair and dominates runtime once candidates ≈ all pairs).
+        sizes = sets.select(F.col(id_col), F.size("sh").alias("sz"))
         inv = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
         a = inv.select(F.col(id_col).alias("id_a"), "shingle")
         b = inv.select(F.col(id_col).alias("id_b"), "shingle")
-        candidates = (
-            a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = candidates.join(sa, "id_a").join(sb, "id_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+        za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        scored = common.join(za, "id_a").join(zb, "id_b").withColumn("jaccard", F.round(jac, 4))
+    else:
+        # Verification path: candidates are already few (that is LSH's
+        # whole point), so ship each pair its two shingle sets and
+        # score natively — never rebuild the full inverted self-join,
+        # whose Σ|posting|² cost is exactly what banding avoided.
+        # |∪| is derived from sizes (sets are distinct), so only the
+        # intersection array is ever built, in its own projection so
+        # it is computed once per pair.
+        sa = sets.select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("sz_a")
+        )
+        sb = sets.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("sz_b")
+        )
+        joined = (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+        jac = F.col("n_common").cast("double") / (
+            F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+        )
+        scored = joined.withColumn("jaccard", F.round(jac, 4))
+    return scored.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def signature_agreement(
+    candidates: DataFrame, signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidates + ``sig_match`` = number of agreeing minhash
+    components (an unbiased Jaccard estimator: E[sig_match/k] = J).
+    16 integer equality checks per pair, fully codegen — the cheap
+    middle filter between banding and exact verification."""
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASHES)]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASHES)]
+    )
+    match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASHES)
+    )
     return (
-        joined.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("sig_match", match)
+        .select("id_a", "id_b", "sig_match")
     )
 
 
@@ -169,27 +268,65 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_gram: int = 2,
+    persist: bool = True,
+    prefilter_slack: float = 0.25,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline: banded candidates,
     then true-Jaccard verification (no false positives in the output;
-    recall is governed by the band/row configuration)."""
+    recall is governed by the band/row configuration).
+
+    ``persist`` keeps the signature and candidate frames in
+    MEMORY_AND_DISK for the pipeline's lifetime: both are consumed by
+    two plan branches (each side of the band self-join / each side of
+    the verification join), and without pinning, Spark recomputes the
+    whole upstream per branch — measured 3× the wall-clock. Signatures
+    are k×8 bytes per doc, candidates two ids per row: at 100 TB of
+    raw text these are the small frames (a real deployment would land
+    signatures as a table between stages anyway).
+    """
     sigs = minhash_signatures(df, text_col, id_col, n_gram)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        # Materialize eagerly: a lazily-persisted frame consumed by two
+        # branches of ONE job is computed once per branch (the racing
+        # tasks don't wait on each other's cache fill) — measured 2.7×
+        # the wall-clock of eager fill on the same data.
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col)
-    return jaccard_pairs(df, threshold, text_col, id_col, n_gram, candidates=cands)
+    # Banding admits any pair sharing one band (P = 1-(1-J²)^8, ~18%
+    # even at J≈0.15), so on self-similar corpora candidates vastly
+    # outnumber true pairs. The signature-agreement prefilter drops
+    # most of them with integer compares before the (relatively
+    # expensive) exact array verification; the floor sits
+    # ``prefilter_slack`` below the threshold so boundary pairs at
+    # J≈threshold survive with ≥99% probability (Binomial(16, J) tail).
+    est_floor = max(0.0, threshold - prefilter_slack)
+    min_match = int(est_floor * N_MINHASHES)  # floor; pairs need > this-ish
+    filtered = signature_agreement(cands, sigs, id_col).filter(
+        F.col("sig_match") >= F.lit(min_match)
+    ).select("id_a", "id_b")
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+        filtered.count()
+    return jaccard_pairs(df, threshold, text_col, id_col, n_gram, candidates=filtered)
 
 
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, md5-derived, engine-portable)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
+SIMHASH_BITS = 60  # token hash is 60-bit (see _token_hash64)
 
 
 def _token_hash64(col: Column) -> Column:
-    """64-bit token hash from the md5 hex prefix: two 32-bit halves."""
-    hi = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
-    lo = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("bigint")
-    return F.shiftleft(hi, 32) + lo
+    """60-bit token hash: 15 hex chars of md5 → bigint. Capped below
+    2^63 so overflow-checked engines (DuckDB) compute it identically;
+    bits 60..63 of the simhash are then always 0 on every engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -199,13 +336,18 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     map-side), then the signature is reassembled from the vote signs.
     All arithmetic is BIGINT-exact and portable.
     """
-    toked = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = _token_hash64(F.col("tok"))
+    toked = repartition_for_cpu(df).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(norm_text(text_col)))).alias("tok")
+    )
+    # Materialize the hash before the aggregate: referenced by 60 vote
+    # expressions, it must be computed once per token, not 60 times.
+    hashed = toked.select(id_col, _token_hash64(F.col("tok")).alias("hv"))
+    h = F.col("hv")
     votes = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
         for j in range(SIMHASH_BITS)
     ]
-    per_doc = toked.groupBy(id_col).agg(*votes)
+    per_doc = hashed.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint"))

@@ -112,5 +112,5 @@ def binary_metadata(media: DataFrame) -> DataFrame:
         "media_type",
         F.octet_length(F.col("payload")).alias("payload_bytes"),
         F.lower(F.sha2(F.col("payload"), 256)).alias("payload_sha256"),
-        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic"),
+        F.lower(F.substring(F.hex(F.col("payload")), 1, 8)).alias("magic"),
     )

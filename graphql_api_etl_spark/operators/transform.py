@@ -32,8 +32,9 @@ def dict_replace(df: DataFrame, column: str, mapping: dict[str, str]) -> DataFra
 
 def numeric_coerce(df: DataFrame, column: str, out_type: str = "double") -> DataFrame:
     """``pd.to_numeric(errors="coerce")`` (X6, ETL:333): non-numeric →
-    NULL. Spark's non-ANSI cast has exactly this semantics."""
-    return df.withColumn(column, F.col(column).cast(out_type))
+    NULL. ``try_cast`` keeps this semantics under ANSI mode (Spark 4
+    default), where a plain cast would raise on malformed input."""
+    return df.withColumn(column, F.col(column).try_cast(out_type))
 
 
 def int_string(col: Column | str) -> Column:

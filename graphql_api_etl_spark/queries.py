@@ -684,3 +684,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 2).alias("avg_k"),
     )
+
+
+# LLM-data-pipeline catalog entries register themselves into QUERIES on
+# import (bottom import avoids the circular _q dependency).
+from graphql_api_etl_spark import queries_llm  # noqa: E402,F401

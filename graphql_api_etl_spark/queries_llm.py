@@ -1,0 +1,364 @@
+"""LLM-training-data-pipeline query catalog: dedup (exact, MinHash+LSH,
+n-gram Jaccard, SimHash), similarity search (brute-force + LSH-bucketed
+cosine top-k), text analysis (stats/quality/lang-ID/fingerprint), and
+multimodal binary plumbing — each registered with a DuckDB oracle
+wherever the semantics are ANSI-SQL-expressible.
+
+Engine-native extensions beyond the reference (whose only dedup is
+``drop_duplicates``, ETL:781; no vector/text/media ops exist there —
+``ETL:NNN`` ≡ ``/root/reference/weekly alignments GQL API.py``).
+
+Oracle-generation note: the MinHash/SimHash/hyperplane oracles embed
+the SAME deterministic md5-derived constants the Spark operators use,
+so both engines compute bit-identical signatures; SQL strings are
+built programmatically from those shared parameters at import time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators import dedup as D
+from graphql_api_etl_spark.operators import multimodal as MM
+from graphql_api_etl_spark.operators import similarity as S
+from graphql_api_etl_spark.operators import text as TX
+from graphql_api_etl_spark.queries import _q, _t
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (DuckDB), mirroring operators.text/dedup.
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+# Raw tokens (quality/lang-ID) vs case-normalized tokens (dedup:
+# shingles/simhash tokenize norm_text — "The" ≡ "the" for dedup only).
+_TOKS_CTE = r"toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)"
+_NTOKS_CTE = r"toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)"
+
+# Distinct word-2-gram shingles; short docs collapse to one whole-text
+# shingle (mirrors dedup.shingles).
+_SHS_CTE = (
+    "shs AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2 "
+    "THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [array_to_string(t, ' ')] END) AS sh FROM toks)"
+)
+
+# 28-bit engine-portable shingle hash (dedup.shingle_hash).
+_HV = "CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+
+
+def _minhash_sig_sql() -> str:
+    """CTE chain ending in sig(doc_id, m0..m{k-1}) — same (a, b)
+    coefficients as dedup.minhash_params()."""
+    mins = ", ".join(
+        f"min(({a} * hv + {b}) % {D.MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(D.minhash_params())
+    )
+    return (
+        f"{_NTOKS_CTE}, {_SHS_CTE}, "
+        "sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shs), "
+        f"h AS (SELECT doc_id, {_HV} AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)"
+    )
+
+
+def _lsh_pairs_sql(threshold: float, prefilter_slack: float = 0.25) -> str:
+    rows = D.N_MINHASHES // D.LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        + " || '-' || ".join(f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS band_key FROM sig"
+        for j in range(D.LSH_BANDS)
+    )
+    min_match = int(max(0.0, threshold - prefilter_slack) * D.N_MINHASHES)
+    match_expr = " + ".join(
+        f"CASE WHEN za.m{i} = zb.m{i} THEN 1 ELSE 0 END" for i in range(D.N_MINHASHES)
+    )
+    return (
+        f"WITH {_minhash_sig_sql()}, "
+        f"bands AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.doc_id < b.doc_id), "
+        # signature-agreement prefilter (mirrors dedup.signature_agreement)
+        f"pref AS (SELECT id_a, id_b FROM cand "
+        "JOIN sig za ON za.doc_id = id_a JOIN sig zb ON zb.doc_id = id_b "
+        f"WHERE {match_expr} >= {min_match}), "
+        "sizes AS (SELECT doc_id, len(sh) AS sz FROM shs), "
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shs), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
+        "FROM inv a JOIN inv b USING (shingle) "
+        "JOIN pref ON pref.id_a = a.doc_id AND pref.id_b = b.doc_id GROUP BY 1, 2), "
+        "scored AS (SELECT id_a, id_b, "
+        "round(n_common::DOUBLE / (za.sz + zb.sz - n_common), 4) AS jaccard "
+        "FROM common JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b) "
+        f"SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact_groups",
+    f"""
+SELECT md5({_NORM_TEXT}) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy over normalized content (scale path
+    for A2's drop_duplicates, ETL:781). One shuffle on the md5 key;
+    keeper = min(id) is an aggregate, not a sort."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q("dedup_minhash_lsh", _lsh_pairs_sql(0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → banded LSH(8×2) → true-Jaccard verification.
+    The banding equi-join replaces the O(n²) pair matrix; only
+    colliding candidates are ever scored. The oracle recomputes the
+    identical md5-derived signatures in SQL, so the candidate set —
+    not just the final pairs — must match across engines."""
+    return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_NTOKS_CTE}, {_SHS_CTE},
+sizes AS (SELECT doc_id, len(sh) AS sz FROM shs),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM inv a JOIN inv b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+scored AS (SELECT id_a, id_b,
+  round(n_common::DOUBLE / (za.sz + zb.sz - n_common), 4) AS jaccard
+  FROM common JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute n-gram Jaccard via an inverted shingle index (the
+    verification oracle for LSH recall; cost Σ|posting|², not n²).
+    At equal threshold this is the ground truth dedup_minhash_lsh
+    approximates — their diff measures LSH recall."""
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, (simhash >> {j * 16}) & 65535 AS band_key FROM sig"
+        for j in range(4)
+    )
+    return (
+        f"WITH {_NTOKS_CTE}, "
+        "toked AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks), "
+        "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toked), "
+        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig} AS simhash FROM votes), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.simhash AS sig_a, b.simhash AS sig_b "
+        "FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming "
+        "FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8"
+    )
+
+
+@_q("dedup_simhash_pairs", _simhash_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs within Hamming distance 8,
+    candidate-limited by 16-bit band collisions. Vote sums, signature
+    packing, banding, and bit_count(xor) are all BIGINT-exact and
+    reproduced verbatim by the SQL oracle."""
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_distance=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_quality_stats",
+    r"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       length(text) AS text_len,
+       round(length(text)::DOUBLE / len(t), 2) AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text), 4) AS digit_ratio,
+       round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+             / len(t), 4) AS stopword_ratio,
+       (len(t) >= 20 AND len(t) <= 10000
+        AND len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+            / len(t) >= 0.01) AS quality_ok
+FROM toks
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/length stats + Gopher/C4-style quality gate —
+    one map-only native-expression pass (no shuffle, no Python)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.with_quality_score(TX.with_text_stats(docs))
+    return out.select(
+        "doc_id", "n_tokens", "text_len", "avg_token_len",
+        "digit_ratio", "stopword_ratio", "quality_ok",
+    )
+
+
+def _lang_id_sql() -> str:
+    profiles = list(TX.DEFAULT_LANG_PROFILES.items())
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + f"], x))) AS score_{name}"
+        for name, markers in profiles
+    )
+    # Fold argmax exactly as text.with_lang_guess: start at profile 0,
+    # strictly-greater replaces.
+    guess, best = f"'{profiles[0][0]}'", f"score_{profiles[0][0]}"
+    for name, _ in profiles[1:]:
+        guess = f"CASE WHEN score_{name} > {best} THEN '{name}' ELSE {guess} END"
+        best = f"CASE WHEN score_{name} > {best} THEN score_{name} ELSE {best} END"
+    scores = ", ".join(f"score_{name}" for name, _ in profiles)
+    return (
+        f"WITH {_TOKS_CTE}, scored AS (SELECT doc_id, {score_cols} FROM toks) "
+        f"SELECT doc_id, {scores}, {guess} AS lang_guess FROM scored"
+    )
+
+
+@_q("text_lang_id", _lang_id_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: per-profile hit counts +
+    argmax guess, all vocabulary-driven native expressions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.with_lang_guess(docs)
+    score_cols = [f"score_{name}" for name in TX.DEFAULT_LANG_PROFILES]
+    return out.select("doc_id", *score_cols, "lang_guess")
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+SELECT doc_id,
+       md5({_NORM_TEXT}) AS content_hash,
+       CAST('0x' || substr(md5({_NORM_TEXT}), 1, 15) AS BIGINT) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + 60-bit integer
+    prefix (join/bucket-friendly form for shard-local dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.with_fingerprint(docs).select("doc_id", "content_hash", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_CORE = (
+    "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), "
+    "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+    "scored AS (SELECT query_id, neighbor_id, "
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos "
+    "FROM q CROSS JOIN c WHERE query_id != neighbor_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+)
+
+
+@_q(
+    "sim_topk_bruteforce",
+    f"WITH {_COSINE_CORE} "
+    "SELECT query_id, neighbor_id, round(cos, 6) AS sim, rank FROM ranked WHERE rank <= 5",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 10-query set: broadcast(queries) ×
+    corpus — the corpus streams once with zero shuffle; ranking is a
+    per-query window. The 100 TB path: only |Q| rows broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _bucketed_sql() -> str:
+    planes = [S._hyperplane(p, 64) for p in range(8)]
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(f"{float(c)}" for c in planes[p])
+        + f"]) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(8)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
+        "q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 50), "
+        "c AS (SELECT vec_id AS neighbor_id, bucket, v AS cv FROM b), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos "
+        "FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cos, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, round(cos, 6) AS sim, rank FROM ranked WHERE rank <= 3"
+    )
+
+
+@_q("sim_topk_lsh_bucketed", _bucketed_sql())
+def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within sign-random-hyperplane LSH buckets: the cross
+    join becomes an equi-join on the bucket key (Σ_b |Q_b|·|C_b|
+    scored pairs instead of |Q|·|C|). Hyperplanes are md5-derived and
+    embedded as literals in BOTH plans, so buckets match exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = S.with_hyperplane_bucket(emb, n_planes=8, dim=64)
+    return S.topk_bucketed(
+        bucketed.filter(F.col("vec_id") < 50), bucketed, bucket_col="lsh_bucket", k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mm_binary_metadata",
+    """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       sha256(text) AS payload_sha256,
+       lower(substr(hex(encode(text)), 1, 8)) AS magic
+FROM documents
+""",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over opaque binary payloads — native
+    expressions, nothing shipped to Python; at scale parquet column
+    stats make this scan-bound."""
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return MM.binary_metadata(media)
+
+
+@_q("mm_extract_features", None)  # mapInPandas — not SQL-expressible, rows-only check
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/feature-extract over binary
+    payloads (deterministic fake decoder — the real decoder is the
+    marked NotImplementedError integration point)."""
+    media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    return MM.extract_features(media, fake=True)

@@ -10,7 +10,9 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # Tiny fixtures: fewer threads/partitions beat the 32-way default
+    # (task-dispatch overhead dominates at this scale).
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=4)
     yield s
 
 

@@ -110,7 +110,8 @@ def main():
                 print(f"FAIL {p}")
         else:
             print(f"  ok {name} ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len([q for q in qs if not only or q in only])} passed")
+    n_ran = len([q for q in qs if not only or q in only])
+    print(f"\n{n_ran - len(failed)}/{n_ran} passed")
     if failed:
         print("failed:", failed)
         sys.exit(1)

@@ -1,0 +1,207 @@
+"""Unit tests for transform/aggregate/text/dedup/similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators import dedup as D
+from graphql_api_etl_spark.operators import similarity as S
+from graphql_api_etl_spark.operators import text as TX
+from graphql_api_etl_spark.operators.aggregate import (
+    collect_group_sets,
+    count_gate,
+    hierarchy_levels,
+    success_accounting,
+)
+from graphql_api_etl_spark.operators.transform import (
+    all_equal,
+    conditional_update,
+    dict_replace,
+    first_last_name,
+    int_string,
+    normalize_email,
+    numeric_coerce,
+    zip5,
+)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (reference P/F/X semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_update(spark):
+    df = spark.createDataFrame([("s1", None), ("s2", "kept@x.com")], "sup string, email string")
+    out = conditional_update(
+        df, "email", F.col("email").isNull() & F.col("sup").isin("s1"), F.lit("backfill@x.com")
+    )
+    assert dict((r["sup"], r["email"]) for r in out.collect()) == {
+        "s1": "backfill@x.com",
+        "s2": "kept@x.com",
+    }
+
+
+def test_dict_replace(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    out = dict_replace(df, "v", {"a": "A", "b": "B"})
+    assert {r["v"] for r in out.collect()} == {"A", "B", "c"}
+
+
+def test_numeric_coerce_null_on_error(spark):
+    df = spark.createDataFrame([("12.5",), ("oops",), (None,)], "z string")
+    vals = [r["z"] for r in numeric_coerce(df, "z").collect()]
+    assert vals == [12.5, None, None] or sorted(str(v) for v in vals) == sorted(["12.5", "None", "None"])
+
+
+def test_int_string_and_zip5(spark):
+    df = spark.createDataFrame([("1234.0", "98101-4321"), ("77.0", "2210.0")], "u string, z string")
+    out = df.select(int_string("u").alias("u"), zip5("z").alias("z")).collect()
+    assert (out[0]["u"], out[0]["z"]) == ("1234", "98101")
+    assert (out[1]["u"], out[1]["z"]) == ("77", "2210")
+
+
+def test_first_last_name(spark):
+    df = spark.createDataFrame(
+        [("Brand / Ada Lovelace",), ("Grace Hopper",), ("Cher",)], "name string"
+    )
+    first, last = first_last_name("name")
+    rows = df.select(first.alias("f"), last.alias("l")).collect()
+    assert [(r["f"], r["l"]) for r in rows] == [
+        ("Ada", "Lovelace"),
+        ("Grace", "Hopper"),
+        ("Cher", ""),
+    ]
+
+
+def test_normalize_email(spark):
+    df = spark.createDataFrame([("  Ada@X.COM ",)], "e string")
+    assert df.select(normalize_email("e").alias("e")).first()["e"] == "ada@x.com"
+
+
+def test_all_equal_plan_switch(spark):
+    empties = spark.createDataFrame([("",), ("",)], "remote_id string")
+    mixed = spark.createDataFrame([("",), ("u1",)], "remote_id string")
+    assert all_equal(empties, F.col("remote_id") == "") is True
+    assert all_equal(mixed, F.col("remote_id") == "") is False
+
+
+# ---------------------------------------------------------------------------
+# Aggregates / hierarchy
+# ---------------------------------------------------------------------------
+
+
+def test_collect_group_sets(spark):
+    df = spark.createDataFrame(
+        [("d1", "l1"), ("d1", "l2"), ("d1", "l1"), ("d2", "l3")], "district string, loc string"
+    )
+    got = {r["district"]: r["values"] for r in collect_group_sets(df, "district", "loc").collect()}
+    assert got == {"d1": ["l1", "l2"], "d2": ["l3"]}
+
+
+def test_hierarchy_levels_parent_before_child(spark):
+    df = spark.createDataFrame(
+        [("west", "d1"), ("west", "d2"), ("east", "d1"), ("west", "d1")],
+        "region string, district string",
+    )
+    out = hierarchy_levels(df, ["region", "district"]).collect()
+    l1 = {(r["group_name"], r["parent_name"]) for r in out if r["level"] == 1}
+    l2 = {(r["group_name"], r["parent_name"]) for r in out if r["level"] == 2}
+    assert l1 == {("west", None), ("east", None)}
+    # (region, district) pairs are distinct; same district under two
+    # regions is two child rows (reference A4 semantics, ETL:283–308)
+    assert l2 == {("d1", "west"), ("d2", "west"), ("d1", "east")}
+    assert all(r["is_top"] == (r["level"] == 1) for r in out)
+
+
+def test_count_gate(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    assert count_gate(df, expected=2) == 2
+    with pytest.raises(AssertionError):
+        count_gate(df, expected=3, name="g")
+
+
+def test_success_accounting(spark):
+    df = spark.createDataFrame([(True,), (True,), (False,)], "success boolean")
+    assert success_accounting(df) == {"total": 3, "ok": 2, "failed": 1}
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "THE  QUICK brown fox jumps over the lazy dog"),  # exact dup of 1 normalized
+            (4, "completely different content about query engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 2: 1, 4: 1}
+
+
+def test_jaccard_pairs_brute(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.jaccard_pairs(docs, 0.5).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 3) in pairs  # identical shingle sets always collide
+    # LSH output ⊆ brute output at equal threshold (no false positives)
+    brute = {(r["id_a"], r["id_b"]) for r in D.jaccard_pairs(docs, 0.5).collect()}
+    assert pairs <= brute
+
+
+def test_simhash_identical_docs(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[3]  # same token set → same signature
+    assert sigs[1] != sigs[4]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_pairs(docs, 8).collect()}
+    assert pairs[(1, 3)] == 0
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),  # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = S.topk_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["sim"] > 0.99 and rows[2]["sim"] == -1.0
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a 9 mats " * 4)], "doc_id bigint, text string")
+    out = TX.with_quality_score(TX.with_text_stats(df)).first()
+    assert out["n_tokens"] == 28  # 7 tokens × 4
+    assert out["quality_ok"] is True
+    assert out["digit_ratio"] > 0
+    short = spark.createDataFrame([(1, "too short")], "doc_id bigint, text string")
+    assert TX.with_quality_score(TX.with_text_stats(short)).first()["quality_ok"] is False
+
+
+def test_lang_guess_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a to"), (2, "table row column join query query")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in TX.with_lang_guess(df).collect()}
+    assert got == {1: "en", 2: "query_ish"}

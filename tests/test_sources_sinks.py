@@ -1,0 +1,206 @@
+"""Tests for the paginated connection source, nested flatten, CSV/
+mutation sinks, validation gates, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphql_api_etl_spark.operators.multimodal import (
+    binary_metadata,
+    documents_as_media,
+    extract_features,
+)
+from graphql_api_etl_spark.sinks.gates import (
+    ValidationError,
+    require_empty,
+    require_nonempty,
+    warn_if_nonempty,
+)
+from graphql_api_etl_spark.sinks.mutations import MockMutationClient, MutationSink
+from graphql_api_etl_spark.sinks.reports import write_csv_report
+from graphql_api_etl_spark.sources.flatten import flatten
+from graphql_api_etl_spark.sources.graphql import (
+    LocalPagesClient,
+    fetch_connection,
+    walk_pages,
+)
+from graphql_api_etl_spark.sources.registry import (
+    load_table,
+    normalize_column_name,
+    register_views,
+)
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("isTop", T.BooleanType()),
+        T.StructField(
+            "label",
+            T.StructType(
+                [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+            ),
+        ),
+    ]
+)
+
+
+def _pages():
+    def node(i):
+        return {
+            "id": f"g{i}",
+            "name": f"group-{i}",
+            "isTop": i % 2 == 0,
+            "label": {"id": f"lab{i}", "name": f"label-{i}"},
+        }
+
+    return [
+        {
+            "pageInfo": {"hasNextPage": True, "endCursor": "c1"},
+            "edges": [{"cursor": "e0", "node": node(0)}, {"cursor": "e1", "node": node(1)}],
+        },
+        {
+            "pageInfo": {"hasNextPage": True, "endCursor": "c2"},
+            "edges": [{"cursor": "e2", "node": node(2)}],
+        },
+        {"pageInfo": {"hasNextPage": False, "endCursor": None}, "edges": []},
+    ]
+
+
+def test_walk_pages_cursor_chain():
+    nodes = walk_pages(LocalPagesClient(pages=_pages()))
+    assert [n["id"] for n in nodes] == ["g0", "g1", "g2"]
+
+
+def test_fetch_connection_flattens(spark):
+    df = fetch_connection(spark, LocalPagesClient(pages=_pages()), NODE_SCHEMA)
+    assert set(df.columns) == {"node_id", "node_name", "node_isTop", "node_label_id", "node_label_name"}
+    rows = {r["node_id"]: r for r in df.collect()}
+    assert rows["g2"]["node_label_name"] == "label-2"
+    assert rows["g0"]["node_isTop"] is True
+
+
+def test_flatten_depth_and_arrays(spark):
+    df = spark.createDataFrame(
+        [({"a": {"b": 1, "c": {"d": "x"}}, "arr": [{"v": 1}, {"v": 2}]},)],
+        "s struct<a: struct<b: int, c: struct<d: string>>, arr: array<struct<v: int>>>",
+    )
+    flat = flatten(df)
+    assert set(flat.columns) == {"s_a_b", "s_a_c_d", "s_arr"}  # arrays preserved
+    exploded = flatten(df, explode_arrays=True)
+    assert "s_arr_v" in exploded.columns
+    assert exploded.count() == 2
+
+
+def test_graphql_datasource_registration(spark, tmp_path):
+    from graphql_api_etl_spark.sources.graphql import register_graphql_source
+
+    for i, page in enumerate(_pages()):
+        (tmp_path / f"page-{i}.json").write_text(json.dumps(page))
+    register_graphql_source(spark)
+    df = (
+        spark.read.format("graphql_connection")
+        .option("path", str(tmp_path))
+        .load()
+        .select(F.from_json("value", NODE_SCHEMA).alias("node"))
+    )
+    flat = flatten(df)
+    assert flat.count() == 3
+    assert {r["node_id"] for r in flat.collect()} == {"g0", "g1", "g2"}
+
+
+def test_normalize_column_name():
+    assert normalize_column_name("REGION / SUPERVISOR") == "region_supervisor"
+    assert normalize_column_name(" Zip Code ") == "zip_code"
+    assert normalize_column_name("DM Email") == "dm_email"
+
+
+def test_register_views_sql(spark, sf_dir):
+    register_views(spark, sf_dir, ["region", "nation"])
+    n = spark.sql("SELECT count(*) AS n FROM region JOIN nation ON n_regionkey = r_regionkey").first()["n"]
+    assert n == 25
+
+
+def test_events_nanos_timestamps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Sinks & gates
+# ---------------------------------------------------------------------------
+
+
+def test_csv_report_sink(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    path = str(tmp_path / "report")
+    write_csv_report(df, path)
+    files = glob.glob(f"{path}/part-*.csv")
+    assert len(files) == 1  # single-file audit artifact
+    body = open(files[0]).read()
+    assert body.startswith("k,v")
+
+
+def test_mutation_sink_batches_and_status(spark):
+    df = spark.createDataFrame([(i, f"loc-{i}") for i in range(25)], "id int, name string")
+    client = MockMutationClient()
+    sink = MutationSink(lambda: client, "locationAdd", batch_size=10)
+    status = sink.write(df.coalesce(1))
+    acc = status.agg(F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("ok")).first()
+    assert acc["ok"] == 25
+
+
+def test_mutation_sink_failure_accounting(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    sink = MutationSink(lambda: MockMutationClient(fail_when=lambda r: r["id"] % 3 == 0), "op")
+    status = sink.write(df.coalesce(1)).cache()
+    try:
+        assert status.filter(~F.col("success")).count() == 4  # 0,3,6,9
+        assert status.count() == 10
+    finally:
+        status.unpersist()
+
+
+def test_gates(spark, tmp_path):
+    empty = spark.createDataFrame([], "x int")
+    full = spark.createDataFrame([(1,)], "x int")
+    require_nonempty(full, "ok")
+    with pytest.raises(ValidationError):
+        require_nonempty(empty, "bad")
+    require_empty(empty, "ok")
+    with pytest.raises(ValidationError):
+        require_empty(full, "bad", report_path=str(tmp_path / "evidence"))
+    assert glob.glob(str(tmp_path / "evidence" / "part-*.csv"))
+    with pytest.warns(UserWarning):
+        assert warn_if_nonempty(full, "soft") is True
+    assert warn_if_nonempty(empty, "soft") is False
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_metadata_and_features(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(20)
+    meta = binary_metadata(media)
+    row = meta.first()
+    assert len(row["payload_sha256"]) == 64
+    assert row["payload_bytes"] > 0 and len(row["magic"]) == 8
+    feats = extract_features(media, fake=True)
+    frow = feats.first()
+    assert len(frow["features"]) == 8
+    assert all(0 <= v < 1 for v in frow["features"])
+    assert frow["payload_sha256"] == meta.filter(F.col("media_id") == frow["media_id"]).first()["payload_sha256"]
+
+
+def test_multimodal_real_decode_is_marked_stub(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(media, fake=False).collect()
