@@ -39,9 +39,10 @@ def numeric_coerce(df: DataFrame, column: str, out_type: str = "double") -> Data
 
 def int_string(col: Column | str) -> Column:
     """Float-formatted number → integer string (``"1234.0"`` → ``"1234"``,
-    the Unit/zip handling at ETL:262–263, 351): via bigint round-trip."""
+    the Unit/zip handling at ETL:262–263, 351): via bigint round-trip.
+    try_cast keeps pandas' NULL-on-junk semantics under ANSI mode."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double").cast("bigint").cast("string")
+    return c.try_cast("double").try_cast("bigint").cast("string")
 
 
 def zip5(col: Column | str) -> Column:

@@ -1,0 +1,413 @@
+"""Reference-parity pipeline: the weekly hierarchy/permission sync as a
+Spark DAG (``ETL:NNN`` ≡ ``/root/reference/weekly alignments GQL API.py``,
+whole flow ETL:9–89).
+
+The reference is an eager pandas script: fetch current API state, read
+the desired state from a file drop, full-outer-diff the two, write
+reconciliation CSVs, and push the delta through per-row mutations. Here
+the same semantics are a composition of this engine's operators:
+
+=====================  =====================================================
+reference step          engine operator
+=====================  =====================================================
+hierarchy level DDL     aggregate.hierarchy_levels + level-phased sink
+                        (ETL:137–175, 283–308)
+location reconcile      join.outer_merge + split_by_provenance, with the
+                        F8 runtime key switch and the self-healing second
+                        pass (ETL:371–574)
+district mapping        outer_merge locations×districts + collect_group_sets
+                        (ETL:526–573)
+user permissions        transform.normalize_email/conditional_update, SO1/2
+                        union-distinct stack, J4/J5 outer merges, equity
+                        cross join minus anti join (ETL:735–912)
+corporate permissions   semi join + cross join + left-anti vs assigned
+                        (ETL:915–967)
+gates                   sinks.gates (V1–V5); every anti-join remainder lands
+                        as a CSV report before the gate fires (ETL:817–827)
+mutations               sinks.MutationSink — foreachPartition batching
+                        replaces the reference's per-row HTTP loop
+                        (ETL:357–366, 461–470, 707–714)
+=====================  =====================================================
+
+Scale notes: every join here keys on names/emails (dimension-sized in
+the reference's domain) — at data-warehouse scale the same DAG holds
+because the engine's outer_merge degrades gracefully to sort-merge with
+AQE skew splitting, the dim sides broadcast, and the mutation sink
+batches per partition. Nothing in this module collects a fact table to
+the driver; the only driver-side values are gate booleans and the F8
+plan switch (one boolean aggregate, ETL:390).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.aggregate import (
+    collect_group_sets,
+    hierarchy_levels,
+)
+from graphql_api_etl_spark.operators.join import (
+    anti,
+    cross,
+    outer_merge,
+    split_by_provenance,
+)
+from graphql_api_etl_spark.operators.transform import (
+    all_equal,
+    conditional_update,
+    normalize_email,
+    zip5,
+)
+from graphql_api_etl_spark.sinks.gates import ValidationError, warn_if_nonempty
+from graphql_api_etl_spark.sinks.mutations import MutationSink
+from graphql_api_etl_spark.sinks.reports import write_csv_report
+
+
+@dataclass
+class PipelineContext:
+    """Everything the sync needs: current-state sources, the file drop,
+    mutation sinks, and a report directory.
+
+    ``fetch_*`` are callables so the pipeline can re-fetch after loads
+    (the reference's self-healing second merge pass, ETL:474–506); in
+    production they wrap sources.graphql.fetch_connection, in tests
+    they read mock state.
+    """
+
+    alignments: DataFrame  # normalized Excel sheet (S1; columns per FIXTURES.md A1)
+    corporate_managers: DataFrame  # single-column CSV (S2)
+    fetch_hierarchy_groups: Callable[[], DataFrame]  # flattened connection (S3+S4)
+    fetch_locations: Callable[[], DataFrame]
+    fetch_users: Callable[[], DataFrame]
+    location_sink: MutationSink
+    assignment_sink: MutationSink
+    user_sink: MutationSink
+    permission_sink: MutationSink
+    report_dir: str
+    backfill_supervisors: tuple[str, ...] = ()  # P5 allowlist (ETL:759–763)
+
+
+@dataclass
+class SyncReport:
+    """Outcome summary: per-phase row counts + report paths (the
+    reference's print statements and CSV drops, made queryable)."""
+
+    counts: dict[str, int] = field(default_factory=dict)
+    reports: dict[str, str] = field(default_factory=dict)
+
+    def note(self, name: str, n: int) -> None:
+        self.counts[name] = n
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 — hierarchy groups (ETL:137–175, 276–322)
+# ---------------------------------------------------------------------------
+
+
+def build_hierarchy(alignments: DataFrame) -> DataFrame:
+    """Region→District tree with parent-before-child levels (A4,
+    ETL:283–308): one row per region (level 1), one per (region,
+    district) (level 2). Ordering is by level-phased writes, not row
+    order."""
+    return hierarchy_levels(
+        alignments.select(
+            F.col("region_supervisor").alias("region"), F.col("district").alias("district")
+        ),
+        ["region", "district"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — location reconciliation (ETL:371–574)
+# ---------------------------------------------------------------------------
+
+
+def choose_location_key(api_locations: DataFrame) -> str:
+    """F8 plan switch (ETL:390, 481): if every API remoteId is empty,
+    join on location name; else on Unit↔remoteId. One tiny boolean
+    aggregate drives which plan gets BUILT — deliberately driver-side."""
+    if api_locations.isEmpty():
+        return "name"
+    empty_remote = all_equal(
+        api_locations, F.coalesce(F.col("node_remoteId"), F.lit("")) == ""
+    )
+    return "name" if empty_remote else "remote_id"
+
+
+def reconcile_locations(
+    alignments: DataFrame, api_locations: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One full-outer pass (J1/J2 + splits, ETL:391–425): returns
+    (merged, matched, missing_in_api, deprecated_in_api)."""
+    lhs = alignments.withColumn("unit_str", F.col("unit").cast("bigint").cast("string"))
+    if key == "name":
+        merged = outer_merge(lhs, api_locations, left_on="location", right_on="node_name")
+    else:
+        merged = outer_merge(lhs, api_locations, left_on="unit_str", right_on="node_remoteId")
+    both, left_only, right_only = split_by_provenance(merged)
+    return merged, both, left_only, right_only
+
+
+def missing_location_payload(missing: DataFrame) -> DataFrame:
+    """Projection/cast battery for locationAdd (P1/P2/X3/X5/X7,
+    ETL:438–457): normalized address fields + zip5 + unit-as-remoteId."""
+    return missing.select(
+        F.col("location").alias("name"),
+        F.coalesce(F.col("address"), F.lit("")).alias("streetAddress"),
+        F.coalesce(F.col("city"), F.lit("")).alias("locality"),
+        F.coalesce(F.col("state"), F.lit("")).alias("province"),
+        F.coalesce(zip5(F.col("zip_code")), F.lit("")).alias("postalCode"),
+        F.col("unit").cast("bigint").cast("string").alias("remoteId"),
+    ).na.fill("")
+
+
+def map_locations_to_hierarchies(ctx: PipelineContext, report: SyncReport) -> DataFrame:
+    """The relational core (§3.3): reconcile, load the anti-join
+    remainder, re-fetch, reconcile again, then map matched locations to
+    their districts and collect location sets per district (A1)."""
+    api_locations = ctx.fetch_locations()
+    key = choose_location_key(api_locations)
+
+    _, both, missing, deprecated = reconcile_locations(ctx.alignments, api_locations, key)
+    report.note("locations_matched_pass1", both.count())
+
+    # Load missing locations (ETL:430–470), then self-heal: re-fetch and re-merge.
+    n_missing = missing.count()
+    report.note("locations_missing_pass1", n_missing)
+    if n_missing:
+        path = f"{ctx.report_dir}/new_locations_not_in_api"
+        report.reports["missing_locations"] = write_csv_report(
+            missing_location_payload(missing), path
+        )
+        ctx.location_sink.write(missing_location_payload(missing)).count()
+        api_locations = ctx.fetch_locations()
+
+    merged, both, still_missing, deprecated = reconcile_locations(
+        ctx.alignments, api_locations, key
+    )
+    # V3 residual warning + V5 deprecated-locations CSV (ETL:508–524)
+    if warn_if_nonempty(
+        still_missing.select("location", "unit"),
+        "locations_still_unloaded",
+        f"{ctx.report_dir}/locations_still_unloaded",
+    ):
+        report.reports["still_unloaded"] = f"{ctx.report_dir}/locations_still_unloaded"
+    if warn_if_nonempty(
+        deprecated.select("node_id", "node_name"),
+        "api_locations_not_in_file",
+        f"{ctx.report_dir}/api_locations_not_in_file",
+    ):
+        report.reports["deprecated_locations"] = f"{ctx.report_dir}/api_locations_not_in_file"
+    report.note("locations_matched_pass2", both.count())
+
+    # Districts = non-top hierarchy groups (F3+P1/P2, ETL:526–530);
+    # J3 outer merge + split (ETL:531–550); A1 collect (ETL:563–573).
+    groups = ctx.fetch_hierarchy_groups()
+    districts = groups.filter(~F.col("node_isTop")).select(
+        F.col("node_id").alias("district_group_id"),
+        F.col("node_name").alias("district_name"),
+    )
+    with_district = outer_merge(
+        both.select(
+            F.col("district").alias("current_district"), F.col("node_id").alias("location_id")
+        ),
+        districts,
+        left_on="current_district",
+        right_on="district_name",
+    )
+    matched, _, outdated = split_by_provenance(with_district)
+    if warn_if_nonempty(
+        outdated.select("district_group_id", "district_name"),
+        "outdated_districts",
+        f"{ctx.report_dir}/outdated_districts",
+    ):
+        report.reports["outdated_districts"] = f"{ctx.report_dir}/outdated_districts"
+
+    assignments = collect_group_sets(
+        matched, "district_group_id", "location_id", out_col="location_ids"
+    )
+    report.note("districts_with_locations", assignments.count())
+    return assignments
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — user permissions (ETL:735–912)
+# ---------------------------------------------------------------------------
+
+
+def build_user_permission_frame(ctx: PipelineContext, report: SyncReport) -> DataFrame:
+    """(hierarchy_name, email, role) long table → API ids → equity
+    cross-join expansion (J6) minus equity rows from the normal path
+    (J9) → (user_id, group_id) pairs."""
+    al = ctx.alignments
+
+    # X1/X2 normalization (ETL:754–756) + P5 backfill for allowlisted
+    # supervisors whose SUPERVISOR Email is null (ETL:759–771).
+    al = al.withColumn("dm_email", normalize_email("dm_email")).withColumn(
+        "supervisor_email", normalize_email("supervisor_email")
+    )
+    if ctx.backfill_supervisors:
+        al = conditional_update(
+            al,
+            "supervisor_email",
+            F.col("supervisor_email").isNull()
+            & F.col("region_supervisor").isin(*ctx.backfill_supervisors),
+            F.col("dm_email"),
+        )
+
+    # SO1/SO2: stack region-level (supervisor) and district-level (DM)
+    # grants into one long frame (ETL:775–801).
+    region_rows = al.select(
+        F.col("region_supervisor").alias("hierarchy_name"),
+        F.col("supervisor_email").alias("email"),
+        F.lit("Region").alias("type_hierarchy"),
+        F.col("franchise_or_equity"),
+    )
+    district_rows = al.select(
+        F.col("district").alias("hierarchy_name"),
+        F.col("dm_email").alias("email"),
+        F.lit("District").alias("type_hierarchy"),
+        F.col("franchise_or_equity"),
+    )
+    users_long = region_rows.unionByName(district_rows).na.drop(subset=["email"]).distinct()
+
+    # J4: file users × API users on normalized email (ETL:805–811).
+    api_users = ctx.fetch_users().withColumn("node_email", normalize_email("node_email"))
+    m = outer_merge(users_long, api_users, left_on="email", right_on="node_email")
+    matched, unmatched_file, unmatched_api = split_by_provenance(m)
+
+    # V4 hard gate: every file user must exist in the API (ETL:817–827).
+    n_unmatched = unmatched_file.count()
+    if n_unmatched:
+        path = f"{ctx.report_dir}/unmatched_file_users"
+        write_csv_report(unmatched_file.select("hierarchy_name", "email"), path)
+        report.reports["unmatched_file_users"] = path
+        raise ValidationError(f"unmatched_file_users: {n_unmatched} (evidence: {path})")
+    if warn_if_nonempty(
+        unmatched_api.select("node_id", "node_email"),
+        "unmatched_api_users",
+        f"{ctx.report_dir}/unmatched_api_users",
+    ):
+        report.reports["unmatched_api_users"] = f"{ctx.report_dir}/unmatched_api_users"
+
+    # J5: attach hierarchy-group ids by name (ETL:845–855).
+    groups = ctx.fetch_hierarchy_groups().select(
+        F.col("node_id").alias("group_id"),
+        F.col("node_name").alias("group_name"),
+        F.col("node_isTop").alias("group_is_top"),
+    )
+    hm = outer_merge(
+        matched.select("hierarchy_name", "type_hierarchy", "franchise_or_equity", "node_id"),
+        groups,
+        left_on="hierarchy_name",
+        right_on="group_name",
+    )
+    assigned, _, userless = split_by_provenance(hm)
+    if warn_if_nonempty(
+        userless.select("group_id", "group_name"),
+        "hierarchies_without_users",
+        f"{ctx.report_dir}/hierarchies_without_users",
+    ):
+        report.reports["hierarchies_without_users"] = f"{ctx.report_dir}/hierarchies_without_users"
+
+    pairs = assigned.select(
+        F.col("node_id").alias("user_id"),
+        F.col("group_id"),
+        "type_hierarchy",
+        "franchise_or_equity",
+    ).distinct()
+
+    # Equity expansion (ETL:877–903): equity users get EVERY equity
+    # region group (J6 cross join); the normal path excludes rows the
+    # equity predicate already covers (J9 — anti by defining predicate).
+    is_equity_region = (F.col("type_hierarchy") == "Region") & (
+        F.col("franchise_or_equity") == "Equity"
+    )
+    equity_rows = pairs.filter(is_equity_region)
+    equity_users = equity_rows.select("user_id").distinct()
+    equity_groups = equity_rows.select("group_id").distinct()
+    equity_pairs = cross(equity_users, equity_groups)
+    normal_pairs = pairs.filter(~is_equity_region).select("user_id", "group_id")
+
+    out = equity_pairs.unionByName(normal_pairs).distinct()
+    report.note("permission_pairs", out.count())
+    report.note("equity_pairs", equity_pairs.count())
+    return out
+
+
+def corporate_permission_pairs(
+    ctx: PipelineContext, assigned_pairs: DataFrame, report: SyncReport
+) -> DataFrame:
+    """Corporate managers × top-level groups (J7, ETL:948–955) minus
+    already-assigned (J8, ETL:957–960); unknown corporate emails are
+    simply absent from the semi join (F4, ETL:943–945)."""
+    corp = ctx.corporate_managers.select(
+        normalize_email(F.col(ctx.corporate_managers.columns[0])).alias("email")
+    ).distinct()
+    api_users = ctx.fetch_users().withColumn("node_email", normalize_email("node_email"))
+    corp_users = (
+        api_users.join(corp, api_users.node_email == corp.email, "left_semi")
+        .select(F.col("node_id").alias("user_id"))
+        .distinct()
+    )
+    top_groups = (
+        ctx.fetch_hierarchy_groups()
+        .filter(F.col("node_isTop"))
+        .select(F.col("node_id").alias("group_id"))
+        .distinct()
+    )
+    pairs = cross(corp_users, top_groups)
+    fresh = anti(pairs, assigned_pairs, on=["user_id", "group_id"])
+    report.note("corporate_pairs_new", fresh.count())
+    return fresh
+
+
+# ---------------------------------------------------------------------------
+# Driver — the §3.1 DAG
+# ---------------------------------------------------------------------------
+
+
+def run_weekly_sync(ctx: PipelineContext) -> SyncReport:
+    """Full pipeline: hierarchy DDL → location mapping → assignments →
+    user permissions → corporate permissions. Mutations flow through
+    batched sinks; each sink returns a status frame whose failure count
+    is recorded (A8, ETL:706–731)."""
+    report = SyncReport()
+
+    # Phase 1: hierarchy levels + groups, parent level before child
+    # (write_level_phased semantics — here one sink call per level).
+    hierarchy = build_hierarchy(ctx.alignments)
+    for level in (1, 2):
+        rows = hierarchy.filter(F.col("level") == level)
+        status = ctx.assignment_sink.write(
+            rows.select("group_name", "parent_name", "level", "is_top")
+        )
+        report.note(f"hierarchy_level{level}_failed", status.filter(~F.col("success")).count())
+    report.note("hierarchy_rows", hierarchy.count())
+
+    # Phase 2: locations → district assignments.
+    assignments = map_locations_to_hierarchies(ctx, report)
+    status = ctx.assignment_sink.write(
+        assignments.select("district_group_id", F.col("location_ids").cast("array<string>"))
+    )
+    report.note("assignment_failures", status.filter(~F.col("success")).count())
+
+    # Phase 3: user + corporate permissions.
+    pairs = build_user_permission_frame(ctx, report)
+    status = ctx.permission_sink.write(pairs)
+    n_failed = status.filter(~F.col("success")).count()
+    report.note("permission_failures", n_failed)
+    if n_failed:
+        write_csv_report(
+            status.filter(~F.col("success")), f"{ctx.report_dir}/failed_permissions"
+        )
+        report.reports["failed_permissions"] = f"{ctx.report_dir}/failed_permissions"
+
+    corp_pairs = corporate_permission_pairs(ctx, pairs, report)
+    status = ctx.permission_sink.write(corp_pairs)
+    report.note("corporate_permission_failures", status.filter(~F.col("success")).count())
+    return report

@@ -53,6 +53,51 @@ class MockMutationClient:
         return out
 
 
+class SpoolMutationClient:
+    """File-spool client for local-mode testing and demos: each batch
+    lands as a JSON-lines file in ``spool_dir``. In local mode the
+    Python workers are separate processes, so an in-memory mock's
+    state mutations never reach the driver — the shared filesystem
+    does, exactly like a real external API shares state."""
+
+    def __init__(self, spool_dir: str, operation_tag: str = "op", fail_when=None):
+        import os
+
+        self.spool_dir = spool_dir
+        self.operation_tag = operation_tag
+        self.fail_when = fail_when
+        os.makedirs(spool_dir, exist_ok=True)
+
+    def post_batch(self, operation: str, records: list[dict]):
+        import os
+        import uuid
+
+        path = os.path.join(self.spool_dir, f"{self.operation_tag}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r, sort_keys=True, default=str) + "\n")
+        out = []
+        for r in records:
+            if self.fail_when is not None and self.fail_when(r):
+                out.append((r, False, "spool failure"))
+            else:
+                out.append((r, True, None))
+        return out
+
+
+def read_spool(spool_dir: str) -> list[dict]:
+    """All records ever posted through :class:`SpoolMutationClient`."""
+    import os
+
+    records: list[dict] = []
+    if not os.path.isdir(spool_dir):
+        return records
+    for fname in sorted(os.listdir(spool_dir)):
+        with open(os.path.join(spool_dir, fname)) as f:
+            records.extend(json.loads(line) for line in f if line.strip())
+    return records
+
+
 class MutationSink:
     """``foreachPartition``-batched mutation writer returning a status
     DataFrame.

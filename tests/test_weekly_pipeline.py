@@ -1,0 +1,182 @@
+"""End-to-end test of the reference-parity weekly sync (SURVEY §3.1)
+against the FIXTURES.md §A tables, with a mock mutation sink capturing
+every payload — the golden invariants from FIXTURES.md encoded as
+assertions."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.pipelines import PipelineContext, run_weekly_sync
+from graphql_api_etl_spark.pipelines.weekly_alignments import (
+    build_hierarchy,
+    choose_location_key,
+)
+from graphql_api_etl_spark.sinks.gates import ValidationError
+from graphql_api_etl_spark.sinks.mutations import MockMutationClient, MutationSink
+
+from fixtures import (
+    SpoolClient,
+    alignments_df,
+    api_hierarchy_groups_df,
+    api_locations_df,
+    api_users_df,
+    corporate_managers_df,
+    read_spool,
+)
+
+
+@pytest.fixture()
+def ctx_and_spools(spark, tmp_path):
+    """Pipeline context over file-spooled mock state: loading locations
+    writes to the spool, so the self-healing re-fetch sees them."""
+    loc_spool = str(tmp_path / "spool_loc")
+    perm_spool = str(tmp_path / "spool_perm")
+    assign_spool = str(tmp_path / "spool_assign")
+
+    def fetch_locations():
+        extra = [
+            (f"locNew{i}", r["name"], r["remoteId"])
+            for i, r in enumerate(read_spool(loc_spool))
+        ]
+        return api_locations_df(spark, remote_ids=True, extra=extra)
+
+    ctx = PipelineContext(
+        alignments=alignments_df(spark),
+        corporate_managers=corporate_managers_df(spark),
+        fetch_hierarchy_groups=lambda: api_hierarchy_groups_df(spark),
+        fetch_locations=fetch_locations,
+        fetch_users=lambda: api_users_df(spark),
+        location_sink=MutationSink(lambda: SpoolClient(loc_spool), "locationAdd", batch_size=10),
+        assignment_sink=MutationSink(lambda: SpoolClient(assign_spool), "hierarchyAssign", batch_size=10),
+        user_sink=MutationSink(lambda: MockMutationClient(), "userAdd", batch_size=10),
+        permission_sink=MutationSink(lambda: SpoolClient(perm_spool), "permissionAdd", batch_size=10),
+        report_dir=str(tmp_path / "outs"),
+        backfill_supervisors=("Acme / Ada Lovelace",),
+    )
+    return ctx, {"loc": loc_spool, "perm": perm_spool, "assign": assign_spool}
+
+
+def test_full_sync_end_to_end(ctx_and_spools):
+    ctx, spools = ctx_and_spools
+    report = run_weekly_sync(ctx)
+
+    # Hierarchy: 3 regions + 4 (region, district) rows, levels phased.
+    assert report.counts["hierarchy_rows"] == 7
+    assert report.counts["hierarchy_level1_failed"] == 0
+    assert report.counts["hierarchy_level2_failed"] == 0
+
+    # Locations: remoteId variant chosen (API has remote ids); pass 1
+    # matches Alpha..Delta, Echo+Foxtrot missing then self-healed.
+    assert report.counts["locations_matched_pass1"] == 4
+    assert report.counts["locations_missing_pass1"] == 2
+    assert report.counts["locations_matched_pass2"] == 6
+    loaded = read_spool(spools["loc"])
+    assert sorted(r["name"] for r in loaded) == ["Store Echo", "Store Foxtrot"]
+    # zip5: ZIP+4 split and float-zip truncation (ETL:331-332, 351)
+    by_name = {r["name"]: r for r in loaded}
+    assert by_name["Store Echo"]["postalCode"] == "97701"
+    assert by_name["Store Foxtrot"]["postalCode"] == ""  # junk → NULL → ""
+
+    # Districts: D-West group absent from the API → its locations are
+    # in the outdated/unmatched slice; 3 districts get assignments.
+    assert report.counts["districts_with_locations"] == 3
+
+    # Permissions. Ada's null supervisor_email is backfilled ROW-WISE
+    # from DM Email (reference P5 semantics, ETL:759–771), so her
+    # region grant lands on her DMs {nora, sam}; equity users are
+    # therefore {nora, sam, grace} × equity regions {grp-r0, grp-r1}
+    # = 6 pairs. Normal: alan→grp-r2 + DM grants for districts present
+    # in the API (D-North→nora, D-South→sam, D-East→eve; D-West absent).
+    assert report.counts["equity_pairs"] == 6
+    assert report.counts["permission_pairs"] == 6 + 1 + 3
+    assert report.counts["permission_failures"] == 0
+
+    # Corporate: 2 known corporate users × 3 top groups = 6, none
+    # previously assigned (corp users hold no region grants).
+    assert report.counts["corporate_pairs_new"] == 6
+
+    # Reports written for every anti-join remainder.
+    assert "deprecated_locations" in report.reports  # Store Zombie
+    assert "outdated_districts" in report.reports  # D-West
+    assert "unmatched_api_users" in report.reports  # ghost@acme.com
+
+
+def test_equity_pairs_exact(ctx_and_spools):
+    ctx, spools = ctx_and_spools
+    run_weekly_sync(ctx)
+    pairs = {(r["user_id"], r["group_id"]) for r in read_spool(spools["perm"])}
+    # golden equity block: every equity user (grace directly; nora and
+    # sam via the row-wise backfill of Ada's null email) gets BOTH
+    # equity regions
+    for u in ("u-nora", "u-sam", "u-grace"):
+        for g in ("grp-r0", "grp-r1"):
+            assert (u, g) in pairs
+    # ada has no email anywhere in the file post-backfill → no grants
+    assert not any(u == "u-ada" for u, _ in pairs)
+    # franchise supervisor only their own region
+    assert ("u-alan", "grp-r2") in pairs
+    assert ("u-alan", "grp-r0") not in pairs
+    # corporate managers on every top group
+    for u in ("u-corp1", "u-corp2"):
+        for g in ("grp-r0", "grp-r1", "grp-r2"):
+            assert (u, g) in pairs
+    # straggler API user gets nothing
+    assert not any(u == "u-straggler" for u, _ in pairs)
+
+
+def test_hard_gate_on_unmatched_file_user(spark, tmp_path):
+    """V4 (ETL:817–827): a file email missing from the API aborts the
+    sync after writing the evidence CSV."""
+    client = MockMutationClient()
+    ctx = PipelineContext(
+        alignments=alignments_df(spark),
+        corporate_managers=corporate_managers_df(spark),
+        fetch_hierarchy_groups=lambda: api_hierarchy_groups_df(spark),
+        fetch_locations=lambda: api_locations_df(spark),
+        fetch_users=lambda: api_users_df(spark, drop_emails=("sam@acme.com",)),
+        location_sink=MutationSink(lambda: client, "locationAdd"),
+        assignment_sink=MutationSink(lambda: client, "assign"),
+        user_sink=MutationSink(lambda: client, "userAdd"),
+        permission_sink=MutationSink(lambda: client, "permissionAdd"),
+        report_dir=str(tmp_path / "outs"),
+        backfill_supervisors=("Acme / Ada Lovelace",),
+    )
+    with pytest.raises(ValidationError, match="unmatched_file_users"):
+        run_weekly_sync(ctx)
+    import glob
+
+    assert glob.glob(str(tmp_path / "outs" / "unmatched_file_users" / "part-*.csv"))
+
+
+def test_f8_key_switch(spark):
+    """ETL:390: all-empty remoteIds → name join; else remoteId join."""
+    assert choose_location_key(api_locations_df(spark, remote_ids=False)) == "name"
+    assert choose_location_key(api_locations_df(spark, remote_ids=True)) == "remote_id"
+
+
+def test_name_variant_reconciliation(spark, tmp_path):
+    """The name-keyed J1 variant reaches the same match set when the
+    API carries no remote ids."""
+    from graphql_api_etl_spark.pipelines.weekly_alignments import reconcile_locations
+
+    al = alignments_df(spark)
+    api = api_locations_df(spark, remote_ids=False)
+    _, both, missing, deprecated = reconcile_locations(al, api, "name")
+    assert both.count() == 4
+    assert {r["location"] for r in missing.collect()} == {"Store Echo", "Store Foxtrot"}
+    assert {r["node_name"] for r in deprecated.collect()} == {"Store Zombie"}
+
+
+def test_hierarchy_parent_before_child(spark):
+    h = build_hierarchy(alignments_df(spark)).collect()
+    tops = [r for r in h if r["level"] == 1]
+    kids = [r for r in h if r["level"] == 2]
+    assert len(tops) == 3 and all(r["parent_name"] is None and r["is_top"] for r in tops)
+    assert len(kids) == 4
+    parents = {r["group_name"]: r["parent_name"] for r in kids}
+    assert parents["D-North"] == "Acme / Ada Lovelace"
+    assert parents["D-West"] == "Acme / Alan Turing"
