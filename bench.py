@@ -33,8 +33,10 @@ HEADLINE = [
     "tpch_q5_local_volume",
     "events_tumbling_window",
     "events_sessionize",
+    "events_sliding_window",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_quality_stats",
     "sim_topk_bruteforce",
 ]

@@ -362,3 +362,178 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked NotImplementedError integration point)."""
     media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
     return MM.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the dedup-family vector variant)
+# ---------------------------------------------------------------------------
+
+
+def _emb_cosine_dedup_sql(threshold: float) -> str:
+    planes = [S._hyperplane(p, 64) for p in range(8)]
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(f"{float(c)}" for c in planes[p])
+        + f"]) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(8)
+    )
+    # 4 bands × 2 hyperplane bits (recall ~87% at cos≈0.4; ~99% ≥0.7)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band_idx, (bucket >> {j * 2}) & 3 AS band_key FROM b"
+        for j in range(4)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.vec_id < b.vec_id), "
+        "scored AS (SELECT id_a, id_b, "
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim "
+        "FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) "
+        f"SELECT id_a, id_b, sim FROM scored WHERE sim >= {threshold}"
+    )
+
+
+@_q("dedup_embedding_cosine", _emb_cosine_dedup_sql(0.4))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH banding (4 bands × 2
+    hyperplane bits) prunes the O(n²) pair space, then exact cosine
+    verifies candidates — the vector member of the dedup family. At
+    corpus scale only band-colliding pairs are ever scored; hyperplanes
+    are md5-derived literals shared with the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = S.with_hyperplane_bucket(emb, n_planes=8, dim=64)
+    stacked = None
+    for j in range(4):
+        part = bucketed.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.lit(j).alias("band_idx"),
+            F.shiftright(F.col("lsh_bucket"), j * 2).bitwiseAND(F.lit(3)).alias("band_key"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(F.col("vec_id").alias("id_a"), "band_idx", "band_key")
+    b = stacked.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v")).withColumn(
+        "n", S.norm(F.col("v"))
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", F.round(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+    )
+    return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
+
+
+# ---------------------------------------------------------------------------
+# Lookup-replace and name parsing (reference J10/P6 and X9/U1)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "x_lookup_replace",
+    """
+SELECT c_custkey,
+       CASE n_name WHEN 'GERMANY' THEN 'DE' WHEN 'FRANCE' THEN 'FR'
+                   WHEN 'CHINA' THEN 'CN' ELSE n_name END AS nation_code
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def x_lookup_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-replace semantics (J10/P6: ``Series.replace(dict)``
+    ETL:636–647): mapped value when present, original otherwise, via a
+    broadcast lookup join — no shuffle of the fact side."""
+    from graphql_api_etl_spark.operators.join import lookup_replace
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("nation_code"))
+    mapping = spark.createDataFrame(
+        [("GERMANY", "DE"), ("FRANCE", "FR"), ("CHINA", "CN")], "k string, v string"
+    )
+    return lookup_replace(joined, "nation_code", mapping, "k", "v")
+
+
+@_q(
+    "x_name_parsing",
+    """
+SELECT p_partkey,
+       CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END AS raw_name,
+       CASE WHEN contains(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')
+            THEN string_split_regex(trim(string_split(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')[-1]), '\\s+')[1]
+            ELSE string_split_regex(trim(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END), '\\s+')[1]
+       END AS first_name,
+       CASE WHEN len(string_split_regex(trim(CASE WHEN contains(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')
+                 THEN string_split(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')[-1]
+                 ELSE CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END END), '\\s+')) > 1
+            THEN array_to_string(string_split_regex(trim(CASE WHEN contains(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')
+                 THEN string_split(CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END, '/')[-1]
+                 ELSE CASE WHEN p_size > 25 THEN p_name ELSE concat(p_brand, ' / ', p_name) END END), '\\s+')[2:], ' ')
+            ELSE '' END AS last_name
+FROM part
+""",
+)
+def x_name_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name tokenization (X9/U1, ETL:616–657): take the segment after
+    "/" when present, first token = first name, remaining tokens =
+    last name — as native expressions (the reference used a row
+    ``.apply`` UDF; SURVEY §2.9 policy replaces it)."""
+    from graphql_api_etl_spark.operators.transform import first_last_name
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.when(F.col("p_size") > 25, F.col("p_name")).otherwise(
+        F.concat(F.col("p_brand"), F.lit(" / "), F.col("p_name"))
+    )
+    named = part.select("p_partkey", raw.alias("raw_name"))
+    first, last = first_last_name("raw_name")
+    return named.select(
+        "p_partkey", "raw_name", first.alias("first_name"), last.alias("last_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time window (complements the tumbling variant)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_sliding_window",
+    """
+WITH expanded AS (
+  SELECT e.*, make_timestamp(((epoch_ms(ts) // 1000) // 1800 * 1800 - k * 1800) * 1000000) AS ws
+  FROM events e, unnest([0, 1]) AS t(k)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in
+    two windows. Spark's native window() generates the expansion;
+    the oracle reproduces it with an explicit unnest over slide
+    offsets (epoch-aligned starts, identical to Spark's origin)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
