@@ -1,0 +1,89 @@
+"""Skew-mitigation utilities: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting (on in session.py) handles most sort-merge
+skew at runtime, but two cases still need explicit salting at 100 TB:
+
+1. **Hot-key joins where the build side is small but not broadcastable**
+   — :func:`salted_join` spreads each hot probe key over N salt buckets
+   and replicates the build side N×, so no single task owns a whole hot
+   key. Cost: build side ×N (choose N ≈ hot-key skew factor, not
+   cores).
+2. **Skewed groupBy keys** — :func:`two_phase_agg` pre-aggregates on
+   (key, salt) before the final combine on key, so the map-side partial
+   state for a hot key is split across N reducers first. Only algebraic
+   aggregates (sum/count/min/max) decompose this way; avg is derived
+   sum/count.
+
+Salt assignment is ``monotonically_increasing_id() % n``: deterministic
+within a run, uniform across rows regardless of key values (a
+key-derived salt would re-concentrate the hot key)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt__"
+
+
+def with_salt(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_buckets)))
+
+
+def replicate_for_salt(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Each row duplicated once per salt bucket (the build side of a
+    salted join)."""
+    return df.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_buckets)])))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    n_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (large/skewed) side salted and the right
+    side replicated ×``n_buckets``. Row-for-row equivalent to
+    ``left.join(right, on, how)`` for inner/left joins; the hot key's
+    rows land in ``n_buckets`` different tasks instead of one."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalted = with_salt(left, n_buckets)
+    rreplicated = replicate_for_salt(right, n_buckets)
+    return lsalted.join(rreplicated, keys + [_SALT], how).drop(_SALT)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Salted two-phase aggregation for skewed group keys: partial
+    aggregate on (keys, salt), then final combine on keys. Emits
+    ``sum_<c>``, ``min_<c>``, ``max_<c>`` and (optionally) ``n_rows``."""
+    keys = list(keys)
+    salted = with_salt(df, n_buckets)
+    partial_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    if counts:
+        partial_aggs.append(F.count(F.lit(1)).alias("__n"))
+        final_aggs.append(F.sum("__n").alias("n_rows"))
+    for c in sums:
+        partial_aggs.append(F.sum(c).alias(f"__s_{c}"))
+        final_aggs.append(F.sum(f"__s_{c}").alias(f"sum_{c}"))
+    for c in mins:
+        partial_aggs.append(F.min(c).alias(f"__mn_{c}"))
+        final_aggs.append(F.min(f"__mn_{c}").alias(f"min_{c}"))
+    for c in maxs:
+        partial_aggs.append(F.max(c).alias(f"__mx_{c}"))
+        final_aggs.append(F.max(f"__mx_{c}").alias(f"max_{c}"))
+    if not partial_aggs:
+        raise ValueError("no aggregates requested")
+    partial = salted.groupBy(*keys, _SALT).agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

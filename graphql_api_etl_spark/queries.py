@@ -588,6 +588,182 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter→scalar-agg. Every predicate reaches
+    the parquet scan (range + equality pushdown); zero shuffle beyond
+    the single-row final reduce — at 100 TB this is I/O-bound and
+    row-group statistics prune most of the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.coalesce(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2), F.lit(0.0)).alias(
+            "revenue"
+        )
+    )
+
+
+@_q(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi conjunct
+    (l_shipdate > o_orderdate). Semi joins never duplicate the probe
+    side, so the count is per-order regardless of lineitem fan-out."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice, round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-then-join with HAVING. The heavy groupBy
+    runs FIRST and shrinks lineitem to qualifying orders before any
+    join; the tiny survivor set then broadcasts against orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue top-k. Top-k is
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q16_supplier_variety",
+    """
+SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+GROUP BY p_type
+""",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group — Spark expands to a
+    two-phase partial-distinct aggregate (dedup before the final
+    shuffle), no driver-side set building."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "a_rollup_counts",
+    """
+SELECT coalesce(n_name, '<all>') AS nation,
+       coalesce(c_mktsegment, '<all>') AS segment,
+       count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""",
+)
+def a_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (engine-native; the reference has
+    no grouping sets — SURVEY §2.6). One shuffle computes all three
+    grouping levels; NULL group markers coalesced for the comparison."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # E. Event streams: windows, sessions, JSON props
 # ---------------------------------------------------------------------------
@@ -683,6 +859,121 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 2).alias("avg_k"),
+    )
+
+
+@_q(
+    "events_asof_join",
+    """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       l.event_id AS click_id,
+       r.event_id AS purchase_id,
+       round(r.value, 2) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine-native; Spark has no ASOF JOIN): for each
+    click, the user's latest purchase at-or-before it. Implemented via
+    operators/asof.py's union+ordered-window technique — one shuffle of
+    |L|+|R| on user_id, no range-join pair explosion. The oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["event_id", "value"])
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("purchase_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+    )
+
+
+@_q(
+    "a_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (engine-native;
+    ``percentile`` is sort-based within groups — for sketch-sized
+    state at scale, swap in approx_percentile at a declared error
+    bound, which this exact form is the oracle for)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@_q(
+    "a_pivot_status_priority",
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def a_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine-native): one pass, conditional-count columns per
+    pivot value. Explicit value list keeps it single-stage (Spark's
+    value-discovering pivot adds a distinct pre-pass)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@_q(
+    "events_json_typed",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       count(DISTINCT json_extract_string(props, '$.tag')) AS n_tags
+FROM events GROUP BY event_type
+""",
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON path extraction (S4's flattening applied to a payload
+    column): ``from_json`` with a declared schema — parsed once, both
+    fields from the same parse, columnar downstream."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("tag", T.StringType())]
+    )
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("p.k")), 2).alias("avg_k"),
+        F.countDistinct(F.col("p.tag")).alias("n_tags"),
     )
 
 

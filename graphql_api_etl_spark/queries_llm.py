@@ -370,16 +370,18 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cosine_dedup_sql(threshold: float) -> str:
-    planes = [S._hyperplane(p, 64) for p in range(8)]
+    planes = [S._hyperplane(p, 64) for p in range(16)]
     bucket = " + ".join(
         "CASE WHEN list_dot_product(v, ["
         + ",".join(f"{float(c)}" for c in planes[p])
         + f"]) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for p in range(8)
+        for p in range(16)
     )
-    # 4 bands × 2 hyperplane bits (recall ~87% at cos≈0.4; ~99% ≥0.7)
+    # 4 bands × 4 hyperplane bits: random pairs collide ~6% (1-(15/16)^4)
+    # so ~94% of the O(n²) space is pruned; recall ~95% at cos≥0.9,
+    # ~50% at the 0.4 verification floor (ANN tradeoff, documented).
     bands = " UNION ALL ".join(
-        f"SELECT vec_id, v, {j} AS band_idx, (bucket >> {j * 2}) & 3 AS band_key FROM b"
+        f"SELECT vec_id, v, {j} AS band_idx, (bucket >> {j * 4}) & 15 AS band_key FROM b"
         for j in range(4)
     )
     return (
@@ -398,20 +400,20 @@ def _emb_cosine_dedup_sql(threshold: float) -> str:
 
 @_q("dedup_embedding_cosine", _emb_cosine_dedup_sql(0.4))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH banding (4 bands × 2
-    hyperplane bits) prunes the O(n²) pair space, then exact cosine
-    verifies candidates — the vector member of the dedup family. At
-    corpus scale only band-colliding pairs are ever scored; hyperplanes
-    are md5-derived literals shared with the SQL oracle."""
+    """Embedding-cosine near-dup pairs: sign-LSH banding (4 bands × 4
+    hyperplane bits → ~94% of the O(n²) pair space pruned for random
+    pairs) then exact cosine verification — the vector member of the
+    dedup family. Hyperplanes are md5-derived literals shared with the
+    SQL oracle, so the candidate set matches across engines exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    bucketed = S.with_hyperplane_bucket(emb, n_planes=8, dim=64)
+    bucketed = S.with_hyperplane_bucket(emb, n_planes=16, dim=64)
     stacked = None
     for j in range(4):
         part = bucketed.select(
             "vec_id",
             F.col("embedding").alias("v"),
             F.lit(j).alias("band_idx"),
-            F.shiftright(F.col("lsh_bucket"), j * 2).bitwiseAND(F.lit(3)).alias("band_key"),
+            F.shiftright(F.col("lsh_bucket"), j * 4).bitwiseAND(F.lit(15)).alias("band_key"),
         )
         stacked = part if stacked is None else stacked.unionByName(part)
     a = stacked.select(F.col("vec_id").alias("id_a"), "band_idx", "band_key")

@@ -53,6 +53,12 @@ def get_spark(
         # locally; on a 100 TB cluster the 128m default splits are right.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed (bucketed) tables land outside the repo; in-memory
+        # catalog (no Hive) carries bucket specs within the session.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

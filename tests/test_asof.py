@@ -1,0 +1,73 @@
+"""Unit tests for the as-of join (union + ordered-window technique)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:05"), 1),
+            ("A", _ts("2024-01-01T10:01:30"), 2),
+            ("B", _ts("2024-01-01T10:00:10"), 3),
+            ("C", _ts("2024-01-01T10:00:00"), 4),  # no quotes for C
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 100.0),
+            ("A", _ts("2024-01-01T10:01:00"), 101.0),
+            ("A", _ts("2024-01-01T10:02:00"), 102.0),  # after all trades
+            ("B", _ts("2024-01-01T10:00:10"), 200.0),  # exactly at trade ts
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_latest(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    got = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 200.0, 4: None}
+    assert out.count() == trades.count()  # left-outer semantics
+
+
+def test_asof_tie_uses_right_at_same_ts(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    assert out.filter(F.col("trade_id") == 3).first()["px_right"] == 200.0
+
+
+def test_asof_tolerance(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(
+        trades, quotes, on="ts", by="sym", tolerance=F.expr("INTERVAL 30 SECONDS")
+    )
+    got = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    # trade 2 at 10:01:30 matches quote at 10:01:00 (30s — within);
+    # trade 1 at 10:00:05 matches 10:00:00 (5s); others unchanged
+    assert got == {1: 100.0, 2: 101.0, 3: 200.0, 4: None}
+    tight = asof_join(trades, quotes, on="ts", by="sym", tolerance=F.expr("INTERVAL 3 SECONDS"))
+    got_tight = {r["trade_id"]: r["px_right"] for r in tight.collect()}
+    assert got_tight == {1: None, 2: None, 3: 200.0, 4: None}
+
+
+def test_asof_no_by_key(spark):
+    left = spark.createDataFrame([(10, "l1"), (25, "l2")], "ts int, lv string")
+    right = spark.createDataFrame([(5, "r1"), (20, "r2"), (30, "r3")], "ts int, rv string")
+    out = asof_join(left, right, on="ts")
+    got = {r["lv"]: r["rv_right"] for r in out.collect()}
+    assert got == {"l1": "r1", "l2": "r2"}

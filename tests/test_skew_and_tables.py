@@ -1,0 +1,96 @@
+"""Skew utilities and table-layout sinks: correctness row-for-row, and
+the PLAN effects that justify them (no exchange on bucketed joins,
+partition pruning on partitioned layout)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.skew import salted_join, two_phase_agg
+from graphql_api_etl_spark.plans import executed_plan
+from graphql_api_etl_spark.sinks.tables import (
+    read_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+from graphql_api_etl_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a tail
+    rows = [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)]
+    return spark.createDataFrame(rows, "k int, v int")
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 50)], "k int, name string")
+    plain = skewed.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(skewed, dim, on="k", n_buckets=8).select("k", "v", "name")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_left_outer(spark, skewed):
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = salted_join(skewed, dim, on="k", n_buckets=4, how="left")
+    assert out.count() == skewed.count()
+    assert out.filter(F.col("name").isNull()).count() == 100  # tail keys unmatched
+
+
+def test_two_phase_agg_equals_direct(spark, skewed):
+    direct = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in two_phase_agg(skewed, ["k"], sums=["v"], mins=["v"], maxs=["v"]).collect()
+    }
+    assert direct == salted
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = executed_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "lineitem_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    ob, lb = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def key_exchanges(df):
+            # formatted explain lists Exchange partitioning in an
+            # "Arguments: hashpartitioning(<key>…" detail line
+            p = executed_plan(df)
+            return p.count("hashpartitioning(o_orderkey") + p.count("hashpartitioning(l_orderkey")
+
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderstatus").count()
+        plain = o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderstatus").count()
+        assert key_exchanges(joined) == 0  # co-bucketed: no shuffle for the join
+        assert key_exchanges(plain) == 2  # unbucketed: both sides shuffle
+        n = joined.count()
+        assert n == o.select("o_orderstatus").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
