@@ -34,6 +34,9 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionize",
     "events_sliding_window",
+    "events_asof_join",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

@@ -293,7 +293,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the corpus streams once with zero shuffle; ranking is a
     per-query window. The 100 TB path: only |Q| rows broadcast."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return S.topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64)
 
 
 def _bucketed_sql() -> str:
@@ -324,10 +324,15 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join becomes an equi-join on the bucket key (Σ_b |Q_b|·|C_b|
     scored pairs instead of |Q|·|C|). Hyperplanes are md5-derived and
     embedded as literals in BOTH plans, so buckets match exactly."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings")
-    bucketed = S.with_hyperplane_bucket(emb, n_planes=8, dim=64)
+    bucketed = S.with_hyperplane_bucket(emb, n_planes=8, dim=64).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bucketed.count()  # queries and corpus both read it; compute once
     return S.topk_bucketed(
-        bucketed.filter(F.col("vec_id") < 50), bucketed, bucket_col="lsh_bucket", k=3
+        bucketed.filter(F.col("vec_id") < 50), bucketed, bucket_col="lsh_bucket", k=3, dim=64
     )
 
 
@@ -405,17 +410,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs) then exact cosine verification — the vector member of the
     dedup family. Hyperplanes are md5-derived literals shared with the
     SQL oracle, so the candidate set matches across engines exactly."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings")
-    bucketed = S.with_hyperplane_bucket(emb, n_planes=16, dim=64)
-    stacked = None
-    for j in range(4):
-        part = bucketed.select(
-            "vec_id",
-            F.col("embedding").alias("v"),
-            F.lit(j).alias("band_idx"),
-            F.shiftright(F.col("lsh_bucket"), j * 4).bitwiseAND(F.lit(15)).alias("band_key"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # Materialize buckets once: the band self-join references them on
+    # both sides, and the 16-plane unrolled expression is expensive to
+    # re-analyze/recompute per branch (measured 8× recompute without).
+    bucketed = (
+        S.with_hyperplane_bucket(emb, n_planes=16, dim=64)
+        .select("vec_id", "lsh_bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bucketed.count()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright(F.col("lsh_bucket"), j * 4).bitwiseAND(F.lit(15)).alias("band_key"),
+            )
+            for j in range(4)
+        ]
+    )
+    stacked = bucketed.select("vec_id", F.explode(bands).alias("b")).select(
+        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
     a = stacked.select(F.col("vec_id").alias("id_a"), "band_idx", "band_key")
     b = stacked.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -425,14 +443,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v")).withColumn(
-        "n", S.norm(F.col("v"))
+        "n", S.norm_fixed(F.col("v"), 64)
     )
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     scored = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("sim", F.round(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .withColumn("sim", F.round(S.dot_fixed(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb")), 6))
     )
     return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
 

@@ -138,6 +138,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in STAR_TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {sorted(STAR_TABLES)}")
+    # Pin the session timezone at the data boundary: the driver harness
+    # supplies its own SparkSession, and timestamp RENDERING (date_format,
+    # strftime parity with the DuckDB oracle) is timezone-dependent.
+    # Guarded: an unconditional set() on every load invalidates plan
+    # caching paths and measurably slowed repeated queries.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)

@@ -205,3 +205,21 @@ def test_lang_guess_argmax(spark):
     )
     got = {r["doc_id"]: r["lang_guess"] for r in TX.with_lang_guess(df).collect()}
     assert got == {1: "en", 2: "query_ish"}
+
+
+def test_cosine_topk_arrow_path_matches_native(spark, sf_dir):
+    """The Arrow-vectorized scorer must produce the same neighbors and
+    near-identical similarities as the native fold (float-associativity
+    differences only)."""
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    native = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+              for r in S.topk_bruteforce(q, emb, k=3).collect()}
+    arrow = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+             for r in S.topk_bruteforce(q, emb, k=3, use_arrow=True).collect()}
+    assert native.keys() == arrow.keys()
+    for key in native:
+        assert native[key][0] == arrow[key][0]          # same neighbor
+        assert abs(native[key][1] - arrow[key][1]) < 1e-5  # sims agree
