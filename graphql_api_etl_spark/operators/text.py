@@ -48,6 +48,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs,
+# the language-agnostic core of GPT-2-style pre-tokenizers. Deliberately
+# lookahead-free so Java regex and RE2 (DuckDB) agree.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex pre-tokenization (the \"token counting\" a training-data
+    pipeline budgets with, vs whitespace words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)  # idx=0: whole match (no groups)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def marker_hits(toks: Column, markers: list[str]) -> Column:
     """Number of tokens that are in ``markers`` (duplicates counted)."""
     lits = F.array(*[F.lit(m) for m in markers])

@@ -242,6 +242,32 @@ def _lang_id_sql() -> str:
     )
 
 
+@_q(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_ish_tokens,
+       round(octet_length(encode(text)) / 4.0, 2) AS byte_budget_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (whitespace words, BPE-ish regex
+    pre-tokens, bytes/4 budget heuristic) — the quantities an LLM data
+    pipeline budgets with. Pure map pass, lookahead-free regex so Java
+    and RE2 engines tokenize identically."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        F.round(F.octet_length(F.encode(F.col("text"), "UTF-8")) / 4.0, 2).alias(
+            "byte_budget_tokens"
+        ),
+    )
+
+
 @_q("text_lang_id", _lang_id_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic: per-profile hit counts +

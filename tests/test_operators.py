@@ -223,3 +223,10 @@ def test_cosine_topk_arrow_path_matches_native(spark, sf_dir):
     for key in native:
         assert native[key][0] == arrow[key][0]          # same neighbor
         assert abs(native[key][1] - arrow[key][1]) < 1e-5  # sims agree
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "Hello, world! v2.0 costs $3")], "doc_id bigint, text string")
+    toks = df.select(TX.bpe_ish_tokens("text").alias("t")).first()["t"]
+    assert toks == ["Hello", ",", "world", "!", "v", "2", ".", "0", "costs", "$", "3"]
+    assert df.select(TX.bpe_ish_token_count("text").alias("n")).first()["n"] == 11
