@@ -3,22 +3,30 @@
 ``mapInPandas`` operators.
 
 The Spark-side architecture is real and tested — schemas, partition
-sizing, Arrow batch flow, UDF signatures. The actual media decode is
-STUBBED (this container has no image/audio libraries): pass
-``fake=True`` for a deterministic fake feature extractor, or leave the
-default and get ``NotImplementedError`` at evaluation time, marking
-exactly where a real decoder (PIL/torchaudio/ffmpeg) plugs in.
+sizing, Arrow batch flow, UDF signatures. Decoding has two tiers:
+
+- ``fake=True``: deterministic md5-seeded feature stub (no format
+  assumptions — works on any payload, used by the catalog query);
+- ``fake=False``: a REAL pure-Python header decoder for BMP images and
+  WAV audio (no external libraries): dimensions / duration / bit depth
+  parsed from the container headers, features from pixel / sample
+  statistics. Payloads in any other format raise
+  ``NotImplementedError`` — the marked integration point where a full
+  decoder (PIL/torchaudio/ffmpeg) plugs in.
 
 Scale design: payloads stay in executor memory only one Arrow batch at
-a time (``mapInPandas`` is streaming per-batch); metadata-only queries
-never touch the payload column thanks to parquet column pruning; and
-``repartition`` before heavy decode spreads byte-skew (few huge videos
-per partition) ahead of the CPU-bound stage.
+a time (``mapInPandas`` streams per-batch); metadata-only queries never
+touch the payload column thanks to parquet column pruning; sha256 and
+byte length are computed NATIVELY before the Python stage (only the
+decode itself runs in Python); and ``repartition`` before heavy decode
+spreads byte-skew (few huge videos per partition) ahead of the
+CPU-bound stage.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,14 +48,18 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 8
 
-_FEATURES_FIELDS = [
-    T.StructField("media_id", T.LongType()),
-    T.StructField("media_type", T.StringType()),
-    T.StructField("payload_sha256", T.StringType()),
-    T.StructField("payload_bytes", T.LongType()),
-    T.StructField("features", T.ArrayType(T.DoubleType())),
-]
-FEATURES_SCHEMA = T.StructType(_FEATURES_FIELDS)
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:
@@ -64,6 +76,97 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python codecs (synthesis + header decode) — no external libraries
+# ---------------------------------------------------------------------------
+
+
+def synthesize_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a valid 24-bpp BITMAPINFOHEADER BMP with deterministic
+    pseudo-random pixels (LCG seeded by ``seed``)."""
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    pixel_bytes = row_bytes * height
+    state = (seed * 2654435761 + 1) & 0xFFFFFFFF
+    px = bytearray(pixel_bytes)
+    for i in range(pixel_bytes):
+        state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+        px[i] = (state >> 16) & 0xFF
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + info + bytes(px)
+
+
+def synthesize_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Build a valid PCM16 mono RIFF/WAVE file with deterministic
+    pseudo-random samples."""
+    state = (seed * 2654435761 + 7) & 0xFFFFFFFF
+    samples = bytearray()
+    for _ in range(n_samples):
+        state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+        samples += struct.pack("<h", ((state >> 16) & 0xFFFF) - 32768)
+    data = bytes(samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _chunk_means(buf: bytes, n: int = FEATURE_DIM) -> list[float]:
+    """Mean byte value of ``n`` equal slices, normalized to [0, 1)."""
+    if not buf:
+        return [0.0] * n
+    step = max(1, len(buf) // n)
+    out = []
+    for i in range(n):
+        part = buf[i * step : (i + 1) * step] or buf[-step:]
+        out.append(sum(part) / len(part) / 256.0)
+    return out
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Parse a BITMAPINFOHEADER BMP: (width, height, pixel features)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return width, abs(height), _chunk_means(payload[data_offset:])
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[float]]:
+    """Walk RIFF chunks of a PCM WAV: (duration_ms, sample features)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV payload")
+    pos, byte_rate, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            byte_rate = struct.unpack_from("<I", body, 8)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate:
+        raise NotImplementedError("WAV payload missing fmt chunk")
+    return int(len(data) * 1000 / byte_rate), _chunk_means(data)
+
+
+def _decode_media(payload: bytes) -> tuple[int | None, int | None, int | None, list[float]]:
+    """Dispatch on container magic → (width, height, duration_ms,
+    features). Formats beyond BMP/WAV raise ``NotImplementedError`` —
+    the integration point for a library-backed decoder."""
+    if payload[:2] == b"BM":
+        w, h, feats = decode_bmp(payload)
+        return w, h, None, feats
+    if payload[:4] == b"RIFF":
+        dur, feats = decode_wav(payload)
+        return None, None, dur, feats
+    raise NotImplementedError(
+        "media decode implemented for BMP/WAV headers only; other formats need an "
+        "image/audio library not present in this container (use fake=True for the "
+        "deterministic stub)"
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a media decoder: md5-seeded feature
     vector in [0, 1). Replaces (e.g.) a CNN embedding or mel features."""
@@ -74,31 +177,46 @@ def _fake_decode(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame, fake: bool = False, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract every payload via ``mapInPandas``.
 
-    ``fake=False`` raises ``NotImplementedError`` per batch — the
-    marked integration point for a real decoder. The Arrow batch shape
-    (pdf of payload bytes in, pdf of feature arrays out) is identical
-    either way, so swapping in a real decoder changes no plumbing.
+    sha256 and byte length are computed natively (codegen) BEFORE the
+    Python stage; only the decode itself crosses the Arrow boundary.
+    ``fake=True`` uses the md5 stub on any payload; ``fake=False`` runs
+    the real BMP/WAV header decoder and raises ``NotImplementedError``
+    for other formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio library not present in this "
-                    "container; use fake=True for the deterministic stub"
-                )
             payloads = pdf["payload"]
+            if fake:
+                width = pd.Series([None] * len(pdf), dtype="object")
+                height = width
+                duration = width
+                feats = payloads.map(lambda b: _fake_decode(bytes(b)))
+            else:
+                decoded = payloads.map(lambda b: _decode_media(bytes(b)))
+                width = decoded.map(lambda d: d[0])
+                height = decoded.map(lambda d: d[1])
+                duration = decoded.map(lambda d: d[2])
+                feats = decoded.map(lambda d: d[3])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload_sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "payload_bytes": payloads.map(lambda b: len(bytes(b))).astype("int64"),
-                    "features": payloads.map(lambda b: _fake_decode(bytes(b))),
+                    "payload_sha256": pdf["payload_sha256"],
+                    "payload_bytes": pdf["payload_bytes"],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": duration,
+                    "features": feats,
                 }
             )
 
-    src = media
+    src = media.withColumns(
+        {
+            "payload_sha256": F.lower(F.sha2(F.col("payload"), 256)),
+            "payload_bytes": F.octet_length(F.col("payload")).cast("bigint"),
+        }
+    )
     if batch_hint:
         src = src.repartition(batch_hint)
     return src.mapInPandas(run, FEATURES_SCHEMA)

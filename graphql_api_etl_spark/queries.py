@@ -58,8 +58,9 @@ WITH lhs AS (SELECT * FROM customer WHERE c_acctbal > 0),
 SELECT c_mktsegment, _merge,
        count(*) AS n_rows,
        count(o_orderkey) AS n_orders,
-       coalesce(list_sort(list(DISTINCT o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)),
-                CAST([] AS VARCHAR[])) AS priorities
+       coalesce(array_to_string(list_sort(list(DISTINCT o_orderpriority)
+                                          FILTER (WHERE o_orderpriority IS NOT NULL)), '|'),
+                '') AS priorities
 FROM m
 GROUP BY c_mktsegment, _merge
 """
@@ -82,7 +83,9 @@ def flagship_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("c_mktsegment", "_merge").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderkey").alias("n_orders"),
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        # '|'-joined string, not array<string>: the driver's pandas
+        # canonicalizer cannot sort_values on list cells (round-1 ERR).
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias("priorities"),
     )
 
 
@@ -327,8 +330,9 @@ def a_bool_all_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_collect_set_per_group",
     """
 SELECT n_name,
-       coalesce(list_sort(list(DISTINCT c_mktsegment) FILTER (WHERE c_mktsegment IS NOT NULL)),
-                CAST([] AS VARCHAR[])) AS segments,
+       coalesce(array_to_string(list_sort(list(DISTINCT c_mktsegment)
+                                          FILTER (WHERE c_mktsegment IS NOT NULL)), '|'),
+                '') AS segments,
        count(DISTINCT c_custkey) AS n_customers
 FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -342,7 +346,8 @@ def a_collect_set_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     joined = nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left_outer")
     return joined.groupBy("n_name").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        # string-serialized set (driver canon can't hash list cells)
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
 
@@ -808,13 +813,14 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
-       count(*) AS n_events,
-       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
 FROM numbered
 GROUP BY user_id, session_idx
 """,
@@ -832,11 +838,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, F.lit(1)).otherwise(F.lit(0)),
     )
     numbered = flagged.withColumn(
-        "session_idx", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        "session_idx",
+        # BIGINT pinned on both sides: DuckDB's sum() OVER returns
+        # HUGEINT, which the driver canon renders differently (r01
+        # hash mismatch with matching rows+schema).
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
     )
     return numbered.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).cast("bigint").alias("duration_ms"),
     )
 
 

@@ -389,10 +389,19 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("mm_extract_features", None)  # mapInPandas — not SQL-expressible, rows-only check
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode/feature-extract over binary
-    payloads (deterministic fake decoder — the real decoder is the
-    marked NotImplementedError integration point)."""
+    payloads (deterministic fake decoder here; the real BMP/WAV header
+    decoder is exercised in tests/test_sources_sinks.py). The features
+    array is JSON-serialized at the query boundary — the driver's
+    pandas canonicalizer cannot hash list cells (round-1 ERR)."""
     media = MM.documents_as_media(_t(spark, sf_dir, "documents"))
-    return MM.extract_features(media, fake=True)
+    feats = MM.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_sha256",
+        "payload_bytes",
+        F.to_json(F.col("features")).alias("features_json"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -200,7 +200,53 @@ def test_multimodal_metadata_and_features(spark, sf_dir):
     assert frow["payload_sha256"] == meta.filter(F.col("media_id") == frow["media_id"]).first()["payload_sha256"]
 
 
-def test_multimodal_real_decode_is_marked_stub(spark, sf_dir):
+def test_multimodal_unknown_format_is_marked_stub(spark, sf_dir):
+    # text bytes are neither BMP nor WAV → the non-fake path must raise
+    # at the documented integration point
     media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(1)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(media, fake=False).collect()
+
+
+def _media_df(spark, rows):
+    from graphql_api_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_real_bmp_wav_decode(spark):
+    from graphql_api_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_bmp,
+        decode_wav,
+        synthesize_bmp,
+        synthesize_wav,
+    )
+
+    bmp = synthesize_bmp(17, 9, seed=3)  # odd width exercises row padding
+    wav = synthesize_wav(n_samples=8000 * 2, sample_rate=8000, seed=5)  # 2 s
+
+    # codecs round-trip standalone
+    w, h, feats = decode_bmp(bmp)
+    assert (w, h) == (17, 9) and len(feats) == FEATURE_DIM
+    dur, wfeats = decode_wav(wav)
+    assert dur == 2000 and len(wfeats) == FEATURE_DIM
+    assert all(0.0 <= v < 1.0 for v in feats + wfeats)
+
+    # and end-to-end through the mapInPandas operator (fake=False)
+    media = _media_df(
+        spark,
+        [
+            (1, "image", bmp, None, None, None),
+            (2, "audio", wav, None, None, None),
+        ],
+    )
+    out = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert out[1]["width"] == 17 and out[1]["height"] == 9 and out[1]["duration_ms"] is None
+    assert out[2]["duration_ms"] == 2000 and out[2]["width"] is None
+    assert len(out[1]["features"]) == FEATURE_DIM
+    # native-precomputed sha/len agree with the metadata-only operator
+    meta = {r["media_id"]: r for r in binary_metadata(media).collect()}
+    for mid in (1, 2):
+        assert out[mid]["payload_sha256"] == meta[mid]["payload_sha256"]
+        assert out[mid]["payload_bytes"] == meta[mid]["payload_bytes"]
