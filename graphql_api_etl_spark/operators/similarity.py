@@ -54,20 +54,46 @@ def _left_sum(terms: list[Column]) -> Column:
     return out
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def _sql_name(c: Column | str) -> str | None:
+    """Column name usable inside a generated SQL fragment, or None."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    return None
+
+
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Unrolled dot product for a known dimension: 1-based element_at
     chain, left-associative adds — the SAME sequential summation order
     as the fold/DuckDB's loop (bit-identical results), but fully
-    inside whole-stage codegen instead of interpreted lambdas."""
+    inside whole-stage codegen instead of interpreted lambdas.
+
+    Pass column NAMES (strings) on hot construction paths: the
+    expression is then built as one SQL string → one py4j round trip
+    instead of ~3·dim Column-object calls (plan CONSTRUCTION, not
+    execution, dominates unrolled vector math from Python — measured
+    ~0.17 s of py4j chatter per 64-term plane)."""
+    na, nb = _sql_name(a), _sql_name(b)
+    if na and nb:
+        return F.expr(" + ".join(f"element_at({na}, {i + 1}) * element_at({nb}, {i + 1})" for i in range(dim)))
     return _left_sum([F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)])
 
 
-def norm_fixed(a: Column, dim: int) -> Column:
+def norm_fixed(a: Column | str, dim: int) -> Column:
+    na = _sql_name(a)
+    if na:
+        return F.expr(
+            "sqrt(" + " + ".join(f"element_at({na}, {i + 1}) * element_at({na}, {i + 1})" for i in range(dim)) + ")"
+        )
     return F.sqrt(_left_sum([F.element_at(a, i + 1) * F.element_at(a, i + 1) for i in range(dim)]))
 
 
-def dot_literal(a: Column, coeffs: list[float]) -> Column:
+def dot_literal(a: Column | str, coeffs: list[float]) -> Column:
     """Unrolled dot against a literal coefficient vector (hyperplanes)."""
+    na = _sql_name(a)
+    if na:
+        return F.expr(
+            " + ".join(f"element_at({na}, {i + 1}) * CAST({float(c)} AS DOUBLE)" for i, c in enumerate(coeffs))
+        )
     return _left_sum([F.element_at(a, i + 1) * F.lit(float(c)) for i, c in enumerate(coeffs)])
 
 
@@ -116,7 +142,7 @@ def topk_bruteforce(
         scored = pairs.withColumn("cos", arrow_cosine()(F.col("qv"), F.col("cv")))
     elif dim:
         scored = pairs.withColumn(
-            "cos", dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+            "cos", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
         )
     else:
         scored = pairs.withColumn(
@@ -192,10 +218,18 @@ def with_hyperplane_bucket(
     from graphql_api_etl_spark.operators.dedup import repartition_for_cpu
 
     src = repartition_for_cpu(df).withColumn("__v__", as_double(F.col(vec_col)))
-    v = F.col("__v__")
-    bucket = F.lit(0).cast("bigint")
+    # The whole n_planes×dim unrolled computation is ONE generated SQL
+    # string → one py4j call. Building it Column-by-Column costs
+    # ~0.17 s/plane of Python↔JVM chatter (the JVM-side parse, analyze
+    # and codegen of the same tree take ~0.2 s total).
+    terms = []
     for p in range(n_planes):
-        # unrolled ±1-plane dot: codegen'd, sequential summation order
-        d = dot_literal(v, [float(c) for c in _hyperplane(p, dim)])
-        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
-    return src.withColumn(out_col, bucket).drop("__v__")
+        coeffs = _hyperplane(p, dim)
+        # ±1 coefficients → pure add/sub chain, left-associative in SQL,
+        # same sequential summation order as the fold / DuckDB's loop
+        dot_sql = "".join(
+            (("+" if c > 0 else "-") if i else ("" if c > 0 else "-")) + f"element_at(__v__, {i + 1})"
+            for i, c in enumerate(coeffs)
+        )
+        terms.append(f"CASE WHEN ({dot_sql}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return src.withColumn(out_col, F.expr(" + ".join(terms))).drop("__v__")
