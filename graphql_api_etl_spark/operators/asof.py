@@ -73,14 +73,25 @@ def asof_join(
         else W.orderBy(F.col(on).asc(), F.col(_SIDE).asc())
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
 
+    # Carry the WHOLE right row as one struct: per-column last() would
+    # stitch values from different right rows when a newer right row is
+    # NULL in one payload column (and its tolerance check would use a
+    # timestamp the value didn't come from). A right row's struct is
+    # non-null even when its members are null, so last(struct) always
+    # selects one consistent right row.
+    rstruct = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(F.col(on).alias("__rts__"), *[F.col(p).alias(p) for p in payload]),
+    )
     carried = unioned.select(
         *[c for c in unioned.columns if c not in payload],
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
-        F.last(F.when(F.col(_SIDE) == 0, F.col(on)), ignorenulls=True).over(w).alias("__rts__"),
+        F.last(rstruct, ignorenulls=True).over(w).alias("__r__"),
     )
     out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    match = F.col("__r__")
     if tolerance is not None:
-        stale = F.col("__rts__").isNull() | (F.col(on) - tolerance > F.col("__rts__"))
-        for p in payload:
-            out = out.withColumn(p, F.when(stale, F.lit(None)).otherwise(F.col(p)))
-    return out.drop("__rts__")
+        stale = match.isNull() | (F.col(on) - tolerance > match["__rts__"])
+        match = F.when(stale, F.lit(None)).otherwise(match)
+    for p in payload:
+        out = out.withColumn(p, match[p])
+    return out.drop("__r__")

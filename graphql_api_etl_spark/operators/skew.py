@@ -49,6 +49,13 @@ def salted_join(
     side replicated ×``n_buckets``. Row-for-row equivalent to
     ``left.join(right, on, how)`` for inner/left joins; the hot key's
     rows land in ``n_buckets`` different tasks instead of one."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the right side "
+            "is replicated per salt bucket, so right/full-outer would emit each "
+            "unmatched right row once PER BUCKET"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lsalted = with_salt(left, n_buckets)
     rreplicated = replicate_for_salt(right, n_buckets)

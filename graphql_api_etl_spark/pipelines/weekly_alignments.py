@@ -185,6 +185,11 @@ def map_locations_to_hierarchies(ctx: PipelineContext, report: SyncReport) -> Da
         )
         ctx.location_sink.write(missing_location_payload(missing)).count()
         api_locations = ctx.fetch_locations()
+        # The reference re-evaluates the remoteId-emptiness switch after
+        # the self-healing load (second ``(node_remoteId == '').all()``,
+        # ETL:~481): if the load populated remoteIds, pass 2 joins on
+        # remoteId even though pass 1 joined on name.
+        key = choose_location_key(api_locations)
 
     merged, both, still_missing, deprecated = reconcile_locations(
         ctx.alignments, api_locations, key

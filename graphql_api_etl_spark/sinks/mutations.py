@@ -149,7 +149,17 @@ class MutationSink:
             yield from flush()
 
         status_rdd = df.rdd.mapPartitions(run_partition)
-        return spark.createDataFrame(status_rdd, STATUS_SCHEMA)
+        status = spark.createDataFrame(status_rdd, STATUS_SCHEMA)
+        # Materialize NOW (disk-backed) so the side-effecting partition
+        # function runs exactly once no matter how many actions
+        # downstream consumers run on the status frame — an unpersisted
+        # lazy frame over mapPartitions would re-post every mutation on
+        # each consumer action (e.g. count + CSV report = 2 posts).
+        from pyspark.storagelevel import StorageLevel
+
+        status = status.persist(StorageLevel.MEMORY_AND_DISK)
+        status.count()
+        return status
 
 
 def write_level_phased(sink: MutationSink, hierarchy_df: DataFrame, level_col: str = "level") -> list[DataFrame]:

@@ -40,8 +40,24 @@ try:  # Python DataSource streaming API (Spark 4)
         start: int
         end: int
 
+    def _page_index(fname: str) -> int:
+        stem = fname[len("page-") : -len(".json")]
+        if not stem.isdigit():
+            raise ValueError(
+                f"non-numeric page file name {fname!r}: the checkpointed offset "
+                "indexes pages by their numeric suffix; rename to page-<int>.json"
+            )
+        return int(stem)
+
     def _page_files(directory: str) -> list[str]:
-        return sorted(f for f in os.listdir(directory) if f.startswith("page-") and f.endswith(".json"))
+        # Sort by the NUMERIC page index, not lexicographically:
+        # page-10 sorts before page-2 as a string, which would shift
+        # already-committed offsets when new pages land (duplicated /
+        # dropped pages, breaking exactly-once).
+        return sorted(
+            (f for f in os.listdir(directory) if f.startswith("page-") and f.endswith(".json")),
+            key=_page_index,
+        )
 
     class _ConnStreamReader(DataSourceStreamReader):
         """Offset = number of fully-consumed pages (the cursor chain's

@@ -65,6 +65,34 @@ def test_asof_tolerance(quotes_trades):
     assert got_tight == {1: None, 2: None, 3: 200.0, 4: None}
 
 
+def test_asof_payload_columns_come_from_one_right_row(spark):
+    """A newer right row with NULL in one payload column must NOT have
+    that column back-filled from an older right row (per-column last()
+    would stitch two different rows together)."""
+    left = spark.createDataFrame([("A", 30, 1)], "sym string, ts int, trade_id int")
+    right = spark.createDataFrame(
+        [("A", 10, 100.0, 5.0), ("A", 20, 101.0, None)],
+        "sym string, ts int, px double, sz double",
+    )
+    row = asof_join(left, right, on="ts", by="sym").first()
+    assert row["px_right"] == 101.0
+    assert row["sz_right"] is None  # from the SAME (ts=20) right row
+
+
+def test_asof_tolerance_uses_matched_row_ts(spark):
+    """Tolerance is judged against the timestamp of the right row the
+    payload actually came from — a stale match nulls ALL its columns."""
+    left = spark.createDataFrame([("A", 100, 1)], "sym string, ts int, trade_id int")
+    right = spark.createDataFrame(
+        [("A", 10, 100.0, 5.0), ("A", 95, None, None)],
+        "sym string, ts int, px double, sz double",
+    )
+    # latest right row (ts=95, within 10) is all-NULL payload; the
+    # within-tolerance match must not resurrect ts=10's stale values
+    row = asof_join(left, right, on="ts", by="sym", tolerance=F.lit(10)).first()
+    assert row["px_right"] is None and row["sz_right"] is None
+
+
 def test_asof_no_by_key(spark):
     left = spark.createDataFrame([(10, "l1"), (25, "l2")], "ts int, lv string")
     right = spark.createDataFrame([(5, "r1"), (20, "r2"), (30, "r3")], "ts int, rv string")

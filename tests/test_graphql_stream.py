@@ -12,12 +12,13 @@ from pyspark.sql import functions as F
 from graphql_api_etl_spark.streaming.graphql_stream import register_graphql_stream_source
 
 
-def _write_page(directory, idx: int, node_ids: list[str], has_next=True):
+def _write_page(directory, idx: int, node_ids: list[str], has_next=True, pad=True):
     page = {
         "pageInfo": {"hasNextPage": has_next, "endCursor": f"c{idx}"},
         "edges": [{"cursor": f"e{i}", "node": {"id": nid, "name": f"n-{nid}"}} for i, nid in enumerate(node_ids)],
     }
-    (directory / f"page-{idx:04d}.json").write_text(json.dumps(page))
+    name = f"page-{idx:04d}.json" if pad else f"page-{idx}.json"
+    (directory / name).write_text(json.dumps(page))
 
 
 def _drain(spark, pages_dir, checkpoint, out_dir, before=frozenset()):
@@ -61,6 +62,26 @@ def test_stream_consumes_pages_then_only_new_ones(spark, tmp_path):
     _write_page(pages, 3, ["g4", "g5"], has_next=False)
     got2 = _drain(spark, pages, checkpoint, out, before=got)
     assert got2 == {"g3", "g4", "g5"}
+
+
+def test_stream_unpadded_page_names_keep_committed_offsets(spark, tmp_path):
+    """page-10 sorts lexicographically BEFORE page-2: with unpadded
+    names, committed offsets must still index pages numerically, or
+    newly-landed pages shift already-committed indices (dup/drop)."""
+    register_graphql_stream_source(spark)
+    pages = tmp_path / "pages_unpadded"
+    pages.mkdir()
+    checkpoint = tmp_path / "ckpt_unpadded"
+    out = tmp_path / "out_unpadded"
+
+    for i in range(11):  # page-0 .. page-10, unpadded
+        _write_page(pages, i, [f"u{i}"], pad=False)
+    got = _drain(spark, pages, checkpoint, out)
+    assert got == {f"u{i}" for i in range(11)}
+
+    _write_page(pages, 11, ["u11"], has_next=False, pad=False)
+    got2 = _drain(spark, pages, checkpoint, out, before=got)
+    assert got2 == {"u11"}  # no re-reads, no drops
 
 
 def test_stream_empty_directory_yields_nothing(spark, tmp_path):

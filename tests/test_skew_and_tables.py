@@ -39,6 +39,13 @@ def test_salted_join_left_outer(spark, skewed):
     assert out.filter(F.col("name").isNull()).count() == 100  # tail keys unmatched
 
 
+def test_salted_join_rejects_right_and_full(spark, skewed):
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(skewed, dim, on="k", how=how)
+
+
 def test_two_phase_agg_equals_direct(spark, skewed):
     direct = {
         (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])

@@ -167,6 +167,25 @@ def test_mutation_sink_failure_accounting(spark):
         status.unpersist()
 
 
+def test_mutation_sink_posts_exactly_once_across_actions(spark, tmp_path):
+    """Two consumer actions on the returned status frame (count + a
+    report write) must not re-run the side-effecting partition function
+    and re-post every mutation (the spool observes actual posts)."""
+    from graphql_api_etl_spark.sinks.mutations import SpoolMutationClient, read_spool
+
+    spool = str(tmp_path / "spool")
+    df = spark.createDataFrame([(i,) for i in range(20)], "id int")
+    sink = MutationSink(lambda: SpoolMutationClient(spool), "op", batch_size=7)
+    status = sink.write(df.coalesce(1))
+    try:
+        status.count()
+        status.filter(~F.col("success")).count()
+        write_csv_report(status, str(tmp_path / "report"))
+        assert len(read_spool(spool)) == 20  # once per record, not per action
+    finally:
+        status.unpersist()
+
+
 def test_gates(spark, tmp_path):
     empty = spark.createDataFrame([], "x int")
     full = spark.createDataFrame([(1,)], "x int")

@@ -60,6 +60,61 @@ def ctx_and_spools(spark, tmp_path):
     return ctx, {"loc": loc_spool, "perm": perm_spool, "assign": assign_spool}
 
 
+def test_location_key_reevaluated_after_selfheal_refetch(spark, tmp_path):
+    """Reference parity (second ``(node_remoteId == '').all()`` switch,
+    ETL:~481): pass 1 joins on NAME (API has no remoteIds yet); the
+    self-healing load populates remoteIds, so pass 2 must re-choose the
+    remoteId key. A location renamed in the API (name mismatch, unit↔
+    remoteId match) only reconciles in pass 2 if the key was re-chosen."""
+    from graphql_api_etl_spark.pipelines.weekly_alignments import (
+        SyncReport,
+        map_locations_to_hierarchies,
+    )
+
+    loc_spool = str(tmp_path / "spool_loc")
+    calls = {"n": 0}
+
+    def fetch_locations():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return api_locations_df(spark, remote_ids=False)  # pass 1: names only
+        renamed = api_locations_df(spark, remote_ids=True).withColumn(
+            "node_name",
+            F.when(F.col("node_name") == "Store Alpha", "Store Alpha (rebranded)").otherwise(
+                F.col("node_name")
+            ),
+        )
+        extra = spark.createDataFrame(
+            [
+                (f"cN{i}", f"locNew{i}", r["name"], r["remoteId"], "grp-x", False, "D-?")
+                for i, r in enumerate(read_spool(loc_spool))
+            ],
+            renamed.schema,
+        )
+        return renamed.unionByName(extra)
+
+    ctx = PipelineContext(
+        alignments=alignments_df(spark),
+        corporate_managers=corporate_managers_df(spark),
+        fetch_hierarchy_groups=lambda: api_hierarchy_groups_df(spark),
+        fetch_locations=fetch_locations,
+        fetch_users=lambda: api_users_df(spark),
+        location_sink=MutationSink(lambda: SpoolClient(loc_spool), "locationAdd", batch_size=10),
+        assignment_sink=MutationSink(lambda: MockMutationClient(), "hierarchyAssign"),
+        user_sink=MutationSink(lambda: MockMutationClient(), "userAdd"),
+        permission_sink=MutationSink(lambda: MockMutationClient(), "permissionAdd"),
+        report_dir=str(tmp_path / "outs"),
+    )
+    report = SyncReport()
+    map_locations_to_hierarchies(ctx, report)
+    # pass 1 on name: Alpha..Delta match; Echo+Foxtrot loaded
+    assert report.counts["locations_matched_pass1"] == 4
+    assert report.counts["locations_missing_pass1"] == 2
+    # pass 2 re-chose remoteId → the renamed Alpha still reconciles
+    # (6 = Alpha..Delta + the two self-healed); a stale name key → 5
+    assert report.counts["locations_matched_pass2"] == 6
+
+
 def test_full_sync_end_to_end(ctx_and_spools):
     ctx, spools = ctx_and_spools
     report = run_weekly_sync(ctx)
