@@ -931,6 +931,37 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("a_approx_count_distinct", None)  # sketch values differ per engine — rows-only check
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group (rsd 2%): the 100 TB
+    form of ``tpch_q16``'s exact count-distinct — sketch state is
+    O(kB) per group and merges associatively across partitions, vs the
+    exact form's shuffle of every distinct value. The exact twin is the
+    oracle in tests/test_operators.py (relative-error bound asserted);
+    the driver check is rows-only because HLL estimates are
+    engine-specific."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_q("a_approx_percentiles", None)  # t-digest split points differ per engine — rows-only check
+def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group (accuracy 10000): the sketch-sized
+    companion to ``a_percentiles`` — per-group state is a bounded
+    histogram instead of the exact form's full sort, so groups of any
+    cardinality aggregate in one pass. Error bound vs the exact twin
+    asserted in tests/test_operators.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[0].alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[1].alias("ap90"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[2].alias("ap99"),
+    )
+
+
 @_q(
     "a_pivot_status_priority",
     """

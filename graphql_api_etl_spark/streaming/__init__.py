@@ -2,6 +2,7 @@
 incremental variant, windowed/sessionized event aggregation, and
 stateful helpers."""
 
+from graphql_api_etl_spark.streaming.reconcile import IncrementalReconciler
 from graphql_api_etl_spark.streaming.windows import windowed_counts, sessionized
 
-__all__ = ["windowed_counts", "sessionized"]
+__all__ = ["IncrementalReconciler", "windowed_counts", "sessionized"]

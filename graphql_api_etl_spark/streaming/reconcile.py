@@ -1,0 +1,141 @@
+"""Incremental streaming reconciliation — the streaming twin of the
+reference's serial re-fetch pass (ETL:474–506, ``ETL:NNN`` ≡
+``/root/reference/weekly alignments GQL API.py``).
+
+The batch pipeline reconciles by re-fetching EVERYTHING and running one
+full outer merge. Here each micro-batch of newly-landed connection
+pages is outer-merged (via the SAME ``operators.join.outer_merge`` the
+batch pipeline uses) into a versioned keyed state table:
+
+- ``both``       → the batch's (newer) values win — an update;
+- ``left_only``  → existing state persists unchanged;
+- ``right_only`` → a new row inserts.
+
+State version ``v{batch_id}`` is a pure function of (previous state,
+batch). ``foreachBatch`` is at-least-once; a retried batch_id reads
+the version BEFORE it and deterministically rewrites its own version
+directory, so the upsert is idempotent — effectively exactly-once.
+Only `_SUCCESS`-marked versions are ever read, so a crashed partial
+write is invisible.
+
+Scale shape: the per-batch merge is a key-partitioned join of
+|state|+|batch| rows with no driver-side state. For in-place upserts
+swap the versioned parquet state for an ACID table format
+(Delta/Iceberg MERGE INTO) — the logical plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.join import (
+    MERGE_BOTH,
+    MERGE_RIGHT,
+    outer_merge,
+)
+
+
+def _versions(state_dir: str) -> list[int]:
+    """Committed (_SUCCESS-marked) state versions, ascending."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d[1:].isdigit() and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+            out.append(int(d[1:]))
+    return sorted(out)
+
+
+class IncrementalReconciler:
+    """Keyed upsert state maintained by ``foreachBatch`` outer-merges.
+
+    ``key``: merge key column(s) present in every batch.
+    ``state_dir``: versioned parquet state root.
+    ``transform``: optional per-batch DataFrame transform (e.g. parse
+    the connection's ``value`` JSON and flatten) applied before the
+    merge. Batches may repeat a key; the last occurrence in page order
+    wins (within-batch dedup below).
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        key: str | list[str],
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.state_dir = state_dir
+        self.key = [key] if isinstance(key, str) else list(key)
+        self.transform = transform
+
+    # -- state access --------------------------------------------------
+
+    def current_state(self, spark: SparkSession, before: int | None = None) -> DataFrame | None:
+        """Latest committed state (optionally: latest BEFORE a given
+        batch_id — what a retried batch must re-read)."""
+        versions = [v for v in _versions(self.state_dir) if before is None or v < before]
+        if not versions:
+            return None
+        return spark.read.parquet(os.path.join(self.state_dir, f"v{versions[-1]}"))
+
+    # -- the foreachBatch hook -----------------------------------------
+
+    def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if self.transform is not None:
+            batch = self.transform(batch)
+        # within-batch dedup: keep each key's LAST occurrence (pages
+        # arrive in cursor order; a later page's node supersedes)
+        w = W.partitionBy(*self.key).orderBy(F.col("__ord__").desc())
+        batch = (
+            batch.withColumn("__ord__", F.monotonically_increasing_id())
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__ord__", "__rn__")
+        )
+        state = self.current_state(spark, before=batch_id)
+        if state is None:
+            merged = batch
+        else:
+            m = outer_merge(state, batch, on=self.key, lsuffix="_state", rsuffix="_new")
+            take_new = F.col("_merge").isin(MERGE_BOTH, MERGE_RIGHT)
+            cols = []
+            for c in batch.columns:
+                suffixed = f"{c}_new" in m.columns
+                if c in self.key:
+                    # outer_merge keeps both sides' keys, suffixed
+                    cols.append(
+                        F.coalesce(F.col(f"{c}_new"), F.col(f"{c}_state")).alias(c)
+                        if suffixed
+                        else F.col(c)
+                    )
+                else:
+                    cols.append(
+                        F.when(take_new, F.col(f"{c}_new")).otherwise(F.col(f"{c}_state")).alias(c)
+                        if suffixed
+                        else F.col(c)
+                    )
+            merged = m.select(*cols)
+        merged.write.mode("overwrite").parquet(os.path.join(self.state_dir, f"v{batch_id}"))
+        # retention: keep this version and its input (the input of a
+        # potential retry of the NEXT batch is THIS version)
+        for v in _versions(self.state_dir):
+            if v < batch_id - 1:
+                shutil.rmtree(os.path.join(self.state_dir, f"v{v}"), ignore_errors=True)
+
+    # -- wiring --------------------------------------------------------
+
+    def attach(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        """Start the reconciliation query on a streaming DataFrame."""
+        writer = (
+            stream.writeStream.foreachBatch(self.upsert_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -230,3 +230,45 @@ def test_bpe_ish_tokens(spark):
     toks = df.select(TX.bpe_ish_tokens("text").alias("t")).first()["t"]
     assert toks == ["Hello", ",", "world", "!", "v", "2", ".", "0", "costs", "$", "3"]
     assert df.select(TX.bpe_ish_token_count("text").alias("n")).first()["n"] == 11
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    """The approx catalog entries' sketch estimates must stay within
+    their declared error of the exact twins (tpch_q16-style exact
+    count-distinct / a_percentiles' exact interpolated percentiles)."""
+    import graphql_api_etl_spark.queries as Q
+
+    approx_cd = {
+        r["o_orderpriority"]: r["approx_custkeys"]
+        for r in Q.QUERIES["a_approx_count_distinct"][0](spark, sf_dir).collect()
+    }
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    exact_cd = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert approx_cd.keys() == exact_cd.keys()
+    for k, exact in exact_cd.items():
+        # rsd=0.02 → 5 sigma margin (plus small-cardinality slack)
+        assert abs(approx_cd[k] - exact) <= max(0.10 * exact, 5)
+
+    approx_p = {
+        r["l_returnflag"]: (r["ap50"], r["ap90"], r["ap99"])
+        for r in Q.QUERIES["a_approx_percentiles"][0](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_p = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k, exacts in exact_p.items():
+        for approx, exact in zip(approx_p[k], exacts):
+            assert abs(approx - exact) / exact < 0.01  # accuracy=10000 → ≲1e-4 rank error

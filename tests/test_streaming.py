@@ -72,3 +72,82 @@ def test_session_windows_stream(spark, events_stream):
         assert by_user == totals
     finally:
         q.stop()
+
+
+def test_incremental_reconcile_equals_batch(spark, tmp_path):
+    """foreachBatch outer-merge upsert (streaming twin of the
+    reference's re-fetch pass): after draining all pages the state
+    equals the batch shadow — every page read at once with
+    last-occurrence-per-key semantics."""
+    import json
+
+    from graphql_api_etl_spark.streaming.graphql_stream import register_graphql_stream_source
+    from graphql_api_etl_spark.streaming.reconcile import IncrementalReconciler
+
+    register_graphql_stream_source(spark)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def page(idx, nodes, has_next=True):
+        (pages / f"page-{idx:04d}.json").write_text(
+            json.dumps(
+                {
+                    "pageInfo": {"hasNextPage": has_next, "endCursor": f"c{idx}"},
+                    "edges": [{"cursor": f"e{i}", "node": n} for i, n in enumerate(nodes)],
+                }
+            )
+        )
+
+    def transform(batch):
+        return batch.select(
+            F.get_json_object("value", "$.id").alias("id"),
+            F.get_json_object("value", "$.name").alias("name"),
+        )
+
+    rec = IncrementalReconciler(state, key="id", transform=transform)
+
+    def drain():
+        stream = (
+            spark.readStream.format("graphql_connection_stream").option("path", str(pages)).load()
+        )
+        q = rec.attach(stream, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    # drain 1: two pages, 'b' repeated across them (page order wins)
+    page(0, [{"id": "a", "name": "A0"}, {"id": "b", "name": "B0"}])
+    page(1, [{"id": "c", "name": "C0"}, {"id": "b", "name": "B1"}])
+    drain()
+    s1 = {r["id"]: r["name"] for r in rec.current_state(spark).collect()}
+    assert s1 == {"a": "A0", "b": "B1", "c": "C0"}
+
+    # drain 2: an update for 'a' and an insert 'd' — incremental merge
+    page(2, [{"id": "a", "name": "A1"}, {"id": "d", "name": "D0"}], has_next=False)
+    drain()
+    s2 = {r["id"]: r["name"] for r in rec.current_state(spark).collect()}
+
+    # batch shadow: all pages at once, last occurrence per key wins
+    batch_nodes = {}
+    for i in range(3):
+        pg = json.loads((pages / f"page-{i:04d}.json").read_text())
+        for e in pg["edges"]:
+            batch_nodes[e["node"]["id"]] = e["node"]["name"]
+    assert s2 == batch_nodes == {"a": "A1", "b": "B1", "c": "C0", "d": "D0"}
+
+
+def test_incremental_reconcile_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried batch_id must re-read
+    the version BEFORE it and rewrite its own version, not re-apply on
+    top of its own output."""
+    from graphql_api_etl_spark.streaming.reconcile import IncrementalReconciler
+
+    rec = IncrementalReconciler(str(tmp_path / "state"), key="id")
+    b0 = spark.createDataFrame([("a", 1)], "id string, v int")
+    b1 = spark.createDataFrame([("a", 2), ("b", 1)], "id string, v int")
+    rec.upsert_batch(b0, 0)
+    rec.upsert_batch(b1, 1)
+    first = sorted(tuple(r) for r in rec.current_state(spark).collect())
+    rec.upsert_batch(b1, 1)  # retry of the SAME batch
+    second = sorted(tuple(r) for r in rec.current_state(spark).collect())
+    assert first == second == [("a", 2), ("b", 1)]
