@@ -555,6 +555,71 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q3_bucketed",
+    """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-06-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over CO-BUCKETED orders⋈lineitem (sinks.tables
+    layout): both facts bucketed 8-way on their orderkey, so the
+    fact-fact join has NO shuffle exchange on either side, and the
+    following aggregate reuses the same partitioning (bucket key is a
+    subset of the grouping key) — the docs/PLANS.md "zero key
+    exchanges" claim as an oracle-checked query instead of a plan
+    assertion. First call per session lays the tables down under the
+    repo-local bucket warehouse; the in-memory catalog forgets between
+    sessions, so every driver round rebuilds from the current parquet."""
+    import os as _os
+
+    from graphql_api_etl_spark.sinks.tables import write_bucketed_table
+
+    wh = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bucket_warehouse")
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '{wh}'")
+    tables = {
+        "orders": ("o_orderkey", ["o_orderkey"]),
+        "lineitem": ("l_orderkey", ["l_orderkey"]),
+    }
+    for base, (key, sort) in tables.items():
+        name = f"graft_buckets.{base}_b_{tag}"
+        if not spark.catalog.tableExists(name):
+            write_bucketed_table(_t(spark, sf_dir, base), name, [key], num_buckets=8, sort_cols=sort)
+    o = spark.table(f"graft_buckets.orders_b_{tag}").filter(
+        F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp")
+    )
+    li = spark.table(f"graft_buckets.lineitem_b_{tag}").filter(
+        F.col("l_shipdate") > F.lit("1995-06-15").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
     "tpch_q5_local_volume",
     """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

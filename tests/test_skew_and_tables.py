@@ -101,3 +101,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_tpch_q3_bucketed_join_and_agg_have_no_key_exchange(spark, sf_dir):
+    """The catalog's co-bucketed Q3: the fact-fact join runs on bucket
+    layout and the aggregate reuses it — zero orderkey hash exchanges
+    in the executed plan (and the rows match the plain Q3)."""
+    import graphql_api_etl_spark.queries as Q
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.QUERIES["tpch_q3_bucketed"][0](spark, sf_dir)
+        plan = executed_plan(df)
+        assert (
+            plan.count("hashpartitioning(o_orderkey") + plan.count("hashpartitioning(l_orderkey")
+            == 0
+        )
+        plain = Q.QUERIES["tpch_q3_shipping_priority"][0](spark, sf_dir)
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
