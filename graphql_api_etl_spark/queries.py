@@ -595,6 +595,12 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for base, (key, sort) in tables.items():
         name = f"graft_buckets.{base}_b_{tag}"
         if not spark.catalog.tableExists(name):
+            # the in-memory catalog forgets between sessions but the
+            # managed location survives on disk — clear it or
+            # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+            import shutil as _shutil
+
+            _shutil.rmtree(_os.path.join(wh, f"{base}_b_{tag}"), ignore_errors=True)
             write_bucketed_table(_t(spark, sf_dir, base), name, [key], num_buckets=8, sort_cols=sort)
     o = spark.table(f"graft_buckets.orders_b_{tag}").filter(
         F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp")
