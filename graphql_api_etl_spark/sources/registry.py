@@ -200,24 +200,60 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None)
 
 
 def read_excel_sheet(spark: SparkSession, path: str, sheet_name: str, schema: T.StructType | None = None) -> DataFrame:
-    """Excel sheet scan (reference S1, ETL:255).
+    """Distributed Excel sheet scan (reference S1, ETL:255).
 
-    Spark has no built-in xlsx reader; workbooks are driver-sized inputs
-    in the reference domain (one retail chain's store list), so read on
-    the driver with pandas and parallelize. For genuinely large sheets
-    the deployment answer is "convert to parquet upstream"; this adapter
-    is gated behind an import-try because openpyxl may be absent.
+    Workbooks load through Spark's ``binaryFile`` source and are parsed
+    ON EXECUTORS by the pure-stdlib zip/XML codec in
+    :mod:`graphql_api_etl_spark.sources.xlsx` — no pandas/openpyxl on
+    the driver path, no driver materialization of sheet data.
+    Parallelism is per workbook (a zip entry isn't splittable), the
+    right unit for "directory of weekly drops"; only the header row of
+    ONE file is read driver-side for schema discovery.
+
+    Cell values surface as strings (column names normalized); pass
+    ``schema`` to cast columns by (normalized) name — the declared-
+    schema convention the CSV source uses.
     """
-    try:
-        import pandas as pd  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pandas required for Excel ingestion") from exc
-    try:
-        pdf = __import__("pandas").read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError("openpyxl not installed; convert xlsx to parquet/csv upstream") from exc
-    sdf = spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
-    return normalize_columns(sdf)
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphql_api_etl_spark.sources.xlsx import parse_xlsx_sheet, sheet_header
+
+    if os.path.isdir(path):
+        matches = sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+    elif any(ch in path for ch in "*?["):
+        matches = sorted(_glob.glob(path))
+    else:
+        matches = [path]
+    if not matches:
+        raise FileNotFoundError(f"no .xlsx files at {path!r}")
+    header = [normalize_column_name(h) for h in sheet_header(matches[0], sheet_name)]
+    out_schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                hdr, rows = parse_xlsx_sheet(bytes(content), sheet_name)
+                cols = [normalize_column_name(h) for h in hdr]
+                if cols != header:
+                    raise ValueError(f"workbook header {cols} != discovered {header}")
+                yield pd.DataFrame(rows, columns=header, dtype=object)
+
+    out = (
+        spark.read.format("binaryFile")
+        .load(matches if len(matches) > 1 else matches[0])
+        .select("content")
+        .mapInPandas(parse, out_schema)
+    )
+    if schema is not None:
+        out = out.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    return out
 
 
 def discover_input_files(directory: str) -> dict[str, str | None]:

@@ -1,0 +1,115 @@
+"""Pure-stdlib xlsx codec + distributed Excel source (reference S1):
+round-trip through the minimal writer, shared-strings parsing against a
+hand-built workbook, and the executor-side multi-file scan."""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphql_api_etl_spark.sources.registry import read_excel_sheet
+from graphql_api_etl_spark.sources.xlsx import (
+    parse_xlsx_sheet,
+    sheet_header,
+    write_xlsx,
+)
+
+HEADER = ["REGION / SUPERVISOR", "Unit #", "Location"]
+ROWS = [
+    ["Acme / Ada Lovelace", 101, "Store Alpha"],
+    ["Acme / Alan Turing", 102.5, "Store <Bravo> & Co"],  # XML escaping
+    [None, 103, None],  # sparse row
+]
+
+
+def test_xlsx_roundtrip_codec(tmp_path):
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, "Alignments", HEADER, ROWS)
+    assert sheet_header(p, "Alignments") == HEADER
+    with open(p, "rb") as f:
+        header, rows = parse_xlsx_sheet(f.read(), "Alignments")
+    assert header == HEADER
+    assert rows == [
+        ["Acme / Ada Lovelace", "101", "Store Alpha"],
+        ["Acme / Alan Turing", "102.5", "Store <Bravo> & Co"],
+        [None, "103", None],
+    ]
+
+
+def test_xlsx_shared_strings_and_cell_refs(tmp_path):
+    """Real-world workbooks (Excel, pandas) use sharedStrings and
+    explicit A1-style cell refs with gaps — hand-build one."""
+    p = tmp_path / "shared.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        # reuse the writer's boilerplate parts
+        from graphql_api_etl_spark.sources import xlsx as X
+
+        zf.writestr(
+            "[Content_Types].xml",
+            X._CONTENT_TYPES.replace(
+                "</Types>",
+                '<Override PartName="/xl/sharedStrings.xml" '
+                'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>',
+            ),
+        )
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WB_RELS)
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><t>name</t></si><si><t>val</t></si>"
+            "<si><r><t>rich </t></r><r><t>text</t></r></si></sst>",  # runs concatenate
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+            # C2 present, B2 skipped entirely (gap), bool + shared string
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2" t="b"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    with open(p, "rb") as f:
+        header, rows = parse_xlsx_sheet(f.read(), "S")
+    assert header == ["name", "val"]
+    assert rows == [["rich text", None]]  # C2 beyond header width → truncated
+
+
+def test_read_excel_sheet_distributed(spark, tmp_path):
+    xdir = tmp_path / "drops"
+    xdir.mkdir()
+    write_xlsx(str(xdir / "week1.xlsx"), "Alignments", HEADER, ROWS[:2])
+    write_xlsx(str(xdir / "week2.xlsx"), "Alignments", HEADER, ROWS[2:])
+
+    df = read_excel_sheet(spark, str(xdir), "Alignments")
+    assert df.columns == ["region_supervisor", "unit", "location"]
+    got = {r["unit"]: r["region_supervisor"] for r in df.collect()}
+    assert got == {
+        "101": "Acme / Ada Lovelace",
+        "102.5": "Acme / Alan Turing",
+        "103": None,
+    }
+
+    # declared schema casts by normalized name (CSV-source convention)
+    schema = T.StructType(
+        [
+            T.StructField("location", T.StringType()),
+            T.StructField("unit", T.DoubleType()),
+        ]
+    )
+    typed = read_excel_sheet(spark, str(xdir / "week1.xlsx"), "Alignments", schema=schema)
+    assert typed.schema["unit"].dataType == T.DoubleType()
+    assert {r["unit"] for r in typed.collect()} == {101.0, 102.5}
+
+    # the parse runs on executors (ArrowEvalPython/mapInPandas), with a
+    # binaryFile scan underneath — not a driver-side pandas read
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert df.filter(F.col("unit") == "101").count() == 1
