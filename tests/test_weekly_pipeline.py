@@ -235,3 +235,34 @@ def test_hierarchy_parent_before_child(spark):
     parents = {r["group_name"]: r["parent_name"] for r in kids}
     assert parents["D-North"] == "Acme / Ada Lovelace"
     assert parents["D-West"] == "Acme / Alan Turing"
+
+
+def test_alignments_from_real_xlsx_drop(spark, tmp_path):
+    """S1 end-to-end: the weekly alignment sheet as an ACTUAL .xlsx
+    (reference-style raw headers), read through the distributed Excel
+    source with a declared schema — equals the canonical alignments
+    frame the rest of the pipeline consumes."""
+    from pyspark.sql import types as T
+
+    from graphql_api_etl_spark.sources.registry import read_excel_sheet
+    from graphql_api_etl_spark.sources.xlsx import write_xlsx
+
+    canonical = alignments_df(spark)
+    raw_headers = [
+        "REGION / SUPERVISOR", "District", "Location", "Unit #", "Address",
+        "City", "State", "Zip Code", "DM", "DM Email", "Supervisor Email",
+        "Franchise or Equity",
+    ]
+    rows = [[r[c] for c in canonical.columns] for r in canonical.collect()]
+    path = str(tmp_path / "Weekly Alignments.xlsx")
+    write_xlsx(path, "Sorted by Store #", raw_headers, rows)
+
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType)
+            for f in canonical.schema.fields
+        ]
+    )
+    got = read_excel_sheet(spark, path, "Sorted by Store #", schema=schema)
+    assert got.columns == canonical.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, canonical.collect()))
