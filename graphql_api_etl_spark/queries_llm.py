@@ -362,6 +362,23 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sim_topk_ivf", None)  # ANN: engine-specific tie/centroid wobble — rows-only check
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF k-means ANN top-k (operators/ivf.py): deterministic-seeded
+    Lloyd's coarse quantizer (only the k×dim centroid matrix is ever
+    collected), Arrow-matmul assignment, nprobe=4 bucket probe, exact
+    within-bucket cosine + WindowGroupLimit top-k. Recall vs the exact
+    brute-force oracle is asserted in tests/test_operators.py
+    (rows-only here: float-mean centroid wobble can flip near-tie
+    assignments across runs, like any ANN index build)."""
+    from graphql_api_etl_spark.operators import ivf as IVF
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = IVF.train_kmeans(emb, k=16, iters=2, dim=64)
+    queries = emb.filter(F.col("vec_id") < 50)
+    return IVF.topk_ivf(queries, emb, centroids, k=3, nprobe=4, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -272,3 +272,40 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
     for k, exacts in exact_p.items():
         for approx, exact in zip(approx_p[k], exacts):
             assert abs(approx - exact) / exact < 0.01  # accuracy=10000 → ≲1e-4 rank error
+
+
+def test_ivf_topk_recall_and_balance(spark, sf_dir):
+    """IVF ANN: trained buckets are balanced, searches return k rows
+    per query, and recall@3 against exact brute force beats the
+    fraction-of-corpus-scanned floor by a wide margin (the quantizer
+    is learning structure, not sampling)."""
+    from graphql_api_etl_spark.operators import ivf as IVF
+
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = IVF.train_kmeans(emb, k=16, iters=2, dim=64)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+
+    sizes = [
+        r["count"]
+        for r in IVF.with_ivf_bucket(emb, cents).groupBy("ivf_bucket").count().collect()
+    ]
+    n = emb.count()
+    assert len(sizes) == 16
+    assert max(sizes) < n * 0.25  # no degenerate mega-bucket
+
+    q = emb.filter(F.col("vec_id") < 50)
+    got = IVF.topk_ivf(q, emb, cents, k=3, nprobe=4, dim=64)
+    rows = got.collect()
+    assert len(rows) == 50 * 3
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_bruteforce(q, emb, k=3, dim=64).collect()
+    }
+    recall = len(ivf_pairs & brute) / len(brute)
+    # nprobe=4 of k=16 scans ~25% of the corpus; measured recall ~0.6
+    # on the near-random test vectors — assert well above the 0.25
+    # scan-fraction floor with slack for centroid float wobble
+    assert recall >= 0.45, recall
