@@ -1,0 +1,68 @@
+"""Hierarchy / graph closure operators: follow parent pointers to
+their terminal ancestor — the deep generalization of the reference's
+two-level region→district hierarchy (A4/K5, ETL:526–573, ``ETL:NNN`` ≡
+``/root/reference/weekly alignments GQL API.py``), where chains are
+arbitrary depth (org trees, category taxonomies, thread ancestry).
+
+Spark has no recursive CTE; the scalable formulation is **pointer
+doubling** (path halving): keep a frontier mapping node → current-
+known-ancestor (+distance) and repeatedly compose it with itself, so a
+depth-d chain resolves in ⌈log₂ d⌉ self-joins instead of d sequential
+joins — at 100 TB the join count, not the join size, is what the
+driver loop controls. Each round is one key-partitioned equi-join;
+frontiers are persisted per round and unpersisted after composition.
+
+The DuckDB oracle is the plain ``WITH RECURSIVE`` ancestor walk, so
+correctness of the doubling trick is hash-checked against the
+textbook formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def closure_roots(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node_id, root_id, depth) for every node with a parent edge:
+    the terminal ancestor reached by following parent pointers, and
+    how many edges away it is. Assumes a forest (≤1 parent per child;
+    cycles would spin — bounded by ``max_rounds`` ≈ depth 2^20).
+    """
+    cur = (
+        edges.select(
+            F.col(child_col).alias("node_id"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("bigint").alias("depth"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_rounds):
+        nxt = cur.select(
+            F.col("node_id").alias("__n__"), F.col("anc").alias("__a__"), F.col("depth").alias("__d__")
+        )
+        # compose the mapping with itself: anc -> anc's current ancestor
+        composed = (
+            cur.join(nxt, cur.anc == nxt["__n__"], "left_outer")
+            .select(
+                "node_id",
+                F.coalesce(F.col("__a__"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("__d__"), F.lit(0))).alias("depth"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # fixpoint: no node advanced this round (its ancestor is terminal)
+        advanced = composed.join(
+            nxt.select(F.col("__n__")), composed.anc == F.col("__n__"), "left_semi"
+        ).isEmpty()
+        cur.unpersist()
+        cur = composed
+        if advanced:
+            break
+    return cur.select("node_id", F.col("anc").alias("root_id"), "depth")

@@ -353,6 +353,51 @@ def a_collect_set_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_hierarchy_closure",
+    """
+WITH RECURSIVE edges AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+         'n' || CAST(c_nationkey AS VARCHAR) AS parent
+  FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+), walk AS (
+  SELECT child, parent, 1 AS depth FROM edges
+  UNION ALL
+  SELECT w.child, e.parent, w.depth + 1
+  FROM walk w JOIN edges e ON w.parent = e.child
+)
+SELECT child AS node_id, parent AS root_id, CAST(depth AS BIGINT) AS depth
+FROM walk
+WHERE parent NOT IN (SELECT child FROM edges)
+""",
+)
+def x_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive parent-chain closure (deep generalization of the
+    reference's two-level hierarchy, A4/K5 ETL:526–573): every node's
+    terminal ancestor + depth over the customer→nation→region forest.
+    Spark has no recursive CTE; operators/graph.closure_roots resolves
+    a depth-d chain in ⌈log₂ d⌉ pointer-doubling self-joins, hash-
+    checked here against DuckDB's textbook WITH RECURSIVE walk."""
+    from graphql_api_etl_spark.operators.graph import closure_roots
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edges = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+        )
+    )
+    return closure_roots(edges)
+
+
+@_q(
     "a_distinct_values",
     "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
 )

@@ -309,3 +309,19 @@ def test_ivf_topk_recall_and_balance(spark, sf_dir):
     # on the near-random test vectors — assert well above the 0.25
     # scan-fraction floor with slack for centroid float wobble
     assert recall >= 0.45, recall
+
+
+def test_closure_roots_deep_chain_and_forest(spark):
+    """Pointer doubling resolves a depth-10 chain (4 rounds, not 10)
+    plus a disjoint 2-level tree, with exact depths."""
+    from graphql_api_etl_spark.operators.graph import closure_roots
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(10)]  # n0→n1→...→n10
+    tree = [("a1", "p"), ("a2", "p"), ("p", "root")]
+    edges = spark.createDataFrame(chain + tree, "child string, parent string")
+    got = {r["node_id"]: (r["root_id"], r["depth"]) for r in closure_roots(edges).collect()}
+    for i in range(10):
+        assert got[f"n{i}"] == ("n10", 10 - i)
+    assert got["a1"] == ("root", 2) and got["a2"] == ("root", 2)
+    assert got["p"] == ("root", 1)
+    assert len(got) == 13
