@@ -150,6 +150,67 @@ def decode_wav(payload: bytes) -> tuple[int, list[float]]:
     return int(len(data) * 1000 / byte_rate), _chunk_means(data)
 
 
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Full 24-bpp pixel decode: (width, height, rows of (r, g, b)),
+    top-to-bottom. Handles the 4-byte row padding and BMP's bottom-up
+    row order (negative height = top-down)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bpp BMPs supported, got {bpp}")
+    stride = (width * 3 + 3) & ~3
+    flip = height > 0
+    h = abs(height)
+    rows = []
+    for y in range(h):
+        src_y = (h - 1 - y) if flip else y
+        base = data_offset + src_y * stride
+        row = []
+        for x in range(width):
+            b, g, r = payload[base + x * 3 : base + x * 3 + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return width, h, rows
+
+
+def thumbnail_gray(payload: bytes, tw: int = 4, th: int = 4) -> list[float]:
+    """Nearest-neighbour grayscale thumbnail, row-major, values in
+    [0, 1) — the 'resize + feature' step of an image pipeline, done on
+    real decoded pixels."""
+    w, h, rows = decode_bmp_pixels(payload)
+    out = []
+    for ty in range(th):
+        sy = min(h - 1, ty * h // th)
+        for tx in range(tw):
+            sx = min(w - 1, tx * w // tw)
+            r, g, b = rows[sy][sx]
+            out.append((r + g + b) / 3.0 / 256.0)
+    return out
+
+
+def synthesize_video(frames: list[bytes]) -> bytes:
+    """'Video' container for the frame-sampling plumbing: concatenated
+    BMP frames (each frame's length is self-describing via the BMP
+    header's file-size field)."""
+    return b"".join(frames)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Walk the concatenated-BMP container using each header's
+    declared file size."""
+    frames, pos = [], 0
+    while pos + 6 <= len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise NotImplementedError("frame boundary is not a BMP header")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
 def _decode_media(payload: bytes) -> tuple[int | None, int | None, int | None, list[float]]:
     """Dispatch on container magic → (width, height, duration_ms,
     features). Formats beyond BMP/WAV raise ``NotImplementedError`` —
@@ -220,6 +281,77 @@ def extract_features(media: DataFrame, fake: bool = False, batch_hint: int | Non
     if batch_hint:
         src = src.repartition(batch_hint)
     return src.mapInPandas(run, FEATURES_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def thumbnail_features(media: DataFrame, tw: int = 4, th: int = 4, batch_hint: int | None = None) -> DataFrame:
+    """Decode + resize every BMP payload to a tw×th grayscale
+    thumbnail via ``mapInPandas`` — the image-pipeline 'decode /
+    resize / featurize' stage on REAL pixels (pure-stdlib codec).
+    ``batch_hint`` repartitions ahead of the CPU-bound stage to spread
+    byte-skew (same pattern as extract_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(bytes)
+            dims = payloads.map(lambda b: decode_bmp(b)[:2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                    "thumb": payloads.map(lambda b: thumbnail_gray(b, tw, th)),
+                }
+            )
+
+    src = media
+    if batch_hint:
+        src = src.repartition(batch_hint)
+    return src.mapInPandas(run, THUMB_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, tw: int = 4, th: int = 4) -> DataFrame:
+    """Frame-sampling over 'video' payloads (concatenated BMP frames):
+    one output row per SAMPLED frame (every ``every_k``-th, always
+    including frame 0) with its thumbnail features. The fan-out happens
+    inside the Arrow batch, so a long video never materializes all its
+    frames on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "thumb": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = split_video_frames(bytes(payload))
+                for idx in range(0, len(frames), every_k):
+                    w, h, _ = decode_bmp(frames[idx])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["thumb"].append(thumbnail_gray(frames[idx], tw, th))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
 
 
 def binary_metadata(media: DataFrame) -> DataFrame:

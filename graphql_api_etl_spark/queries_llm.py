@@ -421,6 +421,68 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("mm_thumbnails", None)  # mapInPandas decode/resize — rows-only check
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode→resize→featurize on REAL pixels: deterministic BMP
+    payloads synthesized per doc on executors (LCG-seeded by doc_id),
+    decoded and downsampled to 4×4 grayscale thumbnails by the
+    pure-stdlib codec. Thumb array JSON-serialized at the boundary."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: MM.synthesize_bmp(8 + int(i) % 5, 6 + int(i) % 3, seed=int(i))
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    feats = MM.thumbnail_features(media, tw=4, th=4)
+    return feats.select(
+        "media_id", "width", "height", F.to_json(F.col("thumb")).alias("thumb_json")
+    )
+
+
+@_q("mm_frame_sample", None)  # mapInPandas frame fan-out — rows-only check
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: per-doc 'videos' of 2-4
+    concatenated BMP frames, every 2nd frame sampled and thumbnailed
+    inside the Arrow batch (fan-out never touches the driver)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: MM.synthesize_video(
+                            [
+                                MM.synthesize_bmp(6, 4, seed=int(i) * 31 + f)
+                                for f in range(2 + int(i) % 3)
+                            ]
+                        )
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    frames = MM.sample_frames(media, every_k=2)
+    return frames.select(
+        "media_id", "frame_idx", "width", "height", F.to_json(F.col("thumb")).alias("thumb_json")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (the dedup-family vector variant)
 # ---------------------------------------------------------------------------

@@ -269,3 +269,33 @@ def test_multimodal_real_bmp_wav_decode(spark):
     for mid in (1, 2):
         assert out[mid]["payload_sha256"] == meta[mid]["payload_sha256"]
         assert out[mid]["payload_bytes"] == meta[mid]["payload_bytes"]
+
+
+def test_multimodal_thumbnail_and_frame_sampling(spark):
+    from graphql_api_etl_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        sample_frames,
+        split_video_frames,
+        synthesize_bmp,
+        synthesize_video,
+        thumbnail_gray,
+        thumbnail_features,
+    )
+
+    bmp = synthesize_bmp(10, 7, seed=9)
+    w, h, rows = decode_bmp_pixels(bmp)
+    assert (w, h) == (10, 7) and len(rows) == 7 and len(rows[0]) == 10
+    thumb = thumbnail_gray(bmp, 4, 4)
+    assert len(thumb) == 16 and all(0.0 <= v < 1.0 for v in thumb)
+
+    media = _media_df(spark, [(1, "image", bmp, None, None, None)])
+    row = thumbnail_features(media).first()
+    assert (row["width"], row["height"]) == (10, 7)
+    assert row["thumb"] == thumb  # operator == standalone codec
+
+    video = synthesize_video([synthesize_bmp(6, 4, seed=f) for f in range(5)])
+    assert len(split_video_frames(video)) == 5
+    vmedia = _media_df(spark, [(2, "video", video, None, None, None)])
+    frames = sample_frames(vmedia, every_k=2).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 2, 4]
+    assert all((r["width"], r["height"]) == (6, 4) for r in frames)
