@@ -967,6 +967,107 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_interval_join",
+    """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS t
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS s,
+                  epoch_ms(ts) + 1800000 AS e
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, CAST(c.t - p.s AS BIGINT) AS lag_ms
+FROM c JOIN p ON c.user_id = p.user_id AND c.t BETWEEN p.s AND p.e
+""",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (engine-native; SURVEY §2.10): clicks
+    within 30 min AFTER each purchase, per user. Spark's naive plan for
+    a range predicate is nested-loop; operators/rangejoin.interval_join
+    buckets time into chunks and equi-joins on (user, chunk) — cost
+    Σ_c |L_c|·|R_c| with plain shuffle machinery. The oracle is the
+    direct BETWEEN join, so the chunking trick is hash-checked."""
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.unix_millis("ts").alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + 1800000).alias("e"),
+    )
+    joined = interval_join(
+        clicks, purchases, ts_col="t", start_col="s", end_col="e", by="user_id", chunk=1800000.0
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", (F.col("t") - F.col("s")).cast("bigint").alias("lag_ms")
+    )
+
+
+@_q(
+    "w_window_suite",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       round(max(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_max
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one ordered pass: row_number, ntile,
+    lag, running sum, and an unordered per-partition max — ONE shuffle
+    on o_custkey feeds every frame (Catalyst reuses the exchange; the
+    unordered max adds a second window node, not a second exchange).
+    Deterministic via the (o_orderdate, o_orderkey) tie-break."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_total"),
+        F.round(F.max("o_totalprice").over(W.partitionBy("o_custkey")), 2).alias("cust_max"),
+    )
+
+
+@_q(
+    "a_cube_counts",
+    """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass with partial aggregation (the Expand operator multiplies rows
+    by grouping-set count BEFORE the shuffle, so the exchange carries
+    |groups|·4, not |input|·4). Subtotal NULLs are labeled so the hash
+    canon can't confuse them with real null values."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@_q(
     "events_json_props",
     """
 SELECT event_type,

@@ -325,3 +325,31 @@ def test_closure_roots_deep_chain_and_forest(spark):
     assert got["a1"] == ("root", 2) and got["a2"] == ("root", 2)
     assert got["p"] == ("root", 1)
     assert len(got) == 13
+
+
+def test_interval_join_matches_naive_and_left_semantics(spark):
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, 5.0), ("u1", 2, 25.0), ("u2", 3, 10.0), ("u1", 4, 99.0)],
+        "k string, lid int, t double",
+    )
+    right = spark.createDataFrame(
+        # intervals spanning chunk boundaries (chunk=10) and overlapping
+        [("u1", 100, 0.0, 6.0), ("u1", 101, 4.0, 30.0), ("u2", 102, 50.0, 60.0)],
+        "k string, rid int, s double, e double",
+    )
+    naive = left.join(right, "k").filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+    chunked = interval_join(left, right, ts_col="t", start_col="s", end_col="e", by="k", chunk=10.0)
+    assert sorted((r["lid"], r["rid"]) for r in chunked.collect()) == sorted(
+        (r["lid"], r["rid"]) for r in naive.collect()
+    )
+    # left mode: unmatched lefts (lid 3, 4) surface exactly once with null right
+    lj = interval_join(left, right, ts_col="t", start_col="s", end_col="e", by="k", chunk=10.0, how="left")
+    rows = lj.collect()
+    assert len(rows) == len(naive.collect()) + 2
+    unmatched = {r["lid"] for r in rows if r["rid"] is None}
+    assert unmatched == {3, 4}
+
+    with pytest.raises(ValueError, match="inner/left"):
+        interval_join(left, right, ts_col="t", start_col="s", end_col="e", how="full")
