@@ -80,3 +80,65 @@ def test_exact_dedup_counts(spark, texts):
     assert sum(r["n_copies"] for r in groups) == len(texts)
     keepers = [r["keeper_id"] for r in groups]
     assert len(keepers) == len(set(keepers))
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # start
+        st.integers(min_value=0, max_value=25),  # length
+    ),
+    min_size=0,
+    max_size=6,
+)
+POINTS = st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=8)
+
+
+@given(points=POINTS, ivals=INTERVALS, chunk=st.sampled_from([3.0, 10.0, 50.0]))
+@_SETTINGS
+def test_interval_join_equals_naive_for_any_chunk(spark, points, ivals, chunk):
+    """Chunked containment join ≡ the naive BETWEEN join for every
+    chunk width (edge cases: empty sides, zero-length intervals,
+    intervals spanning many chunks, duplicate points)."""
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)] or [], "lid int, t double"
+    ) if points else spark.createDataFrame([], "lid int, t double")
+    right = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(ivals)] or [],
+        "rid int, s double, e double",
+    ) if ivals else spark.createDataFrame([], "rid int, s double, e double")
+    naive = left.crossJoin(right).filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+    chunked = interval_join(left, right, ts_col="t", start_col="s", end_col="e", chunk=chunk)
+    assert sorted((r["lid"], r["rid"]) for r in chunked.collect()) == sorted(
+        (r["lid"], r["rid"]) for r in naive.collect()
+    )
+
+
+PARENTS = st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=10)
+
+
+@given(parents=PARENTS)
+@_SETTINGS
+def test_closure_roots_equals_sequential_walk(spark, parents):
+    """Pointer doubling ≡ the obvious one-step-at-a-time walk, on
+    arbitrary forests (child i → parent[i], self-loops dropped)."""
+    from graphql_api_etl_spark.operators.graph import closure_roots
+
+    # child i+10 → parent p (offset avoids accidental cycles: edges
+    # always point from >=10 to <10, and 0..9 have no parents)
+    edges = [(i + 10, p) for i, p in enumerate(parents)]
+    # second tier: child i+20 → i+10 (chains of depth 2)
+    edges += [(i + 20, i + 10) for i in range(len(parents))]
+    df = spark.createDataFrame(
+        [(str(c), str(p)) for c, p in edges], "child string, parent string"
+    )
+    got = {r["node_id"]: (r["root_id"], r["depth"]) for r in closure_roots(df).collect()}
+
+    pmap = {str(c): str(p) for c, p in edges}
+    for c in pmap:
+        node, depth = c, 0
+        while node in pmap:
+            node, depth = pmap[node], depth + 1
+        assert got[c] == (node, depth), (c, got[c], (node, depth))
+    assert len(got) == len(pmap)
