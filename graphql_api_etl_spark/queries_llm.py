@@ -583,6 +583,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
 
 
+@_q(
+    "p_hash_sample",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
+""",
+)
+def p_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via an md5 key hash — the reproducible
+    sampling primitive of a training pipeline (same subset on every
+    engine, every run, any partitioning; unlike rand()/TABLESAMPLE,
+    which are seed- and engine-specific). Map-only, pushdown-friendly;
+    stratify by composing with the strata key in the hashed value."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = D.shingle_hash(F.col("doc_id").cast("string")) % 10
+    return docs.filter(bucket == 0).select("doc_id", "lang", "source")
+
+
+_CURATE_SQL = r"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+q AS (
+  SELECT doc_id, text,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio
+  FROM toks
+),
+keepers AS (
+  SELECT min(doc_id) AS keeper_id
+  FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h, doc_id FROM documents)
+  GROUP BY h
+)
+SELECT q.doc_id, n_tokens, stopword_ratio
+FROM q JOIN keepers ON q.doc_id = keeper_id
+WHERE n_tokens >= 20 AND n_tokens <= 10000 AND stopword_ratio >= 0.01
+"""
+
+
+@_q("curate_documents", _CURATE_SQL)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline every LLM-data run starts with:
+    quality gate (length + stopword density) ∘ exact-dedup keeper
+    filter, in one declarative plan — the dedup keeper set is an
+    aggregate (one shuffle on the content hash, keeper join is a
+    broadcast at dim size), the quality gate stays map-only, and
+    Catalyst pushes the projection into both scans."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = TX.with_quality_score(TX.with_text_stats(docs))
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        gated.join(keepers, "doc_id")
+        .filter(F.col("quality_ok"))
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lookup-replace and name parsing (reference J10/P6 and X9/U1)
 # ---------------------------------------------------------------------------
