@@ -73,45 +73,46 @@ def train_kmeans(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = 4096,
 ) -> list[list[float]]:
-    """Lloyd's on unit-normalized vectors; returns the k×dim centroid
-    matrix (driver-side — O(k·dim), independent of data size)."""
-    from graphql_api_etl_spark.operators.dedup import repartition_for_cpu
+    """Lloyd's on a BOUNDED deterministic sample, driver-side numpy.
 
-    norm_expr = (
-        "sqrt(" + " + ".join(f"element_at(__vd__, {i + 1}) * element_at(__vd__, {i + 1})" for i in range(dim)) + ")"
-    )
-    src = (
-        repartition_for_cpu(df)
-        .withColumn("__vd__", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
-        .withColumn("__n__", F.expr(norm_expr))
-        .select(id_col, "__vd__", "__n__")
-        .persist()
-    )
-    try:
-        seed_rows = (
-            src.withColumn("__h__", F.md5(F.col(id_col).cast("string")))
-            .orderBy("__h__")
-            .limit(k)
-            .select("__vd__", "__n__")
-            .collect()
+    Coarse-quantizer training does not need the full corpus — FAISS
+    trains IVF centroids on a sample by design, and a 100 TB corpus
+    would be sampled exactly like this. The sample is the
+    ``sample_size`` vectors with the smallest md5(id) (deterministic,
+    order/partitioning independent, pushdown-friendly), collected once
+    (≤ sample_size·dim doubles — bounded, data-size independent); the
+    iterations are then pure numpy (ms), replacing one distributed
+    assignment+aggregation round-trip PER ITERATION with zero.
+    Returns the k×dim centroid matrix of unit-normalized means."""
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h__"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__vd__"),
         )
-        centroids = [[x / (r["__n__"] or 1.0) for x in r["__vd__"]] for r in seed_rows]
-        for _ in range(iters):
-            assign = _assign_udf(centroids, nprobe=1)
-            assigned = src.withColumn("__b__", assign(F.col("__vd__"))[0])
-            # native update: mean of normalized components per (bucket, dim)
-            sums = (
-                assigned.select("__b__", F.posexplode(F.expr("transform(__vd__, x -> x / __n__)")))
-                .groupBy("__b__", "pos")
-                .agg(F.avg("col").alias("m"))
-                .collect()
-            )
-            new = {(r["__b__"], r["pos"]): r["m"] for r in sums}
-            centroids = [[new.get((j, i), centroids[j][i]) for i in range(dim)] for j in range(k)]
-        return centroids
-    finally:
-        src.unpersist()
+        .orderBy("__h__")
+        .limit(sample_size)
+        .collect()
+    )
+    V = np.asarray([r["__vd__"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    Vh = V / norms[:, None]
+    # seeds: first k in md5 order (same determinism as the sample)
+    C = Vh[:k].copy()
+    cn = (C * C).sum(axis=1)
+    for _ in range(iters):
+        d = cn[None, :] - 2.0 * (Vh @ C.T)
+        b = np.argmin(d, axis=1)
+        for j in range(k):
+            members = Vh[b == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = (C * C).sum(axis=1)
+    return [list(map(float, c)) for c in C]
 
 
 def with_ivf_bucket(
