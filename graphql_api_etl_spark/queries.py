@@ -491,6 +491,54 @@ def so_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "so_intersect",
+    """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def so_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set-op family SO1–SO4 completeness): customers with
+    both an urgent order and a big-ticket order. Spark plans it as a
+    left-semi over deduped sides — partial-agg dedup before the
+    shuffle, same scale shape as union-distinct."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return urgent.intersect(big)
+
+
+@_q(
+    "text_wordcount",
+    r"""
+WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+counts AS (SELECT tok, count(*) AS n
+           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok)
+SELECT tok, n FROM counts
+ORDER BY n DESC, tok
+LIMIT 50
+""",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus wordcount, top-50: explode normalized
+    tokens → hash-agg → TakeOrderedAndProject (per-partition heaps, no
+    global sort). Deterministic via the (count, token) tie-break.
+    Scale: partial aggregation absorbs token frequency skew before the
+    shuffle; the exchange carries |vocab| partial counts, not tokens."""
+    from graphql_api_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+@_q(
     "v_count_gates",
     """
 SELECT (SELECT count(*) FROM customer) AS n_customer,
