@@ -151,3 +151,41 @@ def test_incremental_reconcile_retry_is_idempotent(spark, tmp_path):
     rec.upsert_batch(b1, 1)  # retry of the SAME batch
     second = sorted(tuple(r) for r in rec.current_state(spark).collect())
     assert first == second == [("a", 2), ("b", 1)]
+
+
+def test_threshold_alerts_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: lifetime per-key running totals emit one
+    alert per crossed threshold multiple, with state carried across
+    micro-batches via the checkpoint (no window bounds the state)."""
+    from graphql_api_etl_spark.streaming.stateful import threshold_alerts
+
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "user_id string, value double"
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            threshold_alerts(stream, threshold=100.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {(r["user_id"], r["crossed"], r["total"]) for r in spark.read.parquet(out_dir).collect()}
+
+    # batch 1: u1 crosses level 1 (120); u2 stays below (50)
+    got1 = drain([("u1", 120.0), ("u2", 50.0)])
+    assert got1 == {("u1", 1, 120.0)}
+
+    # batch 2: u1 +90 -> 210 crosses level 2; u2 +60 -> 110 crosses 1
+    got2 = drain([("u1", 90.0), ("u2", 60.0)])
+    assert got2 == {("u1", 1, 120.0), ("u1", 2, 210.0), ("u2", 1, 110.0)}
+
+    # batch 3: one event crossing TWO levels at once (u2 +250 -> 360)
+    got3 = drain([("u2", 250.0)])
+    assert got3 == got2 | {("u2", 2, 360.0), ("u2", 3, 360.0)}
