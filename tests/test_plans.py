@@ -108,3 +108,26 @@ def test_broadcast_threshold_respected_for_fact_join(spark, sf_dir):
     # at-scale property is covered by j_outer_provenance_counts'
     # full-outer SMJ assertion which no size can convert to broadcast.
     assert "Join" in executed_plan(joined)
+
+
+def test_wordcount_is_partial_topk(spark, sf_dir):
+    plan = executed_plan(_run("text_wordcount", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    assert not has_python_eval(_run("text_wordcount", spark, sf_dir))
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = executed_plan(_run("events_interval_join", spark, sf_dir))
+    # the chunk trick must produce an equi-join, never a pair explosion
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert not has_python_eval(_run("events_interval_join", spark, sf_dir))
+
+
+def test_closure_joins_stay_native(spark, sf_dir):
+    assert not has_python_eval(_run("x_hierarchy_closure", spark, sf_dir))
+
+
+def test_curation_keeper_join_broadcasts(spark, sf_dir):
+    df = _run("curate_documents", spark, sf_dir)
+    assert has_broadcast_join(df)  # keeper set is dim-sized at any SF share
+    assert not has_python_eval(df)
