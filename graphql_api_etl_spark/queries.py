@@ -1339,6 +1339,105 @@ def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_unpivot_measures",
+    """
+SELECT l_returnflag, measure, round(val, 2) AS val
+FROM (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS qty,
+         round(sum(l_extendedprice), 2) AS price,
+         round(sum(l_discount), 2) AS discount
+  FROM lineitem GROUP BY l_returnflag
+) UNPIVOT (val FOR measure IN (qty, price, discount))
+""",
+)
+def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of a_pivot): three aggregate
+    measures melted into (measure, val) rows — Spark's ``unpivot`` is
+    a zero-shuffle Expand over the already-aggregated frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "v").select(
+        "l_returnflag", "measure", F.round("v", 2).alias("val")
+    )
+
+
+@_q(
+    "x_posexplode_tokens",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(unnest(range(len(t))) AS BIGINT) AS pos, unnest(t) AS tok
+FROM toks
+""",
+)
+def x_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode ≡ UNNEST WITH ORDINALITY): token
+    stream with positions — the lateral-view shape every sequence
+    model's data prep needs. Generate node, no shuffle."""
+    from graphql_api_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
+@_q(
+    "events_gapfill",
+    """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+  FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.h, b.v,
+         count(b.v) OVER (PARTITION BY g.user_id ORDER BY g.h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(v, max(v) OVER (PARTITION BY user_id, grp)) AS value_ffill,
+       CAST(v IS NULL AS BOOLEAN) AS was_gap
+FROM joined
+""",
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense hourly grid per user (sequence
+    between each user's min/max hour) left-joined to actual buckets,
+    missing hours forward-filled with the last observation
+    (last(ignorenulls) over the grid order). The grid explode is
+    |users|·span rows but never wider than the final result; the fill
+    is one window over the same partitioning as the join."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spans = b.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(b, ["user_id", "h"], "left_outer")
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)).alias("value_ffill"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@_q(
     "events_json_props",
     """
 SELECT event_type,
