@@ -121,3 +121,35 @@ def test_tpch_q3_bucketed_join_and_agg_have_no_key_exchange(spark, sf_dir):
         assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain.collect()]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from graphql_api_etl_spark.sinks.maintenance import compact_parquet, parquet_file_sizes
+
+    path = str(tmp_path / "fragmented")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(40).write.parquet(path)  # 40 shards of a small table
+    before = parquet_file_sizes(path)
+    assert len(before) == 40
+    n_rows = spark.read.parquet(path).count()
+
+    compact_parquet(spark, path, target_bytes=sum(before))  # fits in ONE file
+    after = parquet_file_sizes(path)
+    assert len(after) == 1
+    assert spark.read.parquet(path).count() == n_rows
+    # out-of-place mode
+    out = compact_parquet(spark, path, target_bytes=1, out_path=str(tmp_path / "resharded"))
+    assert len(parquet_file_sizes(out)) >= 2  # 1-byte target → per-partition files
+
+
+def test_collect_table_stats_one_pass(spark, sf_dir):
+    from graphql_api_etl_spark.sinks.maintenance import collect_table_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    stats = collect_table_stats(o, ["o_orderstatus", "o_custkey"])
+    assert stats["n_rows"] == o.count()
+    assert stats["o_orderstatus_nulls"] == 0
+    exact_status = o.select("o_orderstatus").distinct().count()
+    assert abs(stats["o_orderstatus_ndv"] - exact_status) <= max(1, 0.15 * exact_status)
+    exact_cust = o.select("o_custkey").distinct().count()
+    assert abs(stats["o_custkey_ndv"] - exact_cust) <= 0.15 * exact_cust
