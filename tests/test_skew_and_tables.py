@@ -153,3 +153,36 @@ def test_collect_table_stats_one_pass(spark, sf_dir):
     assert abs(stats["o_orderstatus_ndv"] - exact_status) <= max(1, 0.15 * exact_status)
     exact_cust = o.select("o_custkey").distinct().count()
     assert abs(stats["o_custkey_ndv"] - exact_cust) <= 0.15 * exact_cust
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordering on (custkey, totalprice) must let a min/max-pruning
+    reader skip files for filters on EITHER column; a single-column
+    sort only prunes its own column."""
+    from graphql_api_etl_spark.sinks.zorder import pruning_selectivity, write_zordered
+
+    o = load_table(spark, sf_dir, "orders")
+    z_path = str(tmp_path / "orders_z")
+    write_zordered(spark, o, z_path, ["o_custkey", "o_totalprice"], bits=8, n_files=8)
+    lin_path = str(tmp_path / "orders_lin")
+    o.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey").write.parquet(lin_path)
+
+    # median probes: extremes are pruned by ANY layout (the global max
+    # lives in exactly one file); mid-range values only prune when the
+    # layout actually clusters that column
+    probe_cust = o.agg(F.expr("percentile(o_custkey, 0.5)")).first()[0]
+    probe_price = o.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+
+    # both layouts hold identical rows
+    assert spark.read.parquet(z_path).count() == o.count()
+
+    z_cust = pruning_selectivity(z_path, "o_custkey", probe_cust)
+    z_price = pruning_selectivity(z_path, "o_totalprice", probe_price)
+    lin_cust = pruning_selectivity(lin_path, "o_custkey", probe_cust)
+    lin_price = pruning_selectivity(lin_path, "o_totalprice", probe_price)
+
+    # linear: strong on its sort column, blind on the other
+    assert lin_cust >= 0.8 and lin_price <= 0.2, (lin_cust, lin_price)
+    # z-order: meaningful skipping on BOTH columns
+    assert z_cust >= 0.3, z_cust
+    assert z_price >= 0.3, z_price
