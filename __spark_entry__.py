@@ -22,11 +22,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 catalog entries.  In
+# round 2 the LLM-pipeline family (positions 51-75) fell outside the
+# window, so those queries carried only round-1 evidence.  This priority
+# list rotates them to the front for round 3; entries not listed follow
+# in registration order.  The demoted TPC-H/relational core is stable
+# (green in both r1 and r2) and can sit out a round.
+_PRIORITY = [
+    # never driver-checked, or failed in r1 (mm_extract_features):
+    "mm_extract_features",
+    "mm_thumbnails",
+    "mm_frame_sample",
+    "sim_topk_ivf",
+    "a_approx_count_distinct",
+    "a_approx_percentiles",
+    "p_hash_sample",
+    "curate_documents",
+    # green in r1 only — need a current-round row:
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "text_quality_stats",
+    "text_token_counts",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_binary_metadata",
+    "a_pivot_status_priority",
+    "events_json_typed",
+    "x_lookup_replace",
+    "x_name_parsing",
+    "events_sliding_window",
+    # new in round 3:
+    "l_zorder_readback",
+    "l_compaction_readback",
+    "x_hierarchy_deep_levels",
+    "events_range_join_left",
+    # keep the flagship + highest-risk core inside the window:
+    "flagship_reconcile",
+    "j_outer_provenance_counts",
+    "a_collect_set_per_group",
+    "a_hierarchy_levels",
+    "x_hierarchy_closure",
+    "events_asof_join",
+    "events_interval_join",
+    "w_window_suite",
+    "events_gapfill",
+    "events_funnel",
+    "events_cohort_retention",
+    "a_percentiles",
+]
+
+
+def _ordered() -> list[str]:
+    front = [n for n in _PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    return front + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: QUERIES[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (omitted → rows-only check)."""
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: QUERIES[name][1]
+        for name in _ordered()
+        if QUERIES[name][1] is not None
+    }
