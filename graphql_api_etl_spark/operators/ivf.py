@@ -85,7 +85,9 @@ def train_kmeans(
     (≤ sample_size·dim doubles — bounded, data-size independent); the
     iterations are then pure numpy (ms), replacing one distributed
     assignment+aggregation round-trip PER ITERATION with zero.
-    Returns the k×dim centroid matrix of unit-normalized means."""
+    Returns the k×dim centroid matrix of means over unit-normalized
+    vectors (centroids themselves are NOT re-normalized; assignment
+    uses the full ||c||^2 - 2 v·c argmin, so no renorm is needed)."""
     import numpy as np
 
     rows = (

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _CHUNK = "__chunk__"
+_RID = "__rid__"
 
 
 def interval_join(
@@ -42,15 +43,34 @@ def interval_join(
     by: list[str] | str | None = None,
     chunk: float = 3600.0,
     how: str = "inner",
+    suffix: str = "_right",
 ) -> DataFrame:
     """Join rows to containing intervals (inclusive bounds) via chunked
     equi-join. ``ts/start/end`` are NUMERIC columns (cast timestamps
     with ``unix_timestamp``/``unix_millis`` upstream, which keeps the
     chunk arithmetic engine-portable). ``how`` may be ``inner`` or
-    ``left`` (unmatched left rows surface with null right columns)."""
+    ``left`` (unmatched left rows surface with null right columns).
+    Right non-``by`` columns whose names collide with left columns are
+    renamed with ``suffix`` (same contract as asof_join)."""
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")
     by = [by] if isinstance(by, str) else list(by or [])
+    collisions = {c for c in right.columns if c not in by and c in left.columns}
+    if collisions:
+        right = right.select(
+            *[
+                F.col(c).alias(f"{c}{suffix}") if c in collisions else F.col(c)
+                for c in right.columns
+            ]
+        )
+        if start_col in collisions:
+            start_col = f"{start_col}{suffix}"
+        if end_col in collisions:
+            end_col = f"{end_col}{suffix}"
+    if how == "left":
+        # unique per-row tag so duplicate left rows keep their
+        # multiplicity through the miss branch's groupBy
+        left = left.withColumn(_RID, F.monotonically_increasing_id())
     lc = left.withColumn(_CHUNK, F.floor(F.col(ts_col) / F.lit(chunk)).cast("bigint"))
     rc = right.withColumn(
         _CHUNK,
@@ -76,9 +96,11 @@ def interval_join(
         *[F.when(F.col("__hit__") == 1, F.col(c)).otherwise(F.lit(None)).alias(c) for c in right_cols],
         "__hit__",
     )
-    w_cols = [c for c in left.columns]
+    w_cols = [c for c in left.columns]  # includes _RID → unique per left row
     # a left row may join several chunks' worth of non-matching rows —
     # keep all real hits, and exactly one null row when there are none
+    # (grouping by the unique row id preserves duplicate-left-row
+    # multiplicity that grouping by value columns alone would collapse)
     hits = nulled.filter(F.col("__hit__") == 1).drop("__hit__")
     misses = (
         nulled.groupBy(*w_cols)
@@ -87,4 +109,4 @@ def interval_join(
         .drop("__any__")
         .select(*w_cols, *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols])
     )
-    return hits.unionByName(misses)
+    return hits.unionByName(misses).drop(_RID)

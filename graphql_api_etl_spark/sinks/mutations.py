@@ -108,11 +108,22 @@ class MutationSink:
     shared across partitions.
     """
 
-    def __init__(self, client_factory, operation: str, batch_size: int = 100, max_retries: int = 2):
+    def __init__(
+        self,
+        client_factory,
+        operation: str,
+        batch_size: int = 100,
+        max_retries: int = 2,
+        status_dir: str | None = None,
+    ):
         self.client_factory = client_factory
         self.operation = operation
         self.batch_size = batch_size
         self.max_retries = max_retries
+        # Durable landing zone for the status frame; on a cluster point
+        # this at shared storage (HDFS/S3) so executor loss can never
+        # re-run the side-effecting partitions.
+        self.status_dir = status_dir
 
     def write(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
@@ -150,16 +161,22 @@ class MutationSink:
 
         status_rdd = df.rdd.mapPartitions(run_partition)
         status = spark.createDataFrame(status_rdd, STATUS_SCHEMA)
-        # Materialize NOW (disk-backed) so the side-effecting partition
-        # function runs exactly once no matter how many actions
-        # downstream consumers run on the status frame — an unpersisted
-        # lazy frame over mapPartitions would re-post every mutation on
-        # each consumer action (e.g. count + CSV report = 2 posts).
-        from pyspark.storagelevel import StorageLevel
+        # Materialize the side-effecting lineage exactly once per
+        # ``write()`` call: land the status frame in durable parquet and
+        # return a frame READ FROM STORAGE, whose lineage is a plain
+        # scan — downstream actions, cache eviction, or executor loss
+        # can only re-read the files, never re-run the HTTP partitions.
+        # (persist()+count alone is weaker: a lost executor recomputes
+        # its cached partition from the mapPartitions lineage and
+        # re-posts those mutations.)
+        import tempfile
 
-        status = status.persist(StorageLevel.MEMORY_AND_DISK)
-        status.count()
-        return status
+        # one directory per write() call — a shared status_dir must not
+        # be clobbered by later calls (write_level_phased writes once
+        # per hierarchy level and keeps every status frame)
+        out_dir = tempfile.mkdtemp(prefix="status_", dir=self.status_dir) if self.status_dir else tempfile.mkdtemp(prefix="mutation_status_")
+        status.write.mode("overwrite").parquet(out_dir)
+        return spark.read.schema(STATUS_SCHEMA).parquet(out_dir)
 
 
 def write_level_phased(sink: MutationSink, hierarchy_df: DataFrame, level_col: str = "level") -> list[DataFrame]:

@@ -30,8 +30,13 @@ def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
 def z_value(ranks: list[Column], bits: int) -> Column:
     """Interleave ``bits``-bit ranks, highest bit first — a pure
     shift/or chain that stays inside whole-stage codegen."""
-    z = F.lit(0).cast("bigint")
     n = len(ranks)
+    if bits * n > 63:
+        raise ValueError(
+            f"z_value needs bits*cols <= 63 to stay inside a signed BIGINT; "
+            f"got {bits}*{n}={bits * n} — lower `bits` (e.g. {63 // n}) for {n} columns"
+        )
+    z = F.lit(0).cast("bigint")
     for i in range(bits):  # bit i of each rank (msb..lsb placement)
         for j, r in enumerate(ranks):
             src_bit = bits - 1 - i

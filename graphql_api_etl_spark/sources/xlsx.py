@@ -164,10 +164,10 @@ def write_xlsx(path: str, sheet_name: str, header: list[str], rows: list[list]) 
     def cell_xml(v) -> str:
         if v is None:
             return "<c/>"
+        if isinstance(v, bool):  # before numeric: bool is an int subclass
+            return f'<c t="b"><v>{1 if v else 0}</v></c>'
         s = str(v)
-        if not isinstance(v, (str, bool)) or (isinstance(v, str) and _NUM_RE.match(s)):
-            if isinstance(v, bool):
-                return f'<c t="b"><v>{1 if v else 0}</v></c>'
+        if not isinstance(v, str) or _NUM_RE.match(s):
             return f"<c><v>{_esc(s)}</v></c>"
         return f'<c t="inlineStr"><is><t xml:space="preserve">{_esc(s)}</t></is></c>'
 

@@ -353,3 +353,33 @@ def test_interval_join_matches_naive_and_left_semantics(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         interval_join(left, right, ts_col="t", start_col="s", end_col="e", how="full")
+
+
+def test_interval_join_left_keeps_duplicate_unmatched_rows(spark):
+    # left-join row multiplicity: two IDENTICAL unmatched left rows must
+    # both survive the miss branch (regression: groupBy over left
+    # columns collapsed them to one)
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 99.0), ("u1", 99.0), ("u1", 5.0)], "k string, t double"
+    )
+    right = spark.createDataFrame([("u1", 0.0, 6.0)], "k string, s double, e double")
+    lj = interval_join(left, right, ts_col="t", start_col="s", end_col="e", by="k", chunk=10.0, how="left")
+    rows = lj.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["s"] is None) == 2
+
+
+def test_interval_join_renames_colliding_right_columns(spark):
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame([("u1", 5.0, "L")], "k string, t double, tag string")
+    right = spark.createDataFrame(
+        [("u1", 0.0, 6.0, "R")], "k string, s double, e double, tag string"
+    )
+    for how in ("inner", "left"):
+        out = interval_join(left, right, ts_col="t", start_col="s", end_col="e", by="k", chunk=10.0, how=how)
+        assert "tag_right" in out.columns and out.columns.count("tag") == 1
+        row = out.collect()[0]
+        assert row["tag"] == "L" and row["tag_right"] == "R"

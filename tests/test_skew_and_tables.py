@@ -155,6 +155,18 @@ def test_collect_table_stats_one_pass(spark, sf_dir):
     assert abs(stats["o_custkey_ndv"] - exact_cust) <= 0.15 * exact_cust
 
 
+def test_zorder_rejects_bit_overflow(spark):
+    # 8 columns at bits=8 would shift into the BIGINT sign bit and
+    # silently corrupt the ordering — must raise instead
+    import pytest
+
+    from graphql_api_etl_spark.sinks.zorder import z_value
+
+    with pytest.raises(ValueError, match="63"):
+        z_value([F.lit(i).cast("bigint") for i in range(8)], bits=8)
+    z_value([F.lit(i).cast("bigint") for i in range(7)], bits=9)  # 63: ok
+
+
 def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     """Z-ordering on (custkey, totalprice) must let a min/max-pruning
     reader skip files for filters on EITHER column; a single-column

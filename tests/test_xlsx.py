@@ -38,6 +38,16 @@ def test_xlsx_roundtrip_codec(tmp_path):
     ]
 
 
+def test_xlsx_bool_cells_roundtrip_symmetrically(tmp_path):
+    # booleans must serialize as t="b" cells so the reader renders the
+    # same "true"/"false" it renders for externally-authored workbooks
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, "S", ["flag", "n"], [[True, 1], [False, 2.5]])
+    with open(p, "rb") as f:
+        _, rows = parse_xlsx_sheet(f.read(), "S")
+    assert rows == [["true", "1"], ["false", "2.5"]]
+
+
 def test_xlsx_shared_strings_and_cell_refs(tmp_path):
     """Real-world workbooks (Excel, pandas) use sharedStrings and
     explicit A1-style cell refs with gaps — hand-build one."""
