@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    # native array cast, not transform(x -> cast(x)): same element-wise
+    # result, but stays in whole-stage codegen instead of paying the
+    # interpreted-lambda HOF path (~µs per element)
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -126,15 +129,19 @@ def topk_bruteforce(
     vectorized pandas UDF (faster, float-associativity differences in
     the ~1e-12 range).
     """
-    nrm = (lambda col: norm_fixed(col, dim)) if dim else norm
+    # pass column NAMES so norm_fixed builds one SQL string (single
+    # py4j call) instead of a 64-term Column tree — same lesson as
+    # dot_fixed below; the Column path costs ~0.17 s of plan
+    # construction per expression
+    nrm = (lambda col: norm_fixed(col, dim)) if dim else (lambda col: norm(F.col(col)))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", nrm(F.col("qv")))
+        ).withColumn("qn", nrm("qv"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", nrm(F.col("cv")))
+    ).withColumn("cn", nrm("cv"))
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -170,18 +177,20 @@ def topk_bucketed(
     becomes an equi-join on the bucket key, so scored pairs drop from
     |Q|·|C| to Σ_b |Q_b|·|C_b|. Recall depends on bucket quality
     (IVF centroids, LSH keys, or any partitioning column)."""
-    nrm = (lambda col: norm_fixed(col, dim)) if dim else norm
-    dt = (lambda a, b: dot_fixed(a, b, dim)) if dim else dot
+    # names, not Columns — keeps norm/dot construction on the one-call
+    # generated-SQL path (see topk_bruteforce)
+    nrm = (lambda col: norm_fixed(col, dim)) if dim else (lambda col: norm(F.col(col)))
+    dt = (lambda a, b: dot_fixed(a, b, dim)) if dim else (lambda a, b: dot(F.col(a), F.col(b)))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", nrm(F.col("qv")))
+    ).withColumn("qn", nrm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", nrm(F.col("cv")))
+    ).withColumn("cn", nrm("cv"))
     pairs = q.join(c, "bucket")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos", dt(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    scored = pairs.withColumn("cos", dt("qv", "cv") / (F.col("qn") * F.col("cn")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
