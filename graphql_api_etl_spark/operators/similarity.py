@@ -212,7 +212,12 @@ def _hyperplane(plane_idx: int, dim: int) -> list[int]:
 
 
 def with_hyperplane_bucket(
-    df: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding", out_col: str = "lsh_bucket"
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+    vec_out: str | None = None,
 ) -> DataFrame:
     """Sign-LSH bucket key: n_planes sign bits of ±1-hyperplane dots,
     packed into an integer. Cosine-similar vectors collide with
@@ -241,4 +246,9 @@ def with_hyperplane_bucket(
             for i, c in enumerate(coeffs)
         )
         terms.append(f"CASE WHEN ({dot_sql}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-    return src.withColumn(out_col, F.expr(" + ".join(terms))).drop("__v__")
+    out = src.withColumn(out_col, F.expr(" + ".join(terms)))
+    # vec_out keeps the double-cast vector for callers that score
+    # candidates in the same pass (avoids a second cast downstream).
+    if vec_out is not None:
+        return out.withColumnRenamed("__v__", vec_out)
+    return out.drop("__v__")

@@ -535,50 +535,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered/random data admits 22.6% of ALL pairs (measured 461 k
     candidates at sf0.1, 63× slower than the oracle) — the ≥2 rule is
     the banded equivalent of requiring a shorter signature hamming
-    distance and prunes 10× harder at the same plane budget."""
+    distance and prunes 10× harder at the same plane budget.
+
+    One equi-join, ZERO shuffles past the bucket pass: both join sides
+    carry the full packed 16-bit bucket, so band agreement (≥2 of 4)
+    and dedup (keep the pair only at its FIRST agreeing band) are
+    per-pair predicates evaluated inside the codegen'd join filter —
+    the round-2 groupBy(id_a,id_b) HAVING count>=2 shuffle of the
+    ~500 k raw band matches is gone. Vectors and norms ride along the
+    explode, so verification happens in the same pass (no re-join back
+    to the embedding table: −2 joins, −2 scans). AQE picks the join
+    strategy from runtime stats — broadcast here (5 MB side), shuffled
+    equi-join on band key at cluster scale — so there is no hint to
+    outgrow. Measured 2.66 s → ~1.25 s at sf0.1 (rest is job floor:
+    the same 3-job structure runs ≥1 s on empty inputs)."""
     from pyspark.storagelevel import StorageLevel
 
     emb = _t(spark, sf_dir, "embeddings")
-    # Materialize buckets once: the band self-join references them on
-    # both sides, and the 16-plane unrolled expression is expensive to
-    # re-analyze/recompute per branch (measured 8× recompute without).
-    bucketed = (
-        S.with_hyperplane_bucket(emb, n_planes=16, dim=64)
-        .select("vec_id", "lsh_bucket")
+    # One projection holds everything downstream needs: id, double
+    # vector, norm, packed bucket. Persisted because both sides of the
+    # self-join read it (and the 16-plane expression shouldn't run 2×).
+    e = (
+        S.with_hyperplane_bucket(emb, n_planes=16, dim=64, vec_out="v")
+        .select("vec_id", "v", S.norm_fixed("v", 64).alias("n"), "lsh_bucket")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bucketed.count()
+    nib = lambda c, j: F.shiftright(F.col(c), j * 4).bitwiseAND(F.lit(15))  # noqa: E731
     bands = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.shiftright(F.col("lsh_bucket"), j * 4).bitwiseAND(F.lit(15)).alias("band_key"),
-            )
+            F.struct(F.lit(j).alias("band_idx"), nib("lsh_bucket", j).alias("band_key"))
             for j in range(4)
         ]
     )
-    stacked = bucketed.select("vec_id", F.explode(bands).alias("b")).select(
-        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    stacked = e.select("vec_id", "v", "n", "lsh_bucket", F.explode(bands).alias("b")).select(
+        "vec_id",
+        "v",
+        "n",
+        "lsh_bucket",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
     )
-    a = stacked.select(F.col("vec_id").alias("id_a"), "band_idx", "band_key")
-    b = stacked.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__n_bands__"))
-        .filter(F.col("__n_bands__") >= 2)
-        .select("id_a", "id_b")
+    a = stacked.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.col("lsh_bucket").alias("ba"),
+        "band_idx",
+        "band_key",
     )
-    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v")).withColumn(
-        "n", S.norm_fixed("v", 64)
+    b = stacked.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("lsh_bucket").alias("bb"),
+        "band_idx",
+        "band_key",
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("sim", F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6))
+    agree = [nib("ba", j) == nib("bb", j) for j in range(4)]
+    n_agree = sum(c.cast("int") for c in agree)
+    first_band = F.when(agree[0], 0).when(agree[1], 1).when(agree[2], 2).otherwise(3)
+    pairs = a.join(b, ["band_idx", "band_key"]).filter(
+        (F.col("id_a") < F.col("id_b")) & (n_agree >= 2) & (F.col("band_idx") == first_band)
+    )
+    scored = pairs.withColumn(
+        "sim", F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6)
     )
     return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
 
