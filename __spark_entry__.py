@@ -57,8 +57,8 @@ _PRIORITY = [
     "x_name_parsing",
     "events_sliding_window",
     # new in round 3:
-    "l_zorder_readback",
-    "l_compaction_readback",
+    "layout_zorder_prune",
+    "layout_compacted_scan",
     "x_hierarchy_deep_levels",
     "events_range_join_left",
     # keep the flagship + highest-risk core inside the window:

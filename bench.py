@@ -59,6 +59,63 @@ TABLES = [
 
 ROUNDS = 3
 
+# Marginal-throughput probes (BASELINE.md "structural read", emitted as
+# data): the same portable SQL runs on BOTH engines at 1x and REP x the
+# fact table (replication via cross-join against a tiny range, so both
+# engines multiply rows out of a single scan).  marginal_rows_per_sec =
+# extra rows / extra seconds isolates per-row cost from the fixed
+# job/codegen floor that dominates sub-second timings at sf0.1.
+PROBE_REP = 8
+PROBE_ROUNDS = 2
+PROBES = [
+    {
+        "name": "scan_agg",  # TPC-H Q1 shape
+        "fact": "lineitem",
+        "sql": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 2) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    },
+    {
+        "name": "filter_agg",  # TPC-H Q6 shape
+        "fact": "lineitem",
+        "sql": """
+            SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+    },
+    {
+        "name": "window_agg",  # events hourly rollup shape
+        "fact": "events",
+        "sql": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    },
+    {
+        "name": "join_agg",  # fact-dim hash join shape
+        "fact": "orders",
+        "sql": """
+            SELECT c_mktsegment AS seg, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+    },
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +163,8 @@ def main() -> None:
     except Exception:
         duck = {}
 
+    marginal = _probe_marginal(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
@@ -120,7 +179,80 @@ def main() -> None:
         d_total = sum(duck[n] for n in common)
         out["duckdb_queries"] = duck
         out["ratio_vs_duckdb"] = round(s_total / d_total, 2) if d_total else None
+    if marginal:
+        out["marginal_rows_per_sec"] = marginal
     print(json.dumps(out))
+
+
+def _probe_marginal(spark, sf_dir: str) -> dict:
+    """Per-row throughput for both engines: best-of-N at 1x and at
+    PROBE_REP x the fact table; extra rows / extra seconds."""
+    out: dict[str, dict] = {}
+    try:
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+        for p in PROBES:
+            fact, sql = p["fact"], p["sql"]
+            base = spark.read.parquet(f"{sf_dir}/{fact}.parquet")
+            n = base.count()
+            rep = base.crossJoin(spark.range(PROBE_REP).select(F.lit(1).alias("__r"))).drop("__r")
+
+            def spark_time(view_df) -> float:
+                view_df.createOrReplaceTempView(fact)
+                best = float("inf")
+                for _ in range(PROBE_ROUNDS):
+                    t0 = time.time()
+                    spark.sql(sql).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                return best
+
+            def duck_time(rep_view: bool) -> float:
+                if rep_view:
+                    con.execute(
+                        f"CREATE OR REPLACE VIEW {fact} AS "
+                        f"SELECT f.* FROM '{sf_dir}/{fact}.parquet' f CROSS JOIN range({PROBE_REP})"
+                    )
+                else:
+                    con.execute(
+                        f"CREATE OR REPLACE VIEW {fact} AS SELECT * FROM '{sf_dir}/{fact}.parquet'"
+                    )
+                best = float("inf")
+                for _ in range(PROBE_ROUNDS):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.time() - t0)
+                return best
+
+            # Spark also reads the probe SQL against temp views so both
+            # engines execute the IDENTICAL statement on identical data.
+            for t in TABLES:
+                if t != fact:
+                    spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+            extra_rows = n * (PROBE_REP - 1)
+            s1, sk = spark_time(base), spark_time(rep)
+            d1, dk = duck_time(False), duck_time(True)
+            spark.catalog.dropTempView(fact)
+            out[p["name"]] = {
+                "rows_base": n,
+                "rep": PROBE_REP,
+                # null when the repx-1x delta is under 20 ms: that's
+                # scheduling noise, not per-row cost (sf too small).
+                "spark": round(extra_rows / (sk - s1)) if sk - s1 > 0.02 else None,
+                "duckdb": round(extra_rows / (dk - d1)) if dk - d1 > 0.02 else None,
+                "spark_sec_1x": round(s1, 3),
+                "spark_sec_repx": round(sk, 3),
+                "duckdb_sec_1x": round(d1, 3),
+                "duckdb_sec_repx": round(dk, 3),
+            }
+    except Exception:
+        return out
+    return out
 
 
 if __name__ == "__main__":

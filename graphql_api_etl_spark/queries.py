@@ -719,6 +719,92 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "layout_zorder_prune",
+    """
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 7
+GROUP BY l_partkey
+""",
+)
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-aggregate over the Z-ORDERED copy of lineitem
+    (sinks.zorder.write_zordered, clustered on l_partkey+l_suppkey)
+    while the oracle reads the RAW table: a hash match proves the
+    Morton-interleave → range-partition → sorted write is lossless,
+    the same way tpch_q3_bucketed oracle-checks the bucketed layout.
+    The scan itself is the payoff case — both filter columns are
+    z-clustered, so parquet footer min/max stats prune most files for
+    either predicate (selectivity asserted in tests/test_skew_and_tables.py).
+    First call per session lays the copy down under the repo-local
+    layout dir; rebuilt per sf tag from the current parquet."""
+    import os as _os
+
+    from graphql_api_etl_spark.sinks.zorder import write_zordered
+
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache")
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    path = _os.path.join(root, f"lineitem_z_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        write_zordered(
+            spark, _t(spark, sf_dir, "lineitem"), path,
+            ["l_partkey", "l_suppkey"], bits=8, n_files=16,
+        )
+    z = spark.read.parquet(path)
+    return (
+        z.filter(F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(2, 7))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "layout_compacted_scan",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def layout_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the COMPACTED rewrite of a deliberately
+    fragmented orders copy (64 shards → sinks.maintenance.compact_parquet)
+    while the oracle reads the raw table: hash match proves the
+    small-file compaction pass is lossless. The fragmented copy
+    simulates what streaming sinks / per-batch upserts leave behind;
+    compaction is the maintenance op that keeps 100 TB scans at one
+    task per ~128 MB instead of one task per micro-file."""
+    import os as _os
+
+    from graphql_api_etl_spark.sinks.maintenance import compact_parquet
+
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache")
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    frag = _os.path.join(root, f"orders_frag_{tag}")
+    compacted = _os.path.join(root, f"orders_compact_{tag}")
+    if not _os.path.exists(_os.path.join(compacted, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
+        compact_parquet(spark, frag, target_bytes=32 * 1024 * 1024, out_path=compacted)
+    o = spark.read.parquet(compacted)
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
     "tpch_q5_local_volume",
     """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -145,6 +145,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caching paths and measurably slowed repeated queries.
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The testdata's timestamp columns are parquet TIMESTAMP(MICROS)
+    # with isAdjustedToUTC=false; Spark 4 infers TIMESTAMP_NTZ for
+    # those, which unix_millis/window() reject and which renders
+    # differently from the DuckDB oracle. Read them as session-TZ
+    # (UTC) timestamps — identical wall-clock values on both engines.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Memoize the read relation per (session, path): a fresh
     # spark.read.parquet re-lists the directory and re-reads footers
     # for schema inference on EVERY catalog call (~0.1-0.3 s/table —

@@ -60,10 +60,11 @@ def test_http_cursor_walk_matches_fixture():
 def test_fetch_connection_over_http_flattens(spark):
     with FixtureGQLServer(make_pages(2, 3)) as server:
         df = fetch_connection(spark, _conn_client(server), NODE_SCHEMA)
-        rows = {r["id"]: r for r in df.collect()}
+        # S4 flatten keeps the reference's json_normalize naming: the
+        # node struct flattens to node_* / node_parent_child columns.
+        rows = {r["node_id"]: r for r in df.collect()}
         assert len(rows) == 6
-        # S4 flatten: nested struct arrives as parent_child column
-        assert rows["L1"]["address_state"] == "TX"
+        assert rows["L1"]["node_address_state"] == "TX"
 
 
 def test_mutation_sink_posts_batches_from_executors(spark):
