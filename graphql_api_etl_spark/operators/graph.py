@@ -66,3 +66,45 @@ def closure_roots(
         if advanced:
             break
     return cur.select("node_id", F.col("anc").alias("root_id"), "depth")
+
+
+def hierarchy_from_edges(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Arbitrary-depth generalization of aggregate.hierarchy_levels
+    (A4, ETL:283–308): given a parent-pointer edge list instead of
+    wide level columns, emit one row per node with
+    ``(group_name, parent_name, level, is_top)`` where ``level`` is
+    the node's distance from its tree root + 1. The reference caps at
+    Region→District (2 fixed levels); this derives levels from the
+    data, so sinks.mutations.write_level_phased keeps its
+    parent-before-child guarantee for any tree depth.
+
+    Levels come from :func:`closure_roots` (⌈log₂ d⌉ pointer-doubling
+    joins); roots are nodes that appear as a parent but never as a
+    child, emitted as level 1 / is_top."""
+    closure = closure_roots(edges, child_col, parent_col, max_rounds)
+    roots = (
+        closure.select(F.col("root_id").alias("group_name"))
+        .distinct()
+        .select(
+            "group_name",
+            F.lit(None).cast("string").alias("parent_name"),
+            F.lit(1).cast("bigint").alias("level"),
+            F.lit(True).alias("is_top"),
+        )
+    )
+    children = (
+        edges.select(F.col(child_col).alias("group_name"), F.col(parent_col).alias("parent_name"))
+        .join(closure, F.col("group_name") == closure.node_id)
+        .select(
+            "group_name",
+            "parent_name",
+            (F.col("depth") + 1).cast("bigint").alias("level"),
+            F.lit(False).alias("is_top"),
+        )
+    )
+    return roots.unionByName(children)

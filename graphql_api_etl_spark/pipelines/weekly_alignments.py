@@ -108,17 +108,31 @@ class SyncReport:
 # ---------------------------------------------------------------------------
 
 
-def build_hierarchy(alignments: DataFrame) -> DataFrame:
+def build_hierarchy(alignments: DataFrame, level_cols: list[str] | None = None) -> DataFrame:
     """Region→District tree with parent-before-child levels (A4,
     ETL:283–308): one row per region (level 1), one per (region,
     district) (level 2). Ordering is by level-phased writes, not row
-    order."""
-    return hierarchy_levels(
-        alignments.select(
+    order. ``level_cols`` extends the reference's fixed two levels to
+    any wide-format depth; for variable-depth parent-pointer input use
+    :func:`build_hierarchy_tree`."""
+    if level_cols is None:
+        alignments = alignments.select(
             F.col("region_supervisor").alias("region"), F.col("district").alias("district")
-        ),
-        ["region", "district"],
-    )
+        )
+        level_cols = ["region", "district"]
+    return hierarchy_levels(alignments, level_cols)
+
+
+def build_hierarchy_tree(edges: DataFrame, child_col: str = "child", parent_col: str = "parent") -> DataFrame:
+    """Arbitrary-depth hierarchy from a parent-pointer edge list —
+    the >2-level generalization the reference never needed (it hard-
+    codes Region→District, ETL:145–166). Levels are derived with
+    operators.graph.closure_roots (⌈log₂ d⌉ pointer-doubling joins),
+    so the same write_level_phased sink keeps parent-before-child for
+    org trees of any depth."""
+    from graphql_api_etl_spark.operators.graph import hierarchy_from_edges
+
+    return hierarchy_from_edges(edges, child_col, parent_col)
 
 
 # ---------------------------------------------------------------------------

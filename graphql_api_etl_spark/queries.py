@@ -1363,6 +1363,103 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_range_join_left",
+    """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS t
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS s,
+                  epoch_ms(ts) + 1800000 AS e
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, CAST(c.t - p.s AS BIGINT) AS lag_ms
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND c.t BETWEEN p.s AND p.e
+""",
+)
+def events_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-mode interval join: every click row survives, matched or
+    not (unmatched → null purchase columns), with duplicate-left
+    multiplicity preserved via a per-row id through the miss branch
+    (operators/rangejoin.py:70-112 — the r2 ADVICE fix, now
+    oracle-checked against DuckDB's direct LEFT JOIN ... BETWEEN)."""
+    from graphql_api_etl_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.unix_millis("ts").alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + 1800000).alias("e"),
+    )
+    joined = interval_join(
+        clicks, purchases, ts_col="t", start_col="s", end_col="e",
+        by="user_id", chunk=1800000.0, how="left",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", (F.col("t") - F.col("s")).cast("bigint").alias("lag_ms")
+    )
+
+
+@_q(
+    "x_hierarchy_deep_levels",
+    """
+SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS group_name,
+       CAST(NULL AS VARCHAR) AS parent_name,
+       CAST(1 AS BIGINT) AS level, true AS is_top
+FROM (SELECT DISTINCT n_regionkey FROM nation)
+UNION ALL
+SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR),
+       CAST(2 AS BIGINT), false
+FROM nation
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR),
+       CAST(3 AS BIGINT), false
+FROM customer
+UNION ALL
+SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'c' || CAST(o_custkey AS VARCHAR),
+       CAST(4 AS BIGINT), false
+FROM orders
+""",
+)
+def x_hierarchy_deep_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth hierarchy leveling from a parent-pointer edge
+    list (orders→customer→nation→region, a 4-level tree): the >2-level
+    generalization of the reference's hard-coded Region→District DDL
+    (A4/K5, ETL:145–166, 283–308). The Spark side derives each node's
+    level with operators/graph.hierarchy_from_edges (closure_roots
+    pointer doubling — nothing in the plan knows the depth); the
+    oracle reconstructs the same rows schema-aware, so a hash match
+    proves the generic edge-driven leveling reproduces the known-depth
+    answer. Feeds write_level_phased for parent-before-child writes at
+    any depth."""
+    from graphql_api_etl_spark.operators.graph import hierarchy_from_edges
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("child"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("parent"),
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+            )
+        )
+    )
+    return hierarchy_from_edges(edges)
+
+
+@_q(
     "w_window_suite",
     """
 SELECT o_custkey, o_orderkey,

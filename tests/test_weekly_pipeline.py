@@ -266,3 +266,53 @@ def test_alignments_from_real_xlsx_drop(spark, tmp_path):
     got = read_excel_sheet(spark, path, "Sorted by Store #", schema=schema)
     assert got.columns == canonical.columns
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, canonical.collect()))
+
+
+def test_deep_hierarchy_tree_phased_writes(spark, tmp_path):
+    """>2-level generalization (r2 VERDICT #8): a 4-level org tree
+    arrives as parent-pointer EDGES (depth unknown to the plan);
+    build_hierarchy_tree derives levels via closure_roots pointer
+    doubling, and write_level_phased posts every parent strictly
+    before any of its children."""
+    import os
+
+    from graphql_api_etl_spark.pipelines.weekly_alignments import build_hierarchy_tree
+    from graphql_api_etl_spark.sinks.mutations import write_level_phased
+
+    edges = spark.createDataFrame(
+        [  # company -> region -> district -> store
+            ("r-east", "acme"), ("r-west", "acme"),
+            ("d-1", "r-east"), ("d-2", "r-east"), ("d-3", "r-west"),
+            ("s-10", "d-1"), ("s-11", "d-1"), ("s-20", "d-2"), ("s-30", "d-3"),
+        ],
+        "child string, parent string",
+    )
+    tree = build_hierarchy_tree(edges)
+    rows = {r["group_name"]: r for r in tree.collect()}
+    assert len(rows) == 10  # 1 root + 9 edge children
+    assert rows["acme"]["level"] == 1 and rows["acme"]["is_top"] and rows["acme"]["parent_name"] is None
+    assert rows["r-east"]["level"] == 2 and rows["r-east"]["parent_name"] == "acme"
+    assert rows["d-3"]["level"] == 3 and rows["d-3"]["parent_name"] == "r-west"
+    assert rows["s-30"]["level"] == 4 and not rows["s-30"]["is_top"]
+
+    spool = str(tmp_path / "spool")
+    sink = MutationSink(lambda: SpoolClient(spool), "hierarchyAddGroups")
+    statuses = write_level_phased(sink, tree)
+    assert len(statuses) == 4
+    assert sum(s.filter("success").count() for s in statuses) == 10
+
+    # parent-before-child across PROCESS boundaries: each spool file's
+    # mtime orders the batches; every record's parent must appear in a
+    # strictly earlier file (level writes are sequential actions).
+    batches = []  # (mtime_ns, [group_names])
+    for f in sorted(os.listdir(spool)):
+        p = os.path.join(spool, f)
+        with open(p) as fh:
+            names = [json.loads(line)["group_name"] for line in fh]
+        batches.append((os.stat(p).st_mtime_ns, names))
+    written_at = {}
+    for t, names in batches:
+        for n in names:
+            written_at[n] = t
+    for child, parent in edges.collect():
+        assert written_at[parent] < written_at[child], f"{parent} not before {child}"
