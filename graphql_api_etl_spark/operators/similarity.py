@@ -111,6 +111,32 @@ def arrow_cosine():
     return arrow_cosine_udf
 
 
+def _flatten_side(df: DataFrame, id_col: str, out_id: str, vec_col: str, prefix: str, dim: int, extra: list[str] | None = None) -> DataFrame:
+    """Project a vector side to ``dim`` scalar double columns + norm,
+    in ONE map-side pass over the vectorized scan.
+
+    Why: evaluating an unrolled dot ABOVE a join re-fetches the array
+    object from the joined row on every element_at (2·dim allocations
+    per pair — measured ~3-5× the whole query's cost at 20k pairs).
+    Scalar columns make the post-join dot plain ordinal double reads."""
+    v = as_double(F.col(vec_col))
+    nrm_sql = "sqrt(" + " + ".join(f"__v[{i}] * __v[{i}]" for i in range(dim)) + ")"
+    return (
+        df.select(*(extra or []), F.col(id_col).alias(out_id), v.alias("__v"))
+        .selectExpr(
+            *(extra or []),
+            out_id,
+            *[f"__v[{i}] AS {prefix}{i}" for i in range(dim)],
+            f"{nrm_sql} AS {prefix}n",
+        )
+    )
+
+
+def _flat_cos(dim: int) -> Column:
+    dot_sql = " + ".join(f"q{i} * c{i}" for i in range(dim))
+    return F.expr(f"({dot_sql}) / (qn * cn)")
+
+
 def topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -121,40 +147,44 @@ def topk_bruteforce(
     use_arrow: bool = False,
     dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast(queries) × corpus, windowed rank.
+    """Exact cosine top-k: broadcast(queries) × corpus, windowed rank
+    (partial+final WindowGroupLimit keeps only k rows per query past
+    the map side). With a known ``dim`` both sides are flattened to
+    scalar columns first (see _flatten_side) — the dot above the join
+    is then a codegen'd multiply-add chain over ordinal reads, same
+    left-to-right summation order as the fold / DuckDB's loop.
 
-    Norms are precomputed per side before the join (each vector's norm
-    is computed once, not once per pair). Rank ties break on
-    neighbor_id for determinism. ``use_arrow`` switches scoring to the
-    vectorized pandas UDF (faster, float-associativity differences in
-    the ~1e-12 range).
+    Norms are precomputed per side (each vector's norm computed once,
+    not once per pair). Rank ties break on neighbor_id for
+    determinism. ``use_arrow`` switches scoring to the vectorized
+    pandas UDF (float-associativity differences in the ~1e-12 range).
     """
-    # pass column NAMES so norm_fixed builds one SQL string (single
-    # py4j call) instead of a 64-term Column tree — same lesson as
-    # dot_fixed below; the Column path costs ~0.17 s of plan
-    # construction per expression
-    nrm = (lambda col: norm_fixed(col, dim)) if dim else (lambda col: norm(F.col(col)))
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", nrm("qv"))
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", nrm("cv"))
-    pairs = q.crossJoin(c)
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    if use_arrow:
-        scored = pairs.withColumn("cos", arrow_cosine()(F.col("qv"), F.col("cv")))
-    elif dim:
-        scored = pairs.withColumn(
-            "cos", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
-        )
+    if dim and not use_arrow:
+        q = F.broadcast(_flatten_side(queries, id_col, "query_id", vec_col, "q", dim))
+        c = _flatten_side(corpus, id_col, "neighbor_id", vec_col, "c", dim)
+        pairs = q.crossJoin(c)
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn("cos", _flat_cos(dim))
     else:
-        scored = pairs.withColumn(
-            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        nrm = lambda col: norm(F.col(col))  # noqa: E731
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+            ).withColumn("qn", nrm("qv"))
         )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", nrm("cv"))
+        pairs = q.crossJoin(c)
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        if use_arrow:
+            scored = pairs.withColumn("cos", arrow_cosine()(F.col("qv"), F.col("cv")))
+        else:
+            scored = pairs.withColumn(
+                "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -177,20 +207,30 @@ def topk_bucketed(
     becomes an equi-join on the bucket key, so scored pairs drop from
     |Q|·|C| to Σ_b |Q_b|·|C_b|. Recall depends on bucket quality
     (IVF centroids, LSH keys, or any partitioning column)."""
-    # names, not Columns — keeps norm/dot construction on the one-call
-    # generated-SQL path (see topk_bruteforce)
-    nrm = (lambda col: norm_fixed(col, dim)) if dim else (lambda col: norm(F.col(col)))
-    dt = (lambda a, b: dot_fixed(a, b, dim)) if dim else (lambda a, b: dot(F.col(a), F.col(b)))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", nrm("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", nrm("cv"))
-    pairs = q.join(c, "bucket")
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos", dt("qv", "cv") / (F.col("qn") * F.col("cn")))
+    if dim:
+        # flatten to scalar columns map-side (see _flatten_side): the
+        # post-join dot then reads ordinals, not array objects
+        q = _flatten_side(
+            queries.withColumnRenamed(bucket_col, "bucket"), id_col, "query_id", vec_col, "q", dim, extra=["bucket"]
+        )
+        c = _flatten_side(
+            corpus.withColumnRenamed(bucket_col, "bucket"), id_col, "neighbor_id", vec_col, "c", dim, extra=["bucket"]
+        )
+        pairs = q.join(c, "bucket")
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn("cos", _flat_cos(dim))
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", norm(F.col("qv")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", norm(F.col("cv")))
+        pairs = q.join(c, "bucket")
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
