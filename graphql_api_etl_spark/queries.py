@@ -1214,6 +1214,357 @@ def tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, min(l_extendedprice) AS unit_cost
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+                JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+), best AS (SELECT pk, min(unit_cost) AS best_cost FROM cost GROUP BY pk)
+SELECT p_partkey, p_name, s_name, n_name, round(s_acctbal, 2) AS acctbal,
+       round(unit_cost, 2) AS unit_cost
+FROM cost JOIN best USING (pk)
+     JOIN part ON p_partkey = pk
+     JOIN supplier ON s_suppkey = sk
+     JOIN nation ON n_nationkey = s_nationkey
+WHERE unit_cost = best_cost AND p_type = 'PROMO'
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in the driver schema, so unit cost
+    derives from lineitem): per-part MIN-cost supplier within a region
+    — the correlated scalar-min subquery, de-correlated into a
+    per-part min aggregate joined back on the part key. min() is
+    exact on doubles (no summation-order hazard), so the equality
+    match is engine-portable. Dims broadcast; the cost table shuffles
+    once on (part, supplier) and its per-part min reuses the same
+    exchange prefix."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(euro_sup.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min("l_extendedprice").alias("unit_cost"))
+    )
+    best = cost.groupBy("pk").agg(F.min("unit_cost").alias("best_cost"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        cost.join(best, "pk")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .join(F.broadcast(euro_sup), F.col("sk") == euro_sup.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+    )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 4)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) t
+GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): conditional-fraction
+    aggregation over a 7-table star. Every dimension broadcasts; the
+    two fact tables (lineitem⋈orders) are the only shuffle pair, and
+    the supplier-nation vs customer-nation roles use two aliased
+    broadcast copies of nation — the classic role-playing-dimension
+    plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "tpch_q9_profit_by_nation",
+    """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+) t
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit; ps_supplycost stands in as
+    10% of p_retailprice — no partsupp in the driver schema): LIKE
+    filter on the part dimension pruned BEFORE the fact join, then a
+    two-fact join and a (nation, year) rollup. Part/supplier/nation
+    broadcast; lineitem⋈orders is the one real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@_q(
+    "tpch_q11_important_stock",
+    """
+WITH val AS (
+  SELECT l_partkey AS p_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT 0.005 * sum(value) FROM val)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part value vs a FRACTION of
+    the global total — the uncorrelated scalar subquery in a HAVING.
+    The per-part aggregate computes once; the global total is a second
+    aggregate over the SAME frame (Catalyst reuses the exchange) and
+    reaches the filter as a broadcast 1-row cross join, never a
+    re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_sup = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = val.agg((0.005 * F.sum("value")).alias("__thr__"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thr__"))
+        .select("p_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@_q(
+    "tpch_q12_late_shipments",
+    """
+SELECT l_returnflag AS shipclass,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/receiptdate in the driver
+    schema: 'late' = shipped >60 days after order date, classes from
+    l_returnflag): the two-way CASE-sum pivot over a fact-fact join.
+    The join-side date comparison can't push below the join, but both
+    scans still prune to the three referenced columns each."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("shipclass"))
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("o_orderpriority") != "1-URGENT", 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20_excess_suppliers",
+    """
+WITH small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+     qty AS (
+       SELECT l_suppkey AS sk, sum(l_quantity) AS total_qty
+       FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_suppkey
+     )
+SELECT s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT sk FROM qty WHERE total_qty > 50)
+""",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp availability folded into shipped
+    quantity): nested IN subqueries lowered to left-semi joins — parts
+    filter SEMI-joins the fact, the per-supplier quantity gate
+    SEMI-joins the supplier dimension. No row ever duplicates through
+    either membership test."""
+    li = _t(spark, sf_dir, "lineitem")
+    p_small = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select("p_partkey")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p_small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+        .select("sk")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(qty), sup.s_suppkey == F.col("sk"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@_q(
+    "tpch_q21_waiting_suppliers",
+    """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY AND o_orderstatus = 'F'
+),
+ all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM all_sup a
+              WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; 'late' = shipped
+    >90 days after an 'F'-status order's date): the EXISTS / NOT
+    EXISTS pair lowered to a left-semi + left-anti join on the order
+    key with a supplier-inequality condition — the one TPC-H query
+    whose plan is two correlated existentials over the same derived
+    table. `late` is computed once and reused on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    other = all_sup.alias("a")
+    other_late = late.alias("l2")
+    waiting = (
+        l1.join(
+            other,
+            (F.col("l1.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("a.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@_q(
     "a_rollup_counts",
     """
 SELECT coalesce(n_name, '<all>') AS nation,
