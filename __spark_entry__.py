@@ -22,58 +22,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate checks the FIRST 50 catalog entries.  In
-# round 2 the LLM-pipeline family (positions 51-75) fell outside the
-# window, so those queries carried only round-1 evidence.  This priority
-# list rotates them to the front for round 3; entries not listed follow
-# in registration order.  The demoted TPC-H/relational core is stable
-# (green in both r1 and r2) and can sit out a round.
+# The driver's correctness gate checks the FIRST 50 catalog entries.
+# Round-4 budget (VERDICT r3 ask #2): front-load (a) the 7 TPC-H shapes
+# that landed post-check in r3 and have never seen the driver, (b) the
+# 6 former `no_oracle` entries that now carry real DuckDB oracles, and
+# (c) every entry whose latest green row is r2 or r1 — together all 36
+# entries without an r3 row fit, so after this round every one of the
+# 86 entries has a green row from r3 or r4. The final 8 slots keep the
+# flagship + highest-risk core under continuous check. Entries not
+# listed follow in registration order (all green in r3).
 _PRIORITY = [
-    # never driver-checked, or failed in r1 (mm_extract_features):
+    # (a) registered post-check in r3 — never driver-checked:
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # (b) first-ever real oracles (r3 ask #1) — previously err rows:
     "mm_extract_features",
     "mm_thumbnails",
     "mm_frame_sample",
     "sim_topk_ivf",
     "a_approx_count_distinct",
     "a_approx_percentiles",
-    "p_hash_sample",
-    "curate_documents",
-    # green in r1 only — need a current-round row:
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh_bucketed",
-    "text_quality_stats",
-    "text_token_counts",
-    "text_lang_id",
-    "text_fingerprint",
-    "mm_binary_metadata",
-    "a_pivot_status_priority",
-    "events_json_typed",
-    "x_lookup_replace",
-    "x_name_parsing",
-    "events_sliding_window",
-    # new in round 3:
-    "layout_zorder_prune",
-    "layout_compacted_scan",
-    "x_hierarchy_deep_levels",
-    "events_range_join_left",
-    # keep the flagship + highest-risk core inside the window:
+    # (c) latest evidence is r2 (or r1) — rotate back in:
+    "a_distinct_values",
+    "so_union_distinct",
+    "so_except",
+    "so_intersect",
+    "text_wordcount",
+    "v_count_gates",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q3_bucketed",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_variety",
+    "tpch_q7_nation_volume",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_or_of_ands",
+    "tpch_q22_idle_rich",
+    "a_rollup_counts",
+    "events_tumbling_window",
+    "events_sessionize",
+    "a_cube_counts",
+    "a_unpivot_measures",
+    "x_posexplode_tokens",
+    "events_json_props",
+    # flagship + highest-risk core stays inside the window:
     "flagship_reconcile",
     "j_outer_provenance_counts",
-    "a_collect_set_per_group",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "events_asof_join",
     "a_hierarchy_levels",
     "x_hierarchy_closure",
-    "events_asof_join",
-    "events_interval_join",
-    "w_window_suite",
-    "events_gapfill",
-    "events_funnel",
-    "events_cohort_retention",
-    "a_percentiles",
 ]
 
 
@@ -89,9 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted → rows-only check)."""
-    return {
-        name: QUERIES[name][1]
-        for name in _ordered()
-        if QUERIES[name][1] is not None
-    }
+    """DuckDB-runnable ANSI SQL per query. Callable oracles are built
+    lazily here (they embed data-derived literals — e.g. the IVF
+    oracle's trained centroids)."""
+    out: dict[str, str] = {}
+    for name in _ordered():
+        oracle = QUERIES[name][1]
+        if oracle is None:
+            continue
+        out[name] = oracle() if callable(oracle) else oracle
+    return out

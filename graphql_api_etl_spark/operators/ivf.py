@@ -66,6 +66,31 @@ def _assign_udf(centroids: list[list[float]], nprobe: int = 1):
     return assign
 
 
+def _lloyd(V, k: int, iters: int) -> list[list[float]]:
+    """Lloyd's iterations on a pre-collected sample matrix — the shared
+    deterministic core of :func:`train_kmeans` (Spark sample) and
+    :func:`train_kmeans_local` (parquet sample, used by the DuckDB
+    oracle builder). Seeds are the first ``k`` rows; both callers
+    present rows in md5(id) order, so the two paths are bit-identical."""
+    import numpy as np
+
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    Vh = V / norms[:, None]
+    # seeds: first k in md5 order (same determinism as the sample)
+    C = Vh[:k].copy()
+    cn = (C * C).sum(axis=1)
+    for _ in range(iters):
+        d = cn[None, :] - 2.0 * (Vh @ C.T)
+        b = np.argmin(d, axis=1)
+        for j in range(k):
+            members = Vh[b == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = (C * C).sum(axis=1)
+    return [list(map(float, c)) for c in C]
+
+
 def train_kmeans(
     df: DataFrame,
     k: int = 16,
@@ -100,21 +125,35 @@ def train_kmeans(
         .collect()
     )
     V = np.asarray([r["__vd__"] for r in rows], dtype="float64")
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0.0] = 1.0
-    Vh = V / norms[:, None]
-    # seeds: first k in md5 order (same determinism as the sample)
-    C = Vh[:k].copy()
-    cn = (C * C).sum(axis=1)
-    for _ in range(iters):
-        d = cn[None, :] - 2.0 * (Vh @ C.T)
-        b = np.argmin(d, axis=1)
-        for j in range(k):
-            members = Vh[b == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-        cn = (C * C).sum(axis=1)
-    return [list(map(float, c)) for c in C]
+    return _lloyd(V, k, iters)
+
+
+def train_kmeans_local(
+    parquet_path: str,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Spark-free twin of :func:`train_kmeans` for the oracle builder:
+    reads the parquet directly (pyarrow), takes the same md5-ordered
+    sample, and runs the same :func:`_lloyd` float64 ops — producing
+    bit-identical centroids to what the Spark query trains on the same
+    table (float32→float64 widening is exact on both paths)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = tbl.column(id_col).to_pylist()
+    vecs = tbl.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest()
+    )[:sample_size]
+    V = np.asarray([vecs[i] for i in order], dtype="float64")
+    return _lloyd(V, k, iters)
 
 
 def with_ivf_bucket(

@@ -10,9 +10,13 @@ tables. Conventions that make the oracle-differential hash stable:
 - timestamps in outputs are formatted as strings (UTC both sides);
 - collected arrays are sorted and null-free on both sides.
 
-Catalog shape: ``QUERIES[name] = (fn, oracle_sql | None)`` where ``fn``
-takes ``(spark, sf_dir)``. ``None`` oracle → driver does rows-only check
-(reserved for non-SQL-expressible ops).
+Catalog shape: ``QUERIES[name] = (fn, oracle)`` where ``fn`` takes
+``(spark, sf_dir)`` and ``oracle`` is the DuckDB SQL string, a
+zero-arg callable returning it (lazily built oracles that embed
+data-derived literals, e.g. trained IVF centroids), or ``None``.
+``None`` → the driver records ``err: no_oracle`` (NOT a rows-only
+check — demonstrated by three rounds of CORRECTNESS files), so every
+entry that can carry an oracle must.
 """
 
 from __future__ import annotations
@@ -26,10 +30,11 @@ from graphql_api_etl_spark.operators.join import anti, cross, outer_merge, semi
 from graphql_api_etl_spark.sources.registry import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+Oracle = str | Callable[[], str] | None
+QUERIES: dict[str, tuple[QueryFn, Oracle]] = {}
 
 
-def _q(name: str, oracle: str | None):
+def _q(name: str, oracle: Oracle):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = (fn, oracle)
         return fn
@@ -2138,34 +2143,89 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("a_approx_count_distinct", None)  # sketch values differ per engine — rows-only check
+@_q(
+    "a_approx_count_distinct",
+    """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_custkeys,
+       count(*) AS n_orders,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts per group (rsd 2%): the 100 TB
     form of ``tpch_q16``'s exact count-distinct — sketch state is
     O(kB) per group and merges associatively across partitions, vs the
-    exact form's shuffle of every distinct value. The exact twin is the
-    oracle in tests/test_operators.py (relative-error bound asserted);
-    the driver check is rows-only because HLL estimates are
-    engine-specific."""
+    exact form's shuffle of every distinct value.
+
+    HLL estimates are engine-specific, so the oracle-checked output is
+    engine-independent: the exact count (both engines compute it) plus
+    ``approx_ok`` — whether the sketch landed within 5× its declared
+    rsd of the exact value (the estimator's 3σ is ~3×rsd; 5× leaves
+    slack for small-group bias). The oracle asserts the same columns
+    with ``approx_ok`` literally true, so a drifting sketch breaks the
+    hash match. Tighter per-group error stats live in
+    tests/test_operators.py."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
         F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.greatest(F.countDistinct("o_custkey") * 0.10, F.lit(5.0))
+        )
+        .cast("bigint")
+        .alias("approx_ok"),
     )
 
 
-@_q("a_approx_percentiles", None)  # t-digest split points differ per engine — rows-only check
+@_q(
+    "a_approx_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+       CAST(1 AS BIGINT) AS ap50_ok,
+       CAST(1 AS BIGINT) AS ap90_ok,
+       CAST(1 AS BIGINT) AS ap99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per group (accuracy 10000): the sketch-sized
     companion to ``a_percentiles`` — per-group state is a bounded
     histogram instead of the exact form's full sort, so groups of any
-    cardinality aggregate in one pass. Error bound vs the exact twin
-    asserted in tests/test_operators.py."""
+    cardinality aggregate in one pass.
+
+    Sketch split points are engine-specific, so the oracle-checked
+    output is engine-independent: the exact interpolated percentiles
+    (both engines) plus ``apXX_ok`` — whether each approx value lies
+    between the exact percentiles at p±0.01. approx_percentile's
+    guarantee is rank error ≤ n/accuracy = 0.01% of rows, so the ±1pp
+    window is a 100× margin; the oracle pins the booleans to 1, making
+    an out-of-band sketch a hash mismatch."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[0].alias("ap50"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[1].alias("ap90"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")[2].alias("ap99"),
+    probes = "array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {probes})").alias("ex"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
+    )
+    ok = lambda lo, ap, hi: (  # noqa: E731
+        (F.col("ex")[lo] <= F.col("ap")[ap]) & (F.col("ap")[ap] <= F.col("ex")[hi])
+    ).cast("bigint")
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ex")[1], 2).alias("p50"),
+        F.round(F.col("ex")[4], 2).alias("p90"),
+        F.round(F.col("ex")[7], 2).alias("p99"),
+        ok(0, 0, 2).alias("ap50_ok"),
+        ok(3, 1, 5).alias("ap90_ok"),
+        ok(6, 2, 8).alias("ap99_ok"),
     )
 
 
