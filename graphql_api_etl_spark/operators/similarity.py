@@ -165,7 +165,12 @@ def topk_bruteforce(
         pairs = q.crossJoin(c)
         if exclude_self:
             pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        scored = pairs.withColumn("cos", _flat_cos(dim))
+        # project to 3 columns BEFORE the window: carrying the 2·dim
+        # flattened columns through the rank exchange costs a measured
+        # ~0.09 s of plan/shuffle overhead at sf0.1 (and real bytes at
+        # scale — the window shuffle would otherwise move every vector
+        # component just to drop it after ranking)
+        scored = pairs.select("query_id", "neighbor_id", _flat_cos(dim).alias("cos"))
     else:
         nrm = lambda col: norm(F.col(col))  # noqa: E731
         q = F.broadcast(
@@ -180,10 +185,14 @@ def topk_bruteforce(
         if exclude_self:
             pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
         if use_arrow:
-            scored = pairs.withColumn("cos", arrow_cosine()(F.col("qv"), F.col("cv")))
+            scored = pairs.select(
+                "query_id", "neighbor_id", arrow_cosine()(F.col("qv"), F.col("cv")).alias("cos")
+            )
         else:
-            scored = pairs.withColumn(
-                "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            scored = pairs.select(
+                "query_id",
+                "neighbor_id",
+                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
             )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -209,17 +218,22 @@ def topk_bucketed(
     (IVF centroids, LSH keys, or any partitioning column)."""
     if dim:
         # flatten to scalar columns map-side (see _flatten_side): the
-        # post-join dot then reads ordinals, not array objects
-        q = _flatten_side(
-            queries.withColumnRenamed(bucket_col, "bucket"), id_col, "query_id", vec_col, "q", dim, extra=["bucket"]
-        )
-        c = _flatten_side(
-            corpus.withColumnRenamed(bucket_col, "bucket"), id_col, "neighbor_id", vec_col, "c", dim, extra=["bucket"]
-        )
+        # post-join dot then reads ordinals, not array objects. The
+        # bucket key is projected with an explicit select (not a
+        # withColumnRenamed) so an unrelated pre-existing `bucket`
+        # column can never create an ambiguous reference.
+        def _pick(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(bucket_col).alias("bucket"), F.col(id_col), F.col(vec_col)
+            )
+
+        q = _flatten_side(_pick(queries), id_col, "query_id", vec_col, "q", dim, extra=["bucket"])
+        c = _flatten_side(_pick(corpus), id_col, "neighbor_id", vec_col, "c", dim, extra=["bucket"])
         pairs = q.join(c, "bucket")
         if exclude_self:
             pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        scored = pairs.withColumn("cos", _flat_cos(dim))
+        # slim pre-window projection — same rationale as topk_bruteforce
+        scored = pairs.select("query_id", "neighbor_id", _flat_cos(dim).alias("cos"))
     else:
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(bucket_col).alias("bucket"), as_double(F.col(vec_col)).alias("qv")
@@ -230,7 +244,11 @@ def topk_bucketed(
         pairs = q.join(c, "bucket")
         if exclude_self:
             pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        scored = pairs.withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        scored = pairs.select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -658,11 +658,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the embedding table: −2 joins, −2 scans). AQE picks the join
     strategy from runtime stats — broadcast here (5 MB side), shuffled
     equi-join on band key at cluster scale — so there is no hint to
-    outgrow. Measured 2.66 s → ~1.25 s at sf0.1 (rest is job floor:
-    the same 3-job structure runs ≥1 s on empty inputs)."""
+    outgrow. Measured decomposition at sf0.1 (r4, BENCH floors probe):
+    ~1.4 s total = ~0.3 s empty-plan floor + ~0.55 s bucket stage
+    (itself ~0.48 s fixed janino-compile/job intercept + ~35 µs/row/
+    core, linear in rows — measured at 1×/8×/64× replication) + the
+    band join over ~514 k raw matches. The earlier "≥1 s on empty
+    inputs" claim was wrong: a 0-row scan prunes every partition so
+    the heavy stages never JIT, understating the fixed cost."""
+    return _emb_cosine_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_cosine_dedup(emb: DataFrame) -> DataFrame:
+    """Plan body of dedup_embedding_cosine over an arbitrary embeddings
+    frame — parameterized so bench.py can run the IDENTICAL plan on an
+    empty input to measure the fixed job/plan floor (VERDICT r3 ask #4)."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _t(spark, sf_dir, "embeddings")
     # One projection holds everything downstream needs: id, double
     # vector, norm, packed bucket. Persisted because both sides of the
     # self-join read it (and the 16-plane expression shouldn't run 2×).

