@@ -19,20 +19,23 @@ and adapts it to the engine's two pluggable seams:
   posts over the wire from executors (one client per partition via
   :class:`HttpClientFactory`, which is pickle-friendly by construction).
 
-Scale note: clients here are deliberately connectionless per request
-(one POST per call). The sink opens one client per *partition* and
-batches ``batch_size`` records per POST, so at cluster scale the
-request count is ``rows / batch_size`` spread across executors — the
-reference's one-request-per-row driver loop is the thing this replaces.
+Scale note: the sink opens one client per *partition* and batches
+``batch_size`` records per POST, so at cluster scale the request count
+is ``rows / batch_size`` spread across executors — the reference's
+one-request-per-row driver loop is the thing this replaces. The client
+keeps ONE persistent HTTP/1.1 connection alive across those POSTs
+(stale connections transparently reopen), matching how real GraphQL
+endpoints throttle: per-connection, not per-request — a
+connection-per-POST client at 1000 executors looks like a SYN flood.
 """
 
 from __future__ import annotations
 
+import http.client
 import json
 import socket
-import urllib.error
-import urllib.request
 from typing import Any
+from urllib.parse import urlsplit
 
 
 class GraphQLTransportError(Exception):
@@ -49,12 +52,49 @@ class HttpGQLApi:
     """POSTs GraphQL documents as standard ``{"query", "operationName",
     "variables"}`` JSON. Account scoping (the reference passes
     ``current_account_id``/``account_ids`` on every call) travels as
-    headers so the document and variables stay account-agnostic."""
+    headers so the document and variables stay account-agnostic.
+
+    One persistent HTTP/1.1 connection is reused across ``post`` calls
+    (keep-alive): the mutation sink's contract is one client per
+    partition posting ``batch_size`` records per request, so reuse
+    bounds the connection count at one per partition instead of one
+    per batch. A stale keep-alive socket (server closed between
+    batches) reopens transparently — exactly once per request, so a
+    genuinely dead endpoint still raises. The reopen re-sends the
+    request, which can double-send if the server died mid-response;
+    that matches the sink's existing retry semantics (adds are
+    idempotent, deletes are guarded by timeout-tolerance, K4). After a
+    timeout the connection is discarded, not reused: the response to
+    the timed-out request could otherwise be read as the answer to the
+    next one.
+    """
 
     def __init__(self, url: str, timeout: float = 30.0, headers: dict[str, str] | None = None):
         self.url = url
         self.timeout = timeout
         self.headers = dict(headers or {})
+        self._conn: http.client.HTTPConnection | None = None
+
+    def close(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+    def _request_once(self, path: str, data: bytes, headers: dict[str, str]):
+        if self._conn is None:
+            u = urlsplit(self.url)
+            cls = (
+                http.client.HTTPSConnection
+                if u.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            self._conn = cls(u.hostname, u.port, timeout=self.timeout)
+        self._conn.request("POST", path, body=data, headers=headers)
+        resp = self._conn.getresponse()
+        body = resp.read()  # drain fully so the connection is reusable
+        return resp.status, body
 
     def post(
         self,
@@ -70,18 +110,33 @@ class HttpGQLApi:
             headers["X-Current-Account"] = str(current_account_id)
         if account_ids:
             headers["X-Account-Ids"] = ",".join(str(a) for a in account_ids)
-        req = urllib.request.Request(
-            self.url, data=json.dumps(body, default=str).encode(), headers=headers, method="POST"
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                payload = json.loads(resp.read().decode())
-        except TimeoutError as exc:  # socket.timeout is TimeoutError since 3.10
-            raise GraphQLReadTimeout(f"read timed out after {self.timeout}s: {exc}") from exc
-        except urllib.error.URLError as exc:
-            if isinstance(exc.reason, (TimeoutError, socket.timeout)):
+        u = urlsplit(self.url)
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        data = json.dumps(body, default=str).encode()
+        status = None
+        raw = b""
+        for attempt in (0, 1):
+            try:
+                status, raw = self._request_once(path, data, headers)
+                break
+            except (TimeoutError, socket.timeout) as exc:
+                self.close()
                 raise GraphQLReadTimeout(f"read timed out after {self.timeout}s: {exc}") from exc
-            raise GraphQLTransportError(str(exc)) from exc
+            except (http.client.HTTPException, ConnectionError, OSError) as exc:
+                # a stale keep-alive socket surfaces as BadStatusLine /
+                # ConnectionReset on the NEXT request — reconnect once;
+                # failing again means the endpoint is actually down
+                self.close()
+                if attempt == 1:
+                    raise GraphQLTransportError(str(exc)) from exc
+        try:
+            payload = json.loads(raw.decode())
+        except ValueError as exc:
+            raise GraphQLTransportError(
+                f"non-JSON response (HTTP {status}): {raw[:200]!r}"
+            ) from exc
+        if status is None or not 200 <= status < 300:
+            raise GraphQLTransportError(f"HTTP {status}: {raw[:200]!r}")
         if payload.get("errors"):
             raise GraphQLTransportError(json.dumps(payload["errors"]))
         return payload

@@ -89,6 +89,10 @@ class PipelineContext:
     permission_sink: MutationSink
     report_dir: str
     backfill_supervisors: tuple[str, ...] = ()  # P5 allowlist (ETL:759–763)
+    # Optional parent-pointer edge list (child, parent): when present,
+    # phase 1 builds the hierarchy via build_hierarchy_tree (arbitrary
+    # depth) instead of the reference's fixed region→district columns.
+    hierarchy_edges: DataFrame | None = None
 
 
 @dataclass
@@ -399,14 +403,25 @@ def run_weekly_sync(ctx: PipelineContext) -> SyncReport:
 
     # Phase 1: hierarchy levels + groups, parent level before child
     # (write_level_phased semantics — here one sink call per level).
-    hierarchy = build_hierarchy(ctx.alignments)
-    for level in (1, 2):
+    # Levels are DERIVED from the built hierarchy, not hardcoded, so an
+    # edge-list hierarchy of any depth phases correctly (r3 VERDICT ask
+    # #8 — the reference's fixed (1, 2) only covers region→district).
+    if ctx.hierarchy_edges is not None:
+        hierarchy = build_hierarchy_tree(ctx.hierarchy_edges)
+    else:
+        hierarchy = build_hierarchy(ctx.alignments)
+    hierarchy = hierarchy.persist()
+    levels = sorted(
+        r["level"] for r in hierarchy.select("level").distinct().collect()
+    )  # bounded collect: one value per tree level
+    for level in levels:
         rows = hierarchy.filter(F.col("level") == level)
         status = ctx.assignment_sink.write(
             rows.select("group_name", "parent_name", "level", "is_top")
         )
         report.note(f"hierarchy_level{level}_failed", status.filter(~F.col("success")).count())
     report.note("hierarchy_rows", hierarchy.count())
+    hierarchy.unpersist()
 
     # Phase 2: locations → district assignments.
     assignments = map_locations_to_hierarchies(ctx, report)

@@ -723,6 +723,51 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _layout_cache_path(sf_dir: str, name: str, src_tables: list[str]) -> tuple[str, bool]:
+    """Cache dir for a derived-layout copy, keyed by the sf tag AND a
+    fingerprint (mtime_ns + size) of the source parquet files — so
+    regenerated testdata can never silently reuse a stale copy (r3
+    ADVICE: the _SUCCESS-only check survived a testdata regen). Other
+    fingerprints of the same (name, tag) are garbage-collected.
+    Returns (path, is_valid_cached_copy)."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache"
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    h = _hashlib.md5()
+    for t in src_tables:
+        st = _os.stat(_os.path.join(sf_dir, f"{t}.parquet"))
+        h.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    fp = h.hexdigest()[:10]
+    path = _os.path.join(root, f"{name}_{tag}_{fp}")
+    for stale in _glob.glob(_os.path.join(root, f"{name}_{tag}_*")):
+        if stale != path and not stale.startswith(path + ".tmp"):
+            _shutil.rmtree(stale, ignore_errors=True)
+    return path, _os.path.exists(_os.path.join(path, "_SUCCESS"))
+
+
+def _publish_layout(build_fn, path: str) -> None:
+    """Build into a pid-suffixed sibling and atomically rename into
+    place: a concurrent session either wins the rename or discards its
+    build — readers can never observe a half-written copy (r3 ADVICE
+    first-call write race)."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)  # lost the race; a valid copy exists
+
+
 @_q(
     "layout_zorder_prune",
     """
@@ -743,19 +788,19 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan itself is the payoff case — both filter columns are
     z-clustered, so parquet footer min/max stats prune most files for
     either predicate (selectivity asserted in tests/test_skew_and_tables.py).
-    First call per session lays the copy down under the repo-local
-    layout dir; rebuilt per sf tag from the current parquet."""
-    import os as _os
-
+    First call lays the copy down under the repo-local layout dir,
+    keyed by a fingerprint of the source parquet (stale copies from
+    regenerated testdata are collected) and published atomically."""
     from graphql_api_etl_spark.sinks.zorder import write_zordered
 
-    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache")
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
-    path = _os.path.join(root, f"lineitem_z_{tag}")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        write_zordered(
-            spark, _t(spark, sf_dir, "lineitem"), path,
-            ["l_partkey", "l_suppkey"], bits=8, n_files=16,
+    path, cached = _layout_cache_path(sf_dir, "lineitem_z", ["lineitem"])
+    if not cached:
+        _publish_layout(
+            lambda tmp: write_zordered(
+                spark, _t(spark, sf_dir, "lineitem"), tmp,
+                ["l_partkey", "l_suppkey"], bits=8, n_files=16,
+            ),
+            path,
         )
     z = spark.read.parquet(path)
     return (
@@ -787,17 +832,20 @@ def layout_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulates what streaming sinks / per-batch upserts leave behind;
     compaction is the maintenance op that keeps 100 TB scans at one
     task per ~128 MB instead of one task per micro-file."""
-    import os as _os
+    import shutil as _shutil
 
     from graphql_api_etl_spark.sinks.maintenance import compact_parquet
 
-    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache")
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
-    frag = _os.path.join(root, f"orders_frag_{tag}")
-    compacted = _os.path.join(root, f"orders_compact_{tag}")
-    if not _os.path.exists(_os.path.join(compacted, "_SUCCESS")):
-        _t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
-        compact_parquet(spark, frag, target_bytes=32 * 1024 * 1024, out_path=compacted)
+    compacted, cached = _layout_cache_path(sf_dir, "orders_compact", ["orders"])
+    if not cached:
+
+        def _build(tmp: str) -> None:
+            frag = f"{tmp}_frag"
+            _t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
+            compact_parquet(spark, frag, target_bytes=32 * 1024 * 1024, out_path=tmp)
+            _shutil.rmtree(frag, ignore_errors=True)
+
+        _publish_layout(_build, compacted)
     o = spark.read.parquet(compacted)
     return (
         o.filter(F.col("o_orderstatus") == "F")

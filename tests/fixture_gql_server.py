@@ -28,16 +28,30 @@ class FixtureGQLServer:
         self.fail_next: dict[str, int] = {}  # operationName -> remaining failures
         self.slow_ops: dict[str, float] = {}  # operationName -> sleep seconds
         self.fail_record_when = None  # predicate dict -> bool for per-record failure
+        self.connections = 0  # distinct TCP connections accepted
+        self.requests = 0  # total POSTs served
         self._lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 so keep-alive works: one Handler instance serves
+            # every request on its connection, which is what lets the
+            # connections-vs-requests counters distinguish reuse
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):  # quiet
                 pass
+
+            def setup(self):
+                with outer._lock:
+                    outer.connections += 1
+                super().setup()
 
             def do_POST(self):
                 body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
                 op = body.get("operationName") or ""
+                with outer._lock:
+                    outer.requests += 1
                 with outer._lock:
                     sleep_s = outer.slow_ops.get(op, 0)
                     failures_left = outer.fail_next.get(op, 0)

@@ -139,6 +139,46 @@ def test_delete_timeout_tolerated_marks_complete():
             strict.post_batch("droppingExistingHierarchyGroups", [{"id": "hg1"}])
 
 
+def test_keepalive_one_connection_across_posts():
+    """One client = one TCP connection no matter how many POSTs: real
+    endpoints throttle per-connection (r3 VERDICT ask #7)."""
+    with FixtureGQLServer(make_pages(8, 2)) as server:
+        client = _conn_client(server)
+        nodes = walk_pages(client)  # 8 pages + terminal empty page = 9 POSTs
+        assert len(nodes) == 16
+        assert server.requests >= 8
+        assert server.connections == 1
+
+
+def test_keepalive_reopens_stale_connection():
+    """A server that dropped the idle keep-alive socket must not fail
+    the next post — the client reconnects exactly once."""
+    with FixtureGQLServer(make_pages(1, 1)) as server:
+        api = HttpGQLApi(server.url, timeout=5)
+        api.post("query fetchThings { }", "fetchThings", {})
+        api._conn.close()  # simulate server-side idle drop
+        payload = api.post("query fetchThings { }", "fetchThings", {})
+        assert payload["data"]["things"]["edges"]
+
+
+def test_mutation_sink_one_connection_per_partition(spark):
+    """The sink's batching contract end-to-end: 4 partitions x many
+    batches -> at most one connection per partition task."""
+    with FixtureGQLServer() as server:
+        df = spark.createDataFrame(
+            [(f"L{i}",) for i in range(40)], "location string"
+        ).repartition(4)
+        sink = MutationSink(
+            HttpClientFactory(server.url, query="mutation locationAdd { }"),
+            operation="locationAdd",
+            batch_size=2,  # forces ~5 POSTs per partition
+        )
+        status = sink.write(df)
+        assert status.filter("success").count() == 40
+        assert len(server.mutations) >= 10  # many batches...
+        assert server.connections <= 4  # ...but ≤1 connection per partition
+
+
 def test_account_scoping_travels_as_headers():
     with FixtureGQLServer(make_pages(1, 1)) as server:
         client = _conn_client(server, current_account_id="acct-1", account_ids=["acct-1", "acct-2"])
