@@ -130,6 +130,78 @@ def with_lang_guess(
     return out.withColumn("lang_guess", guess)
 
 
+def _index_range(last: Column) -> Column:
+    """1..last as an array, EMPTY when last < 1 — Spark's sequence(1, 0)
+    is the DESCENDING [1, 0] (step defaults to -1 when stop < start),
+    which would feed element_at an invalid index 0; DuckDB's
+    range(1, 1) is empty, so the guard is also what keeps the two
+    engines' n-gram construction aligned on sub-n docs."""
+    return F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def ngrams(toks: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams as strings (1-based element_at so the construction
+    is portable to DuckDB's list_transform(range(1, len-n+1), ...));
+    empty result for docs shorter than ``n`` tokens."""
+    idx = _index_range(F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(sep, *parts(i)))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, map-only native expressions:
+    the fraction of word-2-grams that are repeats of an earlier one
+    (`dup_2gram_frac = 1 − distinct/total`) and the count of
+    immediately-repeated tokens (`n_stutters`, "the the"). High values
+    mark boilerplate/spam for the quality gate — at 100 TB this runs
+    at scan speed alongside the other per-doc stats."""
+    toks = tokens(text_col)
+    grams = ngrams(toks, 2)
+    n_2g = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    stutters = F.size(
+        F.filter(
+            _index_range(F.size(toks) - 1),
+            lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1),
+        )
+    )
+    return (
+        df.withColumn("n_2grams", n_2g.cast("bigint"))
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(n_2g > 0, F.round(F.lit(1.0) - n_dist.cast("double") / n_2g, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("n_stutters", stutters.cast("bigint"))
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed") -> DataFrame:
+    """Mask emails/phone-shaped substrings with typed placeholders and
+    count what was masked — the pre-training PII pass. Patterns are
+    deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB)
+    agree byte-for-byte; the oracle differential hashes the scrubbed
+    text to prove it."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_emails", n_emails.cast("bigint"))
+        .withColumn("n_phones", n_phones.cast("bigint"))
+        .withColumn(out_col, scrubbed)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: full md5 of normalized text plus a 63-bit
     integer prefix (join/bucket-friendly)."""

@@ -782,6 +782,161 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_repetition_stats",
+    r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i] || ' ' || t[i+1]) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_2grams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CAST(len(list_filter(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i] = t[i+1]))
+            AS BIGINT) AS n_stutters
+FROM g
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-2-gram
+    fraction, immediate token stutters) — map-only native expressions
+    over the documents scan; the filters that use them compose with
+    the curation gate at zero extra passes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.with_repetition_stats(docs).select(
+        "doc_id", "n_2grams", "dup_2gram_frac", "n_stutters"
+    )
+
+
+@_q(
+    "text_pii_scrub",
+    r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM salted
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails, phone-shaped tokens) with typed
+    placeholders — the pre-training scrub pass. The corpus has no PII,
+    so both engines append identical synthesized contact strings per
+    doc first; the differential then hashes the SCRUBBED text, so any
+    regex-dialect or replacement divergence breaks the match. Map-only
+    at scale (regexp_replace in whole-stage codegen)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    )
+    scrubbed = TX.scrub_pii(salted, text_col="t", out_col="t_scrubbed")
+    return scrubbed.select(
+        "doc_id", "n_emails", "n_phones", F.md5("t_scrubbed").alias("scrubbed_md5")
+    )
+
+
+@_q(
+    "curate_stratified_best",
+    r"""
+WITH scored AS (
+  SELECT lang, source, doc_id, n_chars,
+         n_chars * 1000000 - doc_id AS pick_key
+  FROM documents
+)
+SELECT lang, source,
+       arg_max(doc_id, pick_key) AS best_doc_id,
+       max(n_chars) AS best_n_chars,
+       CAST(count(*) AS BIGINT) AS n_in_stratum
+FROM scored GROUP BY lang, source
+""",
+)
+def curate_stratified_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exemplar selection: the best document per
+    (lang, source) stratum by a quality key — the "pick k per bucket"
+    curation primitive. The pick key is made unique
+    (score·1e6 − doc_id) so argmax is deterministic on BOTH engines
+    (max_by/arg_max tie behavior is otherwise unspecified). One
+    partial-aggregated shuffle on the stratum key at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.expr("max_by(doc_id, n_chars * 1000000 - doc_id)").alias("best_doc_id"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.count(F.lit(1)).alias("n_in_stratum"),
+        )
+    )
+
+
+@_q(
+    "curate_decontaminate",
+    r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+""",
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    3-gram with a held-out benchmark set (docs 0-4 stand in), with the
+    overlap count per flagged doc. The scale shape is an inverted-
+    index equi-join — corpus explodes to distinct (doc, gram) rows,
+    the (small) benchmark gram set broadcasts, and the aggregation is
+    partially applied map-side; the anti-join keep-list is this
+    result's complement. No all-pairs comparison anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 5)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lookup-replace and name parsing (reference J10/P6 and X9/U1)
 # ---------------------------------------------------------------------------

@@ -62,6 +62,9 @@ def test_native_paths_have_no_python_eval(spark, sf_dir):
         "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash_pairs",
         "text_quality_stats", "text_lang_id", "sim_topk_bruteforce",
         "mm_binary_metadata",
+        # r4 curation additions — all native expressions
+        "text_repetition_stats", "text_pii_scrub",
+        "curate_stratified_best", "curate_decontaminate",
     ]
     for name in native:
         assert not has_python_eval(_run(name, spark, sf_dir)), name
