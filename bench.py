@@ -239,12 +239,26 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             (F.col("vec_id") + F.col("__r") * (n + 1)).alias("vec_id"), "embedding"
         )
 
+        def construct_best(mk, n_tries: int = 3) -> tuple[float, object]:
+            # plan CONSTRUCTION (py4j + parse + eager analysis) is a
+            # real, fixed, scale-free part of each headline sample —
+            # reported separately so the spark-vs-duckdb gap at sf0.1
+            # attributes to the right place
+            best, df = float("inf"), None
+            for _ in range(n_tries):
+                t0 = time.time()
+                df = mk()
+                best = min(best, time.time() - t0)
+            return best, df
+
         q = emb.filter(F.col("vec_id") < 10)
-        s1 = _noop_best(S.topk_bruteforce(q, emb, k=5, dim=64))
+        c1, df1 = construct_best(lambda: S.topk_bruteforce(q, emb, k=5, dim=64))
+        s1 = _noop_best(df1)
         s8 = _noop_best(S.topk_bruteforce(q, emb8, k=5, dim=64))
         se = _noop_best(S.topk_bruteforce(q, empty, k=5, dim=64))
         marginal_us = (s8 - s1) / (n * (rep - 1)) * 1e6 if s8 > s1 else None
         out["sim_topk_bruteforce"] = {
+            "construct_sec": round(c1, 3),
             "sec_1x": round(s1, 3),
             "sec_8x_corpus": round(s8, 3),
             "empty_plan_sec": round(se, 3),
@@ -252,11 +266,13 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             "fixed_overhead_sec": round(s1 - (marginal_us or 0) * 1e-6 * n, 3),
         }
 
-        d1 = _noop_best(_emb_cosine_dedup(emb))
+        cd, dfd = construct_best(lambda: _emb_cosine_dedup(emb))
+        d1 = _noop_best(dfd)
         de = _noop_best(_emb_cosine_dedup(empty))
         # bucket stage alone (the linear, map-only part of the plan)
         b1 = _noop_best(S.with_hyperplane_bucket(emb, n_planes=16, dim=64))
         out["dedup_embedding_cosine"] = {
+            "construct_sec": round(cd, 3),
             "sec": round(d1, 3),
             "empty_plan_sec": round(de, 3),
             "bucket_stage_sec": round(b1, 3),

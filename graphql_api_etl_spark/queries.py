@@ -544,6 +544,78 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_salted_skew_join",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salted_join under the driver's hash gate: the
+    fact side salted over 16 buckets, the joined side replicated ×16,
+    so no task ever owns a whole hot key — and the oracle is the PLAIN
+    join, proving row-for-row equivalence. This is the explicit lever
+    for the case AQE's runtime skew split can't fix (hot keys on a
+    build side too big to broadcast). Equivalence is also
+    property-tested in tests/test_skew_and_tables.py."""
+    from graphql_api_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_q(
+    "a_two_phase_agg",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.two_phase_agg under the driver's hash gate:
+    partial aggregation on (key, salt) then final combine on key —
+    l_returnflag has 3 values over all of lineitem, a genuinely hot
+    grouping. The oracle is the plain GROUP BY, proving the two-phase
+    decomposition is value-identical for algebraic aggregates (sums
+    rounded: re-associating double addition moves the last bits)."""
+    from graphql_api_etl_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        sums=["l_quantity"],
+        mins=["l_extendedprice"],
+        maxs=["l_extendedprice"],
+        n_buckets=16,
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("min_l_extendedprice", 2).alias("min_price"),
+        F.round("max_l_extendedprice", 2).alias("max_price"),
+    )
+
+
+@_q(
     "v_count_gates",
     """
 SELECT (SELECT count(*) FROM customer) AS n_customer,
