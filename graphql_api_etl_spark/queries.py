@@ -930,6 +930,43 @@ def layout_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_jsonl_roundtrip",
+    """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM documents
+""",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines source — THE interchange format of LLM corpora: the
+    documents table is written once as JSONL (fingerprint-cached,
+    atomically published like the layout entries), read back with a
+    DECLARED schema (no inference scan — at 100 TB schema inference is
+    a full extra pass), and hash-matched against the parquet oracle
+    including an md5 of the text payload, so JSON string escaping must
+    round-trip byte-exactly. Line-splittable → parallel scan."""
+    from pyspark.sql import types as T
+
+    path, cached = _layout_cache_path(sf_dir, "documents_jsonl", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+        _publish_layout(lambda tmp: docs.write.mode("overwrite").json(tmp), path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    j = spark.read.schema(schema).json(path)
+    return j.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
     "tpch_q5_local_volume",
     """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
