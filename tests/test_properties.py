@@ -142,3 +142,41 @@ def test_closure_roots_equals_sequential_walk(spark, parents):
             node, depth = pmap[node], depth + 1
         assert got[c] == (node, depth), (c, got[c], (node, depth))
     assert len(got) == len(pmap)
+
+
+TOKENS = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=3), min_size=0, max_size=10
+)
+
+
+@given(toks=TOKENS, n=st.sampled_from([1, 2, 3, 5]))
+@_SETTINGS
+def test_ngrams_equals_python_reference(spark, toks, n):
+    """ngrams() must match the plain Python sliding window for any
+    token list — including lists shorter than n, where Spark's
+    sequence(1, 0) would otherwise produce a DESCENDING index range
+    (the r4 bug the _index_range guard exists for)."""
+    from graphql_api_etl_spark.operators.text import ngrams
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        ngrams(F.split(F.trim(F.col("text")), r"\s+"), n).alias("g")
+    ).first()["g"]
+    pytoks = text.strip().split() if text.strip() else [""]
+    expect = [" ".join(pytoks[i : i + n]) for i in range(len(pytoks) - n + 1)]
+    assert got == expect
+
+
+@given(texts=st.lists(st.text(alphabet="ab@. 5-", min_size=0, max_size=30), min_size=1, max_size=4))
+@_SETTINGS
+def test_scrub_pii_idempotent(spark, texts):
+    """Scrubbing is idempotent: placeholders must never re-match the
+    patterns (a second pass changes nothing)."""
+    from graphql_api_etl_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    once = scrub_pii(df).select("doc_id", F.col("text_scrubbed").alias("text"))
+    twice = scrub_pii(once).select("doc_id", "text_scrubbed")
+    joined = once.join(twice, "doc_id")
+    assert joined.filter(F.col("text") != F.col("text_scrubbed")).count() == 0
