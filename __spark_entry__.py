@@ -103,11 +103,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. Callable oracles are built
     lazily here (they embed data-derived literals — e.g. the IVF
-    oracle's trained centroids)."""
+    oracle's trained centroids). A callable that fails to build must
+    cost only ITS entry (omitted → that one records no_oracle), never
+    the whole gate."""
     out: dict[str, str] = {}
     for name in _ordered():
         oracle = QUERIES[name][1]
         if oracle is None:
             continue
-        out[name] = oracle() if callable(oracle) else oracle
+        if callable(oracle):
+            try:
+                out[name] = oracle()
+            except Exception:  # noqa: BLE001 — degrade to a single-entry miss
+                continue
+        else:
+            out[name] = oracle
     return out

@@ -84,9 +84,10 @@ def closure_roots(
         offenders = [r["node_id"] for r in stuck.select("node_id").limit(5).collect()]
         if offenders:
             raise ValueError(
-                f"closure_roots: parent edges contain a cycle — unresolved after "
-                f"{max_rounds} pointer-doubling rounds; offending node_ids include "
-                f"{offenders}"
+                f"closure_roots: unresolved after {max_rounds} pointer-doubling "
+                f"rounds — a cycle in the parent edges (or a chain deeper than "
+                f"2^{max_rounds}; raise max_rounds if that is real); offending "
+                f"node_ids include {offenders}"
             )
     return cur.select("node_id", F.col("anc").alias("root_id"), "depth")
 

@@ -971,6 +971,77 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125}
+
+
+def _mixture_sql() -> str:
+    rates = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    return (
+        "WITH keyed AS (SELECT doc_id, lang, source, "
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h, "
+        f"CASE lang {rates} ELSE 0.0 END AS rate FROM documents) "
+        "SELECT doc_id, lang, source FROM keyed "
+        "WHERE h < rate * 268435456.0"
+    )
+
+
+@_q("curate_domain_mixture", _mixture_sql())
+def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-mixing step of
+    LLM corpus assembly (per-domain acceptance rates, e.g. upweight
+    English, downsample zh to 12.5%): keep a doc iff its md5-uniform
+    28-bit hash falls under rate·2^28. Same subset on every engine,
+    every run, any partitioning (unlike rand()); map-only and
+    pushdown-friendly; composes with the stratum key for temperature
+    sampling. Rates are compile-time literals shared with the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(0.0)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    h = D.shingle_hash(F.col("doc_id").cast("string"))
+    return docs.filter(h < rate * float(1 << 28)).select("doc_id", "lang", "source")
+
+
+@_q(
+    "curate_token_packing",
+    r"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor((cum_tokens - 1) / 2000) AS BIGINT) AS shard_id
+FROM packed
+""",
+)
+def curate_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the packing step before
+    training: documents in a stable order, running token total, shard
+    id = ⌊(cum−1)/budget⌋ so each shard holds ~budget tokens. The
+    running sum is one window over the ordering key. At 100 TB the
+    same shape runs per stratum (PARTITION BY source) so no single
+    global ordering is required; the global variant here exists
+    because the oracle must see identical ordering."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - 1) / F.lit(2000)).cast("bigint").alias("shard_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lookup-replace and name parsing (reference J10/P6 and X9/U1)
 # ---------------------------------------------------------------------------
