@@ -53,7 +53,11 @@ def closure_roots(
         nxt = cur.select(
             F.col("node_id").alias("__n__"), F.col("anc").alias("__a__"), F.col("depth").alias("__d__")
         )
-        # compose the mapping with itself: anc -> anc's current ancestor
+        # compose the mapping with itself: anc -> anc's current ancestor.
+        # localCheckpoint (not persist): each round references the prior
+        # frontier twice (composition + fixpoint probe), so lineage
+        # doubles per round — truncating keeps analyzer time flat over
+        # the 20-round budget (same fix as connected_components)
         composed = (
             cur.join(nxt, cur.anc == nxt["__n__"], "left_outer")
             .select(
@@ -61,7 +65,7 @@ def closure_roots(
                 F.coalesce(F.col("__a__"), F.col("anc")).alias("anc"),
                 (F.col("depth") + F.coalesce(F.col("__d__"), F.lit(0))).alias("depth"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         # fixpoint: no node advanced this round (its ancestor is terminal)
         advanced = composed.join(
@@ -90,6 +94,79 @@ def closure_roots(
                 f"node_ids include {offenders}"
             )
     return cur.select("node_id", F.col("anc").alias("root_id"), "depth")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node_id, component_id) for every node appearing in ``pairs``,
+    where component_id is the MINIMUM node id in the component — the
+    step that turns near-dup PAIRS (MinHash/SimHash/cosine output)
+    into dedup CLUSTERS a keeper policy can pick from.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round every node takes the min of its own and its neighbors'
+    labels; fixpoint when no label changes. Rounds needed = graph
+    diameter — small for near-dup graphs (dense clusters); each round
+    is one equi-join + one min-aggregation, both partitioned on the
+    node key. For adversarial long-path graphs swap in the
+    large-star/small-star variant; the fixpoint loop and tests hold
+    unchanged. Raises after ``max_rounds`` without convergence rather
+    than returning partially-propagated labels."""
+    both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        both.unionByName(
+            both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        neighbor = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        # localCheckpoint, not persist: each round references the prior
+        # labels TWICE (propagation + change probe), so lineage doubles
+        # per round and analyzer time goes exponential by round ~10 —
+        # checkpointing truncates the plan to the materialized result
+        # (the standard fix for iterative DataFrame algorithms)
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise ValueError(
+            f"connected_components: labels still changing after {max_rounds} "
+            f"rounds — graph diameter exceeds max_rounds; raise it or use a "
+            f"star-contraction variant"
+        )
+    return labels.select("node", F.col("label").alias("component_id")).withColumnRenamed(
+        "node", "node_id"
+    )
 
 
 def hierarchy_from_edges(

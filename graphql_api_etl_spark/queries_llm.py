@@ -150,6 +150,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _jaccard_pairs_cte(threshold: float) -> str:
+    """Non-recursive CTE chain ending in p(id_a, id_b) — the
+    dedup_ngram_jaccard pair set, reusable inside other oracles."""
+    return (
+        f"{_NTOKS_CTE}, {_SHS_CTE}, "
+        "sizes AS (SELECT doc_id, len(sh) AS sz FROM shs), "
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shs), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
+        "FROM inv a JOIN inv b USING (shingle) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "scored AS (SELECT id_a, id_b, "
+        "round(n_common::DOUBLE / (za.sz + zb.sz - n_common), 4) AS jaccard "
+        "FROM common JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b), "
+        f"p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold})"
+    )
+
+
+@_q(
+    "dedup_cluster_components",
+    "WITH RECURSIVE "
+    + _jaccard_pairs_cte(0.5)
+    + ", e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION SELECT id_b, id_a FROM p), "
+    "reach(node, lab) AS ("
+    "SELECT src, src FROM e "
+    "UNION "
+    "SELECT e.dst, r.lab FROM e JOIN reach r ON r.node = e.src) "
+    "SELECT node AS node_id, min(lab) AS component_id FROM reach GROUP BY node",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: hash-min label
+    propagation (operators/graph.connected_components) over the
+    n-gram-Jaccard pair graph — the step every dedup pipeline needs
+    between pair generation and keeper selection (keep one doc per
+    component). Each round is one partitioned equi-join + min-agg;
+    rounds = component diameter (tiny for near-dup clusters). The
+    oracle recomputes the same pairs and closes them with DuckDB's
+    WITH RECURSIVE reachability, so both the pair set AND the
+    transitive clustering must match."""
+    from graphql_api_etl_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 def _simhash_sql() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

@@ -377,6 +377,30 @@ def test_closure_roots_cycle_raises(spark):
         closure_roots(self_loop, max_rounds=3).collect()
 
 
+def test_connected_components_basic(spark):
+    """Path component + separate pair + convergence raise."""
+    import pytest
+
+    from graphql_api_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8)], "id_a bigint, id_b bigint"
+    )
+    got = {r["node_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+    # a 12-node path has diameter 11: must RAISE at max_rounds=3, not
+    # return partially propagated labels
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(ValueError, match="diameter"):
+        connected_components(path, max_rounds=3)
+    # ...and converge with the default budget
+    full = {r["node_id"]: r["component_id"] for r in connected_components(path).collect()}
+    assert set(full.values()) == {0} and len(full) == 12
+
+
 def test_hierarchy_from_edges_dedups_edges(spark):
     """Duplicate edges must not multiply output rows (they would turn
     into duplicate mutations in the phased sink) — r3 ADVICE."""

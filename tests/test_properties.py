@@ -180,3 +180,42 @@ def test_scrub_pii_idempotent(spark, texts):
     twice = scrub_pii(once).select("doc_id", "text_scrubbed")
     joined = once.join(twice, "doc_id")
     assert joined.filter(F.col("text") != F.col("text_scrubbed")).count() == 0
+
+
+PAIRS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=12,
+).filter(lambda ps: any(a != b for a, b in ps))
+
+
+@given(pairs=PAIRS)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equals_union_find(spark, pairs):
+    """Distributed hash-min label propagation must equal a plain
+    union-find over the same edges (self-loops dropped)."""
+    from graphql_api_etl_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node_id"]: r["component_id"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
