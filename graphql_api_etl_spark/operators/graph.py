@@ -115,7 +115,13 @@ def connected_components(
     node key. For adversarial long-path graphs swap in the
     large-star/small-star variant; the fixpoint loop and tests hold
     unchanged. Raises after ``max_rounds`` without convergence rather
-    than returning partially-propagated labels."""
+    than returning partially-propagated labels.
+
+    Lineage is truncated per round with ``localCheckpoint`` (see the
+    inline note). localCheckpoint blocks are NOT replicated: on a real
+    cluster where executor loss must not kill a long job, set a
+    reliable checkpoint dir and switch the two call sites to
+    ``.checkpoint()`` — the loop is unchanged."""
     both = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         both.unionByName(

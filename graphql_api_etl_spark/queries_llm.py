@@ -196,6 +196,44 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@_q(
+    "dedup_cluster_keepers",
+    "WITH RECURSIVE "
+    + _jaccard_pairs_cte(0.5)
+    + ", e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION SELECT id_b, id_a FROM p), "
+    "reach(node, lab) AS ("
+    "SELECT src, src FROM e "
+    "UNION "
+    "SELECT e.dst, r.lab FROM e JOIN reach r ON r.node = e.src), "
+    "comp AS (SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node) "
+    "SELECT component_id, "
+    "arg_max(comp.doc_id, n_chars * 1000000 - comp.doc_id) AS keeper_id, "
+    "CAST(count(*) AS BIGINT) AS n_members "
+    "FROM comp JOIN documents USING (doc_id) GROUP BY component_id",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step, end-to-end under the hash gate:
+    pairs → clusters (connected_components) → ONE KEEPER per cluster
+    by a quality key (longest doc, deterministic unique pick key —
+    same pattern as curate_stratified_best). Everything upstream of
+    the final groupBy is partitioned on the node/doc key; the keeper
+    choice is an argmax aggregate, never a sort."""
+    from graphql_api_etl_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(pairs).withColumnRenamed("node_id", "doc_id")
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.expr("max_by(doc_id, n_chars * 1000000 - doc_id)").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 def _simhash_sql() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
