@@ -202,6 +202,42 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_scrubb
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al. 2003): hash
+    every character ``k``-gram of the normalized text, slide a window
+    of ``w`` consecutive hashes, keep each window's minimum — the
+    classic rolling-hash document fingerprint whose selected set is
+    position-stable under insertions (any shared substring of length
+    ≥ k+w−1 yields a shared fingerprint).
+
+    Built as ONE native expression chain (no Python): k-grams via a
+    substring transform, 28-bit md5-derived hashes (engine-portable —
+    the selection depends only on hash VALUES, so the classic O(1)
+    rolling update is a constant-factor optimization the oracle
+    doesn't need), window minima via slice+array_min, then distinct.
+    Emits ``fingerprints`` (sorted distinct array) per doc."""
+    expr = (
+        "CASE WHEN length({norm}) >= {k} "
+        "THEN transform(sequence(1, length({norm}) - {k} + 1), i -> "
+        "CAST(conv(substring(md5(substring({norm}, i, {k})), 1, 7), 16, 10) AS BIGINT)) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    ).format(norm=f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')", k=k)
+    hashed = df.withColumn("__kh__", F.expr(expr))
+    mins = (
+        "CASE WHEN size(__kh__) >= {w} "
+        "THEN transform(sequence(1, size(__kh__) - {w} + 1), j -> "
+        "array_min(slice(__kh__, j, {w}))) "
+        "ELSE __kh__ END"
+    ).format(w=w)
+    return (
+        hashed.withColumn("__wm__", F.expr(mins))
+        .withColumn("fingerprints", F.array_sort(F.array_distinct(F.col("__wm__"))))
+        .drop("__kh__", "__wm__")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: full md5 of normalized text plus a 63-bit
     integer prefix (join/bucket-friendly)."""

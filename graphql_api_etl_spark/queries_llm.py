@@ -1055,6 +1055,50 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_winnowing",
+    r"""
+WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+kh AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) >= 8
+              THEN list_transform(range(1, length(norm) - 8 + 2), i ->
+                   CAST('0x' || substr(md5(substr(norm, i, 8)), 1, 7) AS BIGINT))
+              ELSE [] END AS hs
+  FROM n
+),
+wm AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_transform(range(1, len(hs) - 4 + 2), j ->
+                   list_min(list_slice(hs, j, j + 3)))
+              ELSE hs END AS mins
+  FROM kh
+)
+SELECT doc_id,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_md5
+FROM wm
+""",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (the brief's 'document
+    fingerprinting (rolling hash)' in its classic MOSS form) over the
+    corpus: 8-char-gram hashes, window-4 minima, distinct set per doc.
+    The oracle recomputes the identical selection in DuckDB list ops
+    and hashes the sorted fingerprint set — selection semantics, not
+    just counts, must match. Map-only; at scale the fingerprint sets
+    feed the same banded-join machinery as MinHash for substring-level
+    near-dup detection."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = TX.winnowing_fingerprints(docs, k=8, w=4)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join("fingerprints", ",")).alias("fp_md5"),
+    )
+
+
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125}
 
 

@@ -231,6 +231,30 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[2]["n_emails"] == 0 and got[2]["text_scrubbed"] == "no pii here"
 
 
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing's defining property: two docs sharing a substring of
+    length ≥ k+w−1 share ≥1 fingerprint; docs shorter than k get an
+    empty set; k ≤ len < k+w−1 falls back to all k-gram hashes."""
+    from graphql_api_etl_spark.operators.text import winnowing_fingerprints
+
+    shared = "zqxwvutsrqponm"  # 14 chars > k+w-1 = 11
+    df = spark.createDataFrame(
+        [
+            (1, f"aaa {shared} bbb"),
+            (2, f"ccccc {shared} d"),
+            (3, "tiny"),          # < k → empty
+            (4, "exactly9c"),     # 9 chars: 2 k-grams < w → fallback
+            (5, "unrelated text with zero overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(df).collect()}
+    assert fp[1] & fp[2], "shared ≥(k+w−1)-substring must share a fingerprint"
+    assert fp[3] == set()
+    assert len(fp[4]) >= 1
+    assert not (fp[3] & fp[5])
+
+
 def test_lang_guess_argmax(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a to"), (2, "table row column join query query")],
