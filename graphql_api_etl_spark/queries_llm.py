@@ -1099,6 +1099,55 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "curate_winsorize",
+    """
+WITH b AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, documents.lang,
+       round(lo, 2) AS lo, round(hi, 2) AS hi,
+       round(CASE WHEN n_chars < lo THEN lo WHEN n_chars > hi THEN hi
+                  ELSE n_chars END, 2) AS n_chars_w,
+       CAST((n_chars < lo OR n_chars > hi) AS BIGINT) AS clipped
+FROM documents JOIN b ON documents.lang = b.lang
+""",
+)
+def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to the group's p5/p95) — the
+    outlier-handling staple of feature cleaning, in the scale shape:
+    one partially-aggregated percentile pass per group (bounded: one
+    row per lang), broadcast of that tiny bounds table back onto the
+    fact, clip as a map-side expression. Exact interpolated
+    percentiles on both engines (a_percentiles' proven pairing);
+    at extreme group cardinality swap in approx_percentile at a
+    declared error bound."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    joined = docs.join(F.broadcast(bounds), "lang")
+    clip = (
+        F.when(F.col("n_chars") < F.col("lo"), F.col("lo"))
+        .when(F.col("n_chars") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("n_chars"))
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+        F.round(clip, 2).alias("n_chars_w"),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+        .cast("bigint")
+        .alias("clipped"),
+    )
+
+
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125}
 
 
