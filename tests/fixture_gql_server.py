@@ -30,6 +30,7 @@ class FixtureGQLServer:
         self.fail_record_when = None  # predicate dict -> bool for per-record failure
         self.connections = 0  # distinct TCP connections accepted
         self.requests = 0  # total POSTs served
+        self.close_each = False  # send Connection: close per response
         self._lock = threading.Lock()
         outer = self
 
@@ -83,6 +84,9 @@ class FixtureGQLServer:
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
+                if outer.close_each:
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(data)
 

@@ -179,6 +179,17 @@ def test_mutation_sink_one_connection_per_partition(spark):
         assert server.connections <= 4  # ...but ≤1 connection per partition
 
 
+def test_server_initiated_close_falls_back_per_request():
+    """An endpoint that refuses keep-alive (Connection: close on every
+    response) must still work — the client reconnects per request
+    instead of failing on the dropped socket."""
+    with FixtureGQLServer(make_pages(4, 2)) as server:
+        server.close_each = True
+        nodes = walk_pages(_conn_client(server))
+        assert len(nodes) == 8
+        assert server.connections >= 4  # no reuse possible, one per request
+
+
 def test_account_scoping_travels_as_headers():
     with FixtureGQLServer(make_pages(1, 1)) as server:
         client = _conn_client(server, current_account_id="acct-1", account_ids=["acct-1", "acct-2"])

@@ -31,3 +31,27 @@ def test_discover_handles_missing_kinds(tmp_path):
 
     found = discover_input_files(str(tmp_path))
     assert found == {"xlsx": None, "csv": None}
+
+
+def test_publish_layout_race_loser_discards(tmp_path):
+    """_publish_layout: if another session published the final dir
+    between the cache check and the rename, the loser's build is
+    discarded and the winner's copy is untouched."""
+    import os
+
+    from graphql_api_etl_spark.queries import _publish_layout
+
+    final = str(tmp_path / "copy")
+    os.makedirs(final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as fh:
+        fh.write("winner")
+
+    def build(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("loser")
+
+    _publish_layout(build, final)
+    with open(os.path.join(final, "_SUCCESS")) as fh:
+        assert fh.read() == "winner"
+    assert not [p for p in os.listdir(tmp_path) if ".tmp." in p]
