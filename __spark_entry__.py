@@ -83,9 +83,12 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
-    "events_asof_join",
-    "a_hierarchy_levels",
-    "x_hierarchy_closure",
+    # final 3 slots: the heaviest round-4 additions get first driver
+    # evidence (the displaced core entries — asof/hierarchy — carry
+    # green r3 rows and rotate back in r5):
+    "dedup_cluster_components",
+    "text_winnowing",
+    "j_salted_skew_join",
 ]
 
 
