@@ -231,6 +231,27 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[2]["n_emails"] == 0 and got[2]["text_scrubbed"] == "no pii here"
 
 
+def test_int8_quantization_reconstruction_bound(spark, sf_dir):
+    """Symmetric int8: every reconstructed component must be within
+    half a quantization step (scale/254) of the original — the
+    semantic property behind the emb_quantize_int8 catalog entry."""
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = emb.selectExpr(
+        "vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        "array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x))) AS scale",
+    ).selectExpr(
+        "vec_id",
+        "scale",
+        "aggregate(zip_with(v, transform(v, x -> round(x / scale * 127.0) * scale / 127.0),"
+        " (a, b) -> abs(a - b)), CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e)) AS max_err",
+    )
+    bad = q.filter("max_err > scale / 254.0 + 1e-12").count()
+    assert bad == 0
+
+
 def test_winnowing_guarantee_and_edges(spark):
     """Winnowing's defining property: two docs sharing a substring of
     length ≥ k+w−1 share ≥1 fingerprint; docs shorter than k get an

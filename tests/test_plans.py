@@ -65,6 +65,9 @@ def test_native_paths_have_no_python_eval(spark, sf_dir):
         # r4 curation additions — all native expressions
         "text_repetition_stats", "text_pii_scrub",
         "curate_stratified_best", "curate_decontaminate",
+        "text_winnowing", "curate_winsorize",
+        "curate_domain_mixture", "curate_token_packing",
+        "emb_quantize_int8", "j_salted_skew_join", "a_two_phase_agg",
     ]
     for name in native:
         assert not has_python_eval(_run(name, spark, sf_dir)), name
