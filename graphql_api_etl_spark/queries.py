@@ -967,6 +967,33 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_orc_roundtrip",
+    """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM documents
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink — the other columnar interchange format Spark
+    ships natively (Hive-ecosystem corpora arrive as ORC). The
+    documents table is written once as ORC (fingerprint-cached,
+    atomically published), read back, and hash-matched against the
+    parquet oracle including an md5 of the text payload — so type
+    mapping and string encoding must round-trip byte-exactly. ORC is
+    splittable with stripe-level predicate pushdown, so the scan
+    parallelizes like parquet at 100 TB."""
+    path, cached = _layout_cache_path(sf_dir, "documents_orc", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+        _publish_layout(lambda tmp: docs.write.mode("overwrite").orc(tmp), path)
+    o = spark.read.orc(path)
+    return o.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
     "tpch_q5_local_volume",
     """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1321,3 +1321,186 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level curation passes (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+from graphql_api_etl_spark.operators import corpus as C  # noqa: E402
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """DuckDB list of the k md5-derived Bloom bit positions for a key —
+    mirrors corpus.bloom_positions exactly."""
+    cells = ", ".join(
+        f"CAST('0x' || substr(md5('bloom{j}:' || {key_expr}), 1, 7) AS BIGINT) "
+        f"% {C.BLOOM_BITS}"
+        for j in range(C.BLOOM_HASHES)
+    )
+    return f"[{cells}]"
+
+
+@_q(
+    "dedup_span_exact",
+    rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sp AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(CAST(ceil(len(t) / {C.SPAN_WORDS}.0) AS BIGINT), 1)),
+                        i -> array_to_string(t[(i*{C.SPAN_WORDS}+1):(i*{C.SPAN_WORDS}+{C.SPAN_WORDS})], ' ')) AS spans
+  FROM toks
+),
+rows_ AS (
+  SELECT doc_id, unnest(spans) AS span,
+         unnest(range(0, len(spans))) AS span_idx
+  FROM sp
+),
+k AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
+  FROM rows_
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE keep), '')) AS new_text_md5
+FROM k GROUP BY doc_id
+""",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-SPAN removal with document reassembly: any
+    20-word span seen elsewhere in the corpus survives only at its
+    first (doc_id, span_idx) occurrence; documents are re-joined from
+    their surviving spans. This is the intra-document-granularity
+    dedup that exact/MinHash doc-level dedup cannot do (boilerplate
+    headers, repeated disclaimers). Two balanced shuffles at any
+    scale — see operators/corpus.dedup_spans. The differential hashes
+    the reassembled text itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = C.dedup_spans(docs)
+    return out.select(
+        "doc_id", "n_spans", "n_kept", F.md5("new_text").alias("new_text_md5")
+    )
+
+
+@_q(
+    "curate_global_shuffle",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{C.SHARD_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, shuffle_key,
+         CAST('0x' || substr(shuffle_key, 1, 7) AS BIGINT) % 8 AS shard_id
+  FROM keyed
+)
+SELECT doc_id, shuffle_key, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id)
+            AS BIGINT) AS pos
+FROM sharded
+""",
+)
+def curate_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → training-shard assignment: every
+    document gets a reproducible pseudo-random position (md5 sort key,
+    28-bit-prefix shard, row_number within shard). The "shuffle your
+    corpus exactly once, identically on every rerun" pass that
+    precedes shard writing. One shuffle total; md5 keys make shards
+    uniform by construction (operators/corpus.global_shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return C.global_shuffle(docs, n_shards=8)
+
+
+@_q(
+    "curate_bloom_decontaminate",
+    rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(grams) AS key FROM g WHERE doc_id < 5),
+bpos AS (SELECT DISTINCT unnest({_bloom_pos_sql('key')}) AS p FROM bench),
+bits AS (SELECT list_sort(list(p)) AS bits FROM bpos),
+corpus AS (SELECT doc_id, unnest(grams) AS key FROM g WHERE doc_id >= 5),
+probe AS (
+  SELECT doc_id, key,
+         list_has_all(bits, {_bloom_pos_sql('key')}) AS bloom_hit,
+         key IN (SELECT key FROM bench) AS exact_hit
+  FROM corpus, bits
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       max(bloom_hit) AS bloom_flagged
+FROM probe GROUP BY doc_id
+""",
+)
+def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: benchmark 3-grams (docs 0-4 stand
+    in) build a DETERMINISTIC md5-hashed Bloom filter (8192 bits, k=3)
+    that is broadcast and probed map-only over the corpus — the scale
+    path when the benchmark gram set itself is too big to broadcast
+    exactly but its Bloom image is a few KB. Exact hits ride along, so
+    the output exhibits the filter's contract: every exact hit is a
+    bloom hit (no false negatives), false positives bounded by the
+    standard (1-e^{{-kn/m}})^k rate. The oracle replays the identical
+    hash family bit-for-bit — the FPR set matches exactly, not just
+    within a bound."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+    )
+    bench_keys = (
+        grams.filter(F.col("doc_id") < 5)
+        .select(F.explode("grams").alias("key"))
+        .distinct()
+    )
+    bits = C.bloom_build(bench_keys, key_col="key")
+    corpus = grams.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("grams").alias("key")
+    )
+    probed = C.bloom_probe(corpus, "key", bits)
+    marked = probed.join(
+        F.broadcast(bench_keys.withColumn("__ex", F.lit(1))), "key", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("bigint")).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("__ex"), F.lit(0)).cast("bigint")).cast("bigint").alias("n_exact_hits"),
+        F.max("bloom_hit").alias("bloom_flagged"),
+    )
+
+
+@_q(
+    "text_unigram_logprob",
+    r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+tot AS (SELECT sum(c) AS total FROM v),
+lp AS (SELECT word, ln(c / total) AS lp FROM v, tot)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 3) AS avg_logprob
+FROM w JOIN lp USING (word)
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram LM scoring: each document's mean ln-probability
+    of its tokens under the corpus's own unigram distribution — the
+    cheap KenLM-style typicality signal used as a pre-training quality
+    filter. Vocab counts shuffle by word (partial agg collapses heavy
+    hitters map-side), the tiny vocab broadcasts back (Heaps' law), so
+    the corpus-sized stream is never reshuffled
+    (operators/corpus.unigram_logprob)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.unigram_logprob(docs)

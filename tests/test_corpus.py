@@ -1,0 +1,140 @@
+"""Semantic tests for operators/corpus.py — duplicate-span removal,
+deterministic global shuffle, Bloom decontamination, unigram LM
+scoring. (Cross-engine value equality is covered separately by
+test_oracle_diff; these pin the operator CONTRACTS on hand-built
+inputs where the expected answer is known by construction.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_removes_later_occurrence_only(spark):
+    boiler = " ".join(f"b{i}" for i in range(C.SPAN_WORDS))
+    uniq_a = " ".join(f"a{i}" for i in range(C.SPAN_WORDS))
+    uniq_b = " ".join(f"c{i}" for i in range(C.SPAN_WORDS))
+    df = _docs(spark, [(1, f"{boiler} {uniq_a}"), (2, f"{boiler} {uniq_b}")])
+    out = {r["doc_id"]: r for r in C.dedup_spans(df).collect()}
+    # doc 1 holds the first occurrence -> intact; doc 2 loses the span.
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["new_text"] == f"{boiler} {uniq_a}"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["new_text"] == uniq_b
+
+
+def test_dedup_spans_dedupes_within_one_doc(spark):
+    span = " ".join(f"w{i}" for i in range(C.SPAN_WORDS))
+    df = _docs(spark, [(7, f"{span} {span}")])
+    row = C.dedup_spans(df).collect()[0]
+    assert row["n_spans"] == 2 and row["n_kept"] == 1
+    assert row["new_text"] == span
+
+
+def test_dedup_spans_fully_duplicate_doc_empties(spark):
+    span = " ".join(f"z{i}" for i in range(C.SPAN_WORDS))
+    df = _docs(spark, [(1, span), (2, span)])
+    out = {r["doc_id"]: r for r in C.dedup_spans(df).collect()}
+    assert out[1]["new_text"] == span
+    assert out[2]["new_text"] == "" and out[2]["n_kept"] == 0
+
+
+def test_dedup_spans_partial_final_span_preserved(spark):
+    # 25 words -> one full 20-word span + one 5-word tail span.
+    words = [f"p{i}" for i in range(25)]
+    df = _docs(spark, [(1, " ".join(words))])
+    row = C.dedup_spans(df).collect()[0]
+    assert row["n_spans"] == 2 and row["n_kept"] == 2
+    assert row["new_text"] == " ".join(words)
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_is_deterministic_partition(spark):
+    df = _docs(spark, [(i, "x") for i in range(100)]).select("doc_id")
+    a = C.global_shuffle(df, n_shards=4).collect()
+    b = C.global_shuffle(df, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # A permutation: every doc exactly once; positions contiguous from 1
+    # within each shard.
+    assert sorted(r["doc_id"] for r in a) == list(range(100))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard_id"] < 4
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 100
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_global_shuffle_order_follows_key(spark):
+    df = _docs(spark, [(i, "x") for i in range(50)]).select("doc_id")
+    rows = C.global_shuffle(df, n_shards=2).collect()
+    for shard in (0, 1):
+        in_shard = sorted(
+            (r for r in rows if r["shard_id"] == shard), key=lambda r: r["pos"]
+        )
+        keys = [r["shuffle_key"] for r in in_shard]
+        assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    members = [(f"member-{i}",) for i in range(200)]
+    others = [(f"other-{i}",) for i in range(1000)]
+    keys = spark.createDataFrame(members, "key string")
+    bloom = C.bloom_build(keys)
+    probe = spark.createDataFrame(members + others, "key string")
+    got = {r["key"]: r["bloom_hit"] for r in C.bloom_probe(probe, "key", bloom).collect()}
+    assert all(got[k] for (k,) in members), "bloom filter missed a member"
+    # k=3, n=200, m=8192 -> theoretical FPR ~ (1-e^(-3*200/8192))^3 ~ 3e-4.
+    false_pos = sum(1 for (k,) in others if got[k])
+    assert false_pos <= 10
+
+
+def test_bloom_bitmap_is_dense_and_bounded(spark):
+    keys = spark.createDataFrame([("a",), ("b",)], "key string")
+    row = C.bloom_build(keys).collect()[0]
+    assert len(row["bitmap"]) == C.BLOOM_BITS
+    assert 1 <= sum(row["bitmap"]) <= 2 * C.BLOOM_HASHES
+
+
+# ---------------------------------------------------------------------------
+# unigram logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_rare_words_score_lower(spark):
+    common = " ".join(["the"] * 20)
+    rare = "zyx wvu tsr qpo nml"
+    df = _docs(spark, [(1, common), (2, rare)])
+    out = {r["doc_id"]: r for r in C.unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 20 and out[2]["n_tokens"] == 5
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_unigram_logprob_uniform_corpus_exact_value(spark):
+    import math
+
+    # 4 distinct words, each once -> every token lp = ln(1/4).
+    df = _docs(spark, [(1, "a b"), (2, "c d")])
+    out = C.unigram_logprob(df).collect()
+    want = round(math.log(0.25), 3)
+    assert all(abs(r["avg_logprob"] - want) < 1e-9 for r in out)
