@@ -160,42 +160,41 @@ def bloom_positions(col: Column, n_bits: int = BLOOM_BITS,
 
 def bloom_build(keys: DataFrame, key_col: str = "key",
                 n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES) -> DataFrame:
-    """Build the filter from a (small) key set: single-row DataFrame
-    with a DENSE ``n_bits``-slot boolean bitmap. The dense form costs
-    n_bits·|set| once at build (one row) and buys O(1) element_at
-    probes — the sparse sorted-array alternative makes every probe an
-    interpreted O(|set|) array scan, which measured ~20× slower on the
-    probe side. At 8192 bits the bitmap is ~8 KB broadcast payload;
-    a production variant would pack it to a byte array."""
-    pos = keys.select(
+    """Build the filter from a (small) key set: the DISTINCT set-bit
+    positions as rows (column ``p``). Bounded by min(n_bits, k·|keys|)
+    rows — a few KB for a benchmark-decontamination build side, so the
+    probe can broadcast it as a hash table. Two earlier representations
+    measured badly: a sorted array probed with array_contains is an
+    interpreted O(|set|) scan PER PROBE (~20× slower), and a dense
+    n_bits boolean bitmap costs an O(n_bits·|set|) interpreted
+    transform on one task at build (~4 s). Position rows + broadcast
+    hash joins keep both sides codegen'd and O(1)."""
+    return keys.select(
         F.explode(bloom_positions(F.col(key_col), n_bits, n_hashes)).alias("p")
-    )
-    sparse = pos.agg(F.sort_array(F.collect_set("p")).alias("bits"))
-    bitmap = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda i: F.array_contains("bits", i.cast("bigint")),
-    )
-    return sparse.select(bitmap.alias("bitmap"))
+    ).distinct()
 
 
 def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
                 n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES,
                 out_col: str = "bloom_hit") -> DataFrame:
-    """Probe: a key hits iff ALL its k positions are set. The filter
-    row is broadcast (crossJoin with a 1-row frame), so the probe is
-    map-only over the corpus — the scale path for "drop anything that
-    might be in the benchmark" before an exact confirmation join.
-    The k element_at lookups are plain codegen'd expressions (no
-    higher-order functions on the per-row path)."""
+    """Probe: a key hits iff ALL its k positions are set — k broadcast
+    hash LEFT joins against the position set, hit = every join matched.
+    Map-only over the corpus (the identical broadcast subtree is
+    planned once and reused), fully inside whole-stage codegen — the
+    scale path for "drop anything that might be in the benchmark"
+    before an exact confirmation join."""
+    markers = [f"__bloom_p{j}" for j in range(n_hashes)]
+    out = df
     hit = None
-    for p in bloom_position_cols(F.col(key_col), n_bits, n_hashes):
-        term = F.element_at("bitmap", (p + 1).cast("int"))
+    for marker, p in zip(markers, bloom_position_cols(F.col(key_col), n_bits, n_hashes)):
+        out = out.join(
+            F.broadcast(bloom.select(F.col("p").alias(marker))),
+            p == F.col(marker),
+            "left",
+        )
+        term = F.col(marker).isNotNull()
         hit = term if hit is None else hit & term
-    return (
-        df.crossJoin(F.broadcast(bloom))
-        .withColumn(out_col, hit)
-        .drop("bitmap")
-    )
+    return out.withColumn(out_col, hit).drop(*markers)
 
 
 # ---------------------------------------------------------------------------

