@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_quality_stats",
     "sim_topk_bruteforce",
+    "dedup_span_exact",
+    "curate_bloom_decontaminate",
 ]
 
 TABLES = [

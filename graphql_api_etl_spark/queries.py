@@ -2472,3 +2472,101 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline catalog entries register themselves into QUERIES on
 # import (bottom import avoids the circular _q dependency).
 from graphql_api_etl_spark import queries_llm  # noqa: E402,F401
+
+
+@_q(
+    "a_grouping_sets",
+    """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form behind ROLLUP/CUBE,
+    both already covered): per-status totals, per-priority totals, and
+    the grand total in ONE pass — Spark's Expand multiplies rows by
+    set count BEFORE the partial aggregation, so the exchange carries
+    |groups|·3, not |input|·3. Reference parity: the multi-view
+    success accounting of ETL:1033-1060 as a single plan."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "events_latest_per_user",
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, round(value, 2) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM ranked WHERE rn = 1
+""",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keep-latest-per-key compaction: each user's most
+    recent event ((ts, event_id) DESC tie-break) — the dedup that
+    turns an append-only change stream into current state. One
+    shuffle on the key; the window's rank=1 filter is applied
+    streaming within each sorted partition, and at 100 TB this is the
+    same plan a MERGE-on-read compaction job runs. Reference parity:
+    drop_duplicates-keep-latest (ETL:781) with explicit ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        )
+    )
+
+
+@_q(
+    "source_text_lines",
+    """
+SELECT doc_id, md5(text) AS text_md5
+FROM documents
+""",
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source (spark.read.text) — raw corpora arrive
+    as one-record-per-line text files. The documents table is written
+    once as TSV-ish lines (doc_id<TAB>text; the corpus is single-line
+    so the framing is lossless), read back as raw lines, and re-parsed
+    with native substring ops. Hash-matching the text against the
+    parquet oracle proves the line framing round-trips byte-exactly.
+    Newline-splittable → parallel scan at 100 TB."""
+    path, cached = _layout_cache_path(sf_dir, "documents_txt", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+        _publish_layout(
+            lambda tmp: docs.select(
+                F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+            ).write.mode("overwrite").text(tmp),
+            path,
+        )
+    lines = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.md5(F.expr("substring(value, instr(value, '\t') + 1)")).alias("text_md5"),
+    )

@@ -1504,3 +1504,135 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.unigram_logprob)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return C.unigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# Model-style scoring passes: fixed-weight quality logit, embedding
+# outlier detection against label centroids
+# ---------------------------------------------------------------------------
+
+# Fixed published-style weights for the quality logit (the shape of a
+# fastText/logreg quality classifier, frozen so both engines score
+# identically): z = b + w·features over the ROUNDED feature columns.
+_LOGIT_B = -2.0
+_LOGIT_W_LNTOK = 0.9
+_LOGIT_W_STOP = 8.0
+_LOGIT_W_DIGIT = -6.0
+_LOGIT_W_DUP = -3.0
+
+
+@_q(
+    "curate_quality_logit",
+    rf"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text), 4) AS digit_ratio,
+         CASE WHEN len(t) >= 2
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM toks
+),
+z AS (
+  SELECT doc_id, n_tokens, stopword_ratio, digit_ratio, dup_2gram_frac,
+         {_LOGIT_B} + {_LOGIT_W_LNTOK} * ln(n_tokens)
+                    + {_LOGIT_W_STOP} * stopword_ratio
+                    + {_LOGIT_W_DIGIT} * digit_ratio
+                    + {_LOGIT_W_DUP} * dup_2gram_frac AS z
+  FROM f
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+       z > 0 AS keep
+FROM z
+""",
+)
+def curate_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier over the native text
+    features (ln tokens, stopword ratio, digit ratio, duplicate-2-gram
+    fraction) — the shape of a trained fastText/logreg quality model
+    applied as pure columnar math, i.e. model SCORING at scan speed
+    with no Python on the path. Features are rounded to 4 decimals
+    before entering the logit on both engines, so the differential is
+    deterministic; keep = z > 0 (≡ score ≥ 0.5). At 100 TB this is the
+    map-only "keep the top-quality slice" gate that feeds sampling."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = TX.with_repetition_stats(TX.with_quality_score(TX.with_text_stats(docs)))
+    z = (
+        F.lit(_LOGIT_B)
+        + F.lit(_LOGIT_W_LNTOK) * F.log(F.col("n_tokens").cast("double"))
+        + F.lit(_LOGIT_W_STOP) * F.col("stopword_ratio")
+        + F.lit(_LOGIT_W_DIGIT) * F.col("digit_ratio")
+        + F.lit(_LOGIT_W_DUP) * F.col("dup_2gram_frac")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("quality_score"),
+        (z > 0).alias("keep"),
+    )
+
+
+_EMB_DIM = 64
+
+
+def _outlier_oracle_sql() -> str:
+    """Centroid/distance SQL generated over the 64 dims in a FIXED
+    term order so both engines sum identically."""
+    cent = ", ".join(f"avg(v[{i}]) AS c{i}" for i in range(1, _EMB_DIM + 1))
+    dist2 = " + ".join(f"(v[{i}] - c{i}) * (v[{i}] - c{i})" for i in range(1, _EMB_DIM + 1))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT label, {cent} FROM e GROUP BY label),
+d AS (
+  SELECT vec_id, e.label, round(sqrt({dist2}), 4) AS dist
+  FROM e JOIN c ON e.label = c.label
+),
+s AS (SELECT label, avg(dist) AS mean_d, stddev_samp(dist) AS std_d FROM d GROUP BY label)
+SELECT vec_id, d.label, dist,
+       dist > mean_d + 2.0 * std_d AS is_outlier
+FROM d JOIN s ON d.label = s.label
+"""
+
+
+@_q("curate_embedding_outliers", _outlier_oracle_sql())
+def curate_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection per label: distance of each
+    vector to its label centroid, flagged when > mean + 2σ within the
+    label — the "probably mislabeled / garbage embedding" curation
+    pass before contrastive training.
+
+    Scale shape: centroids via ONE partial-aggregated groupBy emitting
+    64 scalar avg columns (no per-dim explode — the map side reduces
+    each partition to |labels|·64 doubles before the shuffle), then a
+    broadcast join back (|labels| rows), a map-only fixed-order
+    distance expression, a second tiny per-label moment aggregate, and
+    a second broadcast join. The corpus-sized stream is never
+    reshuffled; everything stays in whole-stage codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
+    cent = e.groupBy("label").agg(
+        *[F.avg(F.element_at("v", i)).alias(f"c{i}") for i in range(1, _EMB_DIM + 1)]
+    )
+    dist2 = None
+    for i in range(1, _EMB_DIM + 1):
+        term = (F.element_at("v", i) - F.col(f"c{i}")) * (
+            F.element_at("v", i) - F.col(f"c{i}")
+        )
+        dist2 = term if dist2 is None else dist2 + term
+    d = (
+        e.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", F.round(F.sqrt(dist2), 4).alias("dist"))
+    )
+    s = d.groupBy("label").agg(
+        F.avg("dist").alias("mean_d"), F.stddev_samp("dist").alias("std_d")
+    )
+    return d.join(F.broadcast(s), "label").select(
+        "vec_id", "label", "dist",
+        (F.col("dist") > F.col("mean_d") + 2.0 * F.col("std_d")).alias("is_outlier"),
+    )

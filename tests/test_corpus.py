@@ -139,3 +139,53 @@ def test_unigram_logprob_uniform_corpus_exact_value(spark):
     out = C.unigram_logprob(df).collect()
     want = round(math.log(0.25), 3)
     assert all(abs(r["avg_logprob"] - want) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Catalog-level contracts for the scoring/compaction entries (value
+# equality vs DuckDB is covered by test_oracle_diff)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_logit_score_range_and_keep_consistency(spark, sf_dir):
+    from graphql_api_etl_spark.queries import QUERIES
+
+    rows = QUERIES["curate_quality_logit"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["quality_score"] < 1.0
+        if abs(r["quality_score"] - 0.5) > 1e-3:
+            assert r["keep"] == (r["quality_score"] > 0.5)
+
+
+def test_embedding_outliers_minority_and_nonnegative(spark, sf_dir):
+    from graphql_api_etl_spark.queries import QUERIES
+
+    rows = QUERIES["curate_embedding_outliers"][0](spark, sf_dir).collect()
+    assert rows
+    assert all(r["dist"] >= 0 for r in rows)
+    n_out = sum(1 for r in rows if r["is_outlier"])
+    # 2-sigma flags must be a small minority of any sane distribution.
+    assert n_out < 0.2 * len(rows)
+    labels_all = {r["label"] for r in rows}
+    labels_with_inlier = {r["label"] for r in rows if not r["is_outlier"]}
+    assert labels_all == labels_with_inlier
+
+
+def test_latest_per_user_is_argmax(spark, sf_dir):
+    from graphql_api_etl_spark.queries import QUERIES
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    out = QUERIES["events_latest_per_user"][0](spark, sf_dir).collect()
+    users = [r["user_id"] for r in out]
+    assert len(users) == len(set(users))
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["mx"]
+        for r in ev.groupBy("user_id")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx"))
+        .collect()
+    }
+    assert len(out) == len(want)
+    for r in out:
+        assert r["latest_ts"] == want[r["user_id"]]
