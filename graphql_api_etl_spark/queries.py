@@ -2570,3 +2570,157 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
         F.md5(F.expr("substring(value, instr(value, '\t') + 1)")).alias("text_md5"),
     )
+
+
+@_q(
+    "sink_merge_upsert",
+    """
+WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0),
+ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 997 = 0),
+del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 499 = 0),
+chg_keys AS (
+  SELECT o_orderkey FROM upd
+  UNION SELECT o_orderkey FROM ins
+  UNION SELECT o_orderkey FROM del
+),
+merged AS (
+  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+  UNION ALL
+  SELECT * FROM upd WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+  UNION ALL
+  SELECT * FROM ins
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total_price
+FROM merged GROUP BY o_orderpriority
+""",
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (sinks/merge.merge_frames):
+    a deterministic changeset — updates (+1000.00 on keys ≡ 0 mod 97;
+    tie-free arithmetic, since scaling 2-decimal prices creates .xx5
+    rounding boundaries where Spark's decimal HALF_UP and DuckDB's
+    double rounding disagree), inserts (key-shifted copies, mod 997)
+    and deletes (mod 499,
+    delete-wins on collision) — applied as one left-anti + union plan
+    where the change side broadcasts, so the target scan never
+    shuffles. The differential aggregates the MERGED state per
+    priority, so a row lost, duplicated, or mis-updated anywhere
+    breaks the match. The file-level atomic-swap variant
+    (merge_upsert) is pytest-covered."""
+    from graphql_api_etl_spark.sinks.merge import merge_frames
+
+    o = _t(spark, sf_dir, "orders")
+    t = o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    upd = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 499 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("op", F.lit("D"))
+    )
+    merged = merge_frames(t, upd.unionByName(ins).unionByName(dele), ["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@_q(
+    "x_datetime_functions",
+    """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_3_months,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+FROM orders WHERE o_orderkey % 32 = 0
+""",
+)
+def x_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function breadth (X-family extension; the reference's
+    only temporal op is the weekly date arithmetic in ETL:186-204):
+    truncation, field extraction, interval arithmetic, day diffs and
+    month-end — all native Catalyst expressions, map-only, with
+    cross-engine convention bridges spelled out in the oracle (DuckDB
+    dayofweek is 0=Sunday vs Spark's 1=Sunday; dates formatted as
+    strings so DATE vs TIMESTAMP renderings can't drift)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 32 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow_sun1"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd HH:mm:ss").alias("plus_3_months"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@_q(
+    "curate_dataset_card",
+    """
+WITH toks AS (SELECT doc_id, lang, source, text,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok
+              FROM documents),
+lang_counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM lang_counts) AS BIGINT) AS n_langs,
+       (SELECT lang FROM lang_counts ORDER BY c DESC, lang LIMIT 1) AS top_lang,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       round(avg(length(text)), 2) AS mean_chars
+FROM toks
+""",
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the one-row corpus profile (doc/token
+    totals, language spread and winner, source count, mean length)
+    every released training set ships with. One partial-aggregated
+    pass plus a tiny language rollup — at 100 TB the expensive part is
+    the token count, which rides the same scan as every other per-doc
+    stat."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    lang_counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        lang_counts.orderBy(F.col("c").desc(), F.col("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    n_langs = lang_counts.agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    card = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.round(F.avg(F.length("text")), 2).alias("mean_chars"),
+    )
+    return (
+        card.crossJoin(F.broadcast(n_langs))
+        .crossJoin(F.broadcast(top))
+        .select("n_docs", "total_tokens", "n_langs", "top_lang", "n_sources", "mean_chars")
+    )

@@ -189,3 +189,47 @@ def test_threshold_alerts_stateful_across_batches(spark, tmp_path):
     # batch 3: one event crossing TWO levels at once (u2 +250 -> 360)
     got3 = drain([("u2", 250.0)])
     assert got3 == got2 | {("u2", 2, 360.0), ("u2", 3, 360.0)}
+
+
+def test_first_seen_streaming_dedup_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API):
+    first-seen dedup emits each key once EVER — later batches with the
+    same key emit nothing, state carried via the checkpoint."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas speaks protobuf to the state "
+        "server; not installed in this container (applyInPandasWithState "
+        "in streaming/stateful.py is the tested arbitrary-state path)",
+    )
+    from graphql_api_etl_spark.streaming.dedup_stream import first_seen
+
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "content_hash string, doc_id string"
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return sorted(
+            (r["content_hash"], r["doc_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # batch 1: two distinct keys, one duplicated within the batch
+    got1 = drain([("h1", "d1"), ("h1", "d2"), ("h2", "d3")])
+    assert [k for k, _ in got1] == ["h1", "h2"]
+    assert dict(got1)["h2"] == "d3"
+
+    # batch 2: h1/h2 again (dropped), h3 new (emitted)
+    got2 = drain([("h1", "d9"), ("h2", "d8"), ("h3", "d4")])
+    assert got2 == got1 + [("h3", "d4")]
