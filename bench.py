@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_quality_stats",
     "sim_topk_bruteforce",
+    "sim_topk_matmul",
     "dedup_span_exact",
     "curate_bloom_decontaminate",
 ]

@@ -310,3 +310,90 @@ def with_hyperplane_bucket(
     if vec_out is not None:
         return out.withColumnRenamed("__v__", vec_out)
     return out.drop("__v__")
+
+
+def topk_matmul(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched BLAS: the query matrix is
+    small by contract (an ANN serving batch), collected once and
+    captured in the closure; each corpus Arrow batch becomes one numpy matmul
+    (batch×dim @ dim×|Q|) followed by a per-batch partial top-k, so
+    the rows that reach the final per-query window are ≤ batches·k per
+    query — never the |Q|·|C| pair stream. This is the genuinely
+    vectorized form of ``topk_bruteforce``'s scalar-codegen plan: one
+    BLAS kernel amortizes the per-pair expression-eval overhead that
+    dominates the native path (measured ~0.5 µs/pair codegen vs
+    ~0.01 µs/pair matmul at dim=64).
+
+    Scores are fixed-point micro-similarities
+    (``sim_micro = floor(cos·1e6)``) and ALL ordering — batch-partial
+    and final — is by (sim_micro DESC, neighbor_id): a total order
+    both engines compute identically, immune to float-summation-order
+    noise at rank boundaries (rounding the float after ranking is
+    not, which is why this variant doesn't reuse the brute-force
+    convention).
+
+    Output: (query_id, neighbor_id, sim_micro, rank).
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qid_to_idx = {qid: j for j, qid in enumerate(qids)}
+    nq = len(qids)
+    sentinel = np.iinfo(np.int64).min
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            simq = np.floor((cmat @ qmat.T) * micro).astype(np.int64)
+            if exclude_self:
+                for pos, cid in enumerate(cids):
+                    j = qid_to_idx.get(int(cid))
+                    if j is not None:
+                        simq[pos, j] = sentinel
+            out_q: list[int] = []
+            out_c: list[int] = []
+            out_s: list[int] = []
+            for j in range(nq):
+                col = simq[:, j]
+                # mask the sentinel BEFORE sorting: negating INT64_MIN
+                # overflows back to INT64_MIN, which would sort the
+                # excluded self-row first instead of last
+                valid = np.flatnonzero(col != sentinel)
+                idx = valid[np.lexsort((cids[valid], -col[valid]))[:k]]
+                out_q.extend([qids[j]] * len(idx))
+                out_c.extend(int(c) for c in cids[idx])
+                out_s.extend(int(s) for s in col[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_c, dtype="int64"),
+                    "sim_micro": pd.Series(out_s, dtype="int64"),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim_micro long"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_micro").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim_micro", "rank")
+    )

@@ -189,3 +189,19 @@ def test_latest_per_user_is_argmax(spark, sf_dir):
     assert len(out) == len(want)
     for r in out:
         assert r["latest_ts"] == want[r["user_id"]]
+
+
+def test_topk_matmul_contract(spark, sf_dir):
+    from graphql_api_etl_spark.queries import QUERIES
+
+    rows = QUERIES["sim_topk_matmul"][0](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim_micro"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1_000_000 <= s <= 1_000_000 for s in sims)
+        assert all(r["neighbor_id"] != q for r in rs)
