@@ -1668,3 +1668,113 @@ def sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_dot_product."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.topk_matmul(emb.filter(F.col("vec_id") < 50), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Full training-run manifest: the 5-stage composed pipeline
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SQL = r"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio
+  FROM toks
+),
+keepers AS (
+  SELECT min(doc_id) AS keeper_id
+  FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h, doc_id FROM documents)
+  GROUP BY h
+),
+ng AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM ng WHERE doc_id < 5),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(grams) AS gram FROM ng WHERE doc_id >= 5)
+  WHERE gram IN (SELECT gram FROM bench)
+),
+kept AS (
+  SELECT q.doc_id, n_tokens FROM q
+  JOIN keepers ON q.doc_id = keeper_id
+  WHERE q.doc_id >= 5
+    AND n_tokens >= 20 AND n_tokens <= 10000 AND stopword_ratio >= 0.01
+    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 < 8
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST('0x' || substr(md5('shard-seed-42:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 4 AS shard_id
+  FROM kept
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docset_md5
+FROM sharded GROUP BY shard_id
+"""
+
+
+@_q("curate_training_manifest", _MANIFEST_SQL)
+def curate_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 5-stage pipeline a training-data run exports:
+    quality gate ∘ exact-dedup keepers ∘ benchmark decontamination
+    (3-gram overlap with held-out docs 0-4) ∘ deterministic 80%
+    hash-sample ∘ shard assignment — reduced to a per-shard MANIFEST
+    (doc count, token budget, md5 of the ordered doc-id set), i.e.
+    exactly what the trainer consumes. One declarative plan: the
+    dedup keeper set and the benchmark gram set are the only
+    aggregates feeding joins (both broadcast-sized), every gate stays
+    map-only, and the manifest aggregate is the single corpus-keyed
+    shuffle. The docset hash makes the differential sensitive to ANY
+    membership difference across the five stages."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = TX.with_quality_score(TX.with_text_stats(docs))
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 5)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") >= 5)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        gated.join(keepers, "doc_id")
+        .filter(
+            (F.col("doc_id") >= 5)
+            & F.col("quality_ok")
+            & (D.shingle_hash(F.col("doc_id").cast("string")) % 10 < 8)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
+    shard = (
+        D.shingle_hash(F.concat(F.lit("shard-seed-42:"), F.col("doc_id").cast("string"))) % 4
+    ).alias("shard_id")
+    return (
+        kept.select("doc_id", "n_tokens", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("docset_md5"),
+        )
+    )
