@@ -28,9 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 6 former `no_oracle` entries that now carry real DuckDB oracles, and
 # (c) every entry whose latest green row is r2 or r1 — together all 36
 # entries without an r3 row fit, so after this round every one of the
-# 86 entries has a green row from r3 or r4. The final 8 slots keep the
-# flagship + highest-risk core under continuous check. Entries not
-# listed follow in registration order (all green in r3).
+# 86 r3-era entries has a green row from r3 or r4. The final 8 slots
+# keep the flagship + highest-risk core under continuous check.
+# Entries not listed follow in registration order (all green in r3, or
+# — for the 30 entries added during round 4 — green under the local
+# driver-replica gate, tests/test_oracle_diff.py at sf0.01, pending
+# their r5 window rotation).
 _PRIORITY = [
     # (a) registered post-check in r3 — never driver-checked:
     "tpch_q2_min_cost_supplier",

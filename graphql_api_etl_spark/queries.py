@@ -2724,3 +2724,43 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(top))
         .select("n_docs", "total_tokens", "n_langs", "top_lang", "n_sources", "mean_chars")
     )
+
+
+@_q(
+    "x_math_functions",
+    """
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_discount - 0.05), 4) AS abs_dev,
+       CAST(sign(l_discount - 0.05) AS BIGINT) AS dev_sign,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+       round(power(1.0 + l_discount, 3), 6) AS compound3,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       CAST(CAST(l_orderkey AS BIGINT) % 7 AS BIGINT) AS key_mod7,
+       round(greatest(l_tax, l_discount), 2) AS max_rate,
+       round(least(l_tax, l_discount), 2) AS min_rate
+FROM lineitem WHERE l_orderkey % 64 = 0
+""",
+)
+def x_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar-function breadth (§2.8 extension; the reference's
+    only numeric op is the percentage division of ETL:1044):
+    abs/sign/ceil/floor/power/log10/sqrt/mod/greatest/least as native
+    Catalyst expressions — map-only, pushdown intact, transcendentals
+    rounded to 6 so 1-ulp libm differences can't split the hash."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 64 == 0)
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(d - 0.05), 4).alias("abs_dev"),
+        F.signum(d - 0.05).cast("bigint").alias("dev_sign"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_floor"),
+        F.round(F.pow(F.lit(1.0) + d, 3), 6).alias("compound3"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
+    )
