@@ -269,6 +269,25 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             "fixed_overhead_sec": round(s1 - (marginal_us or 0) * 1e-6 * n, 3),
         }
 
+        # matmul variant of the same top-k: marginal per-pair cost of
+        # the Arrow/BLAS path vs the scalar-codegen brute force — the
+        # number that decides which one a 1000-executor job should run
+        qm = emb.filter(F.col("vec_id") < 50)
+        m1 = _noop_best(S.topk_matmul(qm, emb, k=5))
+        m8 = _noop_best(S.topk_matmul(qm, emb8, k=5))
+        b1s = _noop_best(S.topk_bruteforce(qm, emb, k=5, dim=64))
+        b8s = _noop_best(S.topk_bruteforce(qm, emb8, k=5, dim=64))
+        out["sim_topk_matmul_vs_brute"] = {
+            "matmul_sec_1x": round(m1, 3),
+            "matmul_sec_8x": round(m8, 3),
+            "brute_sec_1x": round(b1s, 3),
+            "brute_sec_8x": round(b8s, 3),
+            "matmul_marginal_us_per_row": round((m8 - m1) / (n * (rep - 1)) * 1e6, 2)
+            if m8 > m1 else None,
+            "brute_marginal_us_per_row": round((b8s - b1s) / (n * (rep - 1)) * 1e6, 2)
+            if b8s > b1s else None,
+        }
+
         cd, dfd = construct_best(lambda: _emb_cosine_dedup(emb))
         d1 = _noop_best(dfd)
         de = _noop_best(_emb_cosine_dedup(empty))

@@ -1458,12 +1458,19 @@ def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # The tiny build side feeds FOUR broadcast exchanges (k=3 position
+    # joins + the exact-mark join); persisting it makes each broadcast
+    # read the cached rows instead of re-running the docs<5 gram
+    # explode subtree (measured ~1 s of the entry's sf0.1 time).
     bench_keys = (
         grams.filter(F.col("doc_id") < 5)
         .select(F.explode("grams").alias("key"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bits = C.bloom_build(bench_keys, key_col="key")
+    bits = C.bloom_build(bench_keys, key_col="key").persist(StorageLevel.MEMORY_AND_DISK)
     corpus = grams.filter(F.col("doc_id") >= 5).select(
         "doc_id", F.explode("grams").alias("key")
     )

@@ -219,3 +219,55 @@ def test_connected_components_equals_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True)
+)
+@_SETTINGS
+def test_global_shuffle_is_permutation(spark, ids):
+    """Any id set: shards partition it, positions are 1..|shard|, and
+    the assignment is reproducible."""
+    from graphql_api_etl_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = C.global_shuffle(df, n_shards=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=50),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_dedup_spans_conserves_and_dedupes(spark, docs):
+    """For any corpus: every span survives exactly once globally (kept
+    spans across all docs = distinct spans in the corpus), and
+    reassembled text is the subsequence of surviving spans."""
+    from graphql_api_etl_spark.operators import corpus as C
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.dedup_spans(df, span_words=3).collect()
+    # expected distinct spans computed by a python reference
+    def spans(words):
+        return [" ".join(words[i : i + 3]) for i in range(0, len(words), 3)]
+
+    all_spans = [s for _, words in zip(range(len(docs)), docs) for s in spans(words)]
+    assert sum(r["n_kept"] for r in out) == len(set(all_spans))
+    assert sum(r["n_spans"] for r in out) == len(all_spans)
+    for r in out:
+        kept_words = r["new_text"].split() if r["new_text"] else []
+        # kept text must be drawn from the doc's own spans, in order
+        doc_spans = spans(docs[r["doc_id"]])
+        kept_sp = spans(kept_words) if kept_words else []
+        it = iter(doc_spans)
+        assert all(s in it for s in kept_sp)
