@@ -1785,3 +1785,53 @@ def curate_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("docset_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embedding (the hashing-trick featurizer)
+# ---------------------------------------------------------------------------
+
+_HASH_EMB_DIM = 16
+
+
+def _hash_emb_sql() -> str:
+    """DuckDB twin of the feature-hashing embedding: same md5-derived
+    bucket per token, same normalized counts."""
+    bucket = "CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % 16"
+    dims = ", ".join(
+        f"round(sum(CASE WHEN b = {j} THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS e{j}"
+        for j in range(_HASH_EMB_DIM)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+b AS (SELECT doc_id, {bucket} AS b FROM w)
+SELECT doc_id, {dims} FROM b GROUP BY doc_id
+"""
+
+
+@_q("text_hash_embedding", _hash_emb_sql())
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words embedding: each
+    document becomes a 16-dim normalized bucket-count vector, the
+    vocabulary-free featurizer used for cheap clustering/classifier
+    passes before real embeddings exist. One explode + one partial-
+    aggregated shuffle on doc_id carrying 16 conditional sums — no
+    vocabulary table, no pivot, map-side reduction does the heavy
+    lifting at any scale. Buckets are md5-derived so the oracle
+    replays them exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+    )
+    bucket = (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")
+    b = words.select("doc_id", bucket)
+    n = F.count(F.lit(1))
+    return b.groupBy("doc_id").agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("b") == j, 1).otherwise(0)).cast("double") / n, 4
+            ).alias(f"e{j}")
+            for j in range(_HASH_EMB_DIM)
+        ]
+    )
