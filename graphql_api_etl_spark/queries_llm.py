@@ -1835,3 +1835,140 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_HASH_EMB_DIM)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Text clustering over the hash embeddings (domain discovery)
+# ---------------------------------------------------------------------------
+
+_TCL_K = 4
+_TCL_ITERS = 2
+_TCL_SAMPLE = 4096
+
+
+def _hash_emb_py(text: str) -> list[float]:
+    """Python twin of the 16-dim feature-hashing embedding (UNROUNDED
+    c/n components — exact double divisions of small ints, so JVM and
+    Python produce bit-identical vectors)."""
+    import hashlib
+
+    toks = text.strip().lower().split()
+    v = [0] * _HASH_EMB_DIM
+    for t in toks:
+        v[int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % _HASH_EMB_DIM] += 1
+    n = len(toks)
+    return [c / n for c in v]
+
+
+def _text_cluster_centroids(sf_dir: str) -> list[list[float]]:
+    """Train the k=4 cosine k-means on the md5-ordered doc sample —
+    pure-Python/pyarrow path shared (verbatim) by the Spark entry and
+    the oracle builder, so both see bit-identical centroids."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from graphql_api_etl_spark.operators.ivf import _lloyd
+    import numpy as np
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    order = sorted(
+        range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest()
+    )[:_TCL_SAMPLE]
+    V = np.asarray([_hash_emb_py(texts[i]) for i in order], dtype="float64")
+    return _lloyd(V, _TCL_K, _TCL_ITERS)
+
+
+def _tcl_e_cols_sql() -> str:
+    bucket = f"CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {_HASH_EMB_DIM}"
+    dims = ", ".join(
+        f"sum(CASE WHEN b = {j} THEN 1 ELSE 0 END)::DOUBLE / count(*) AS e{j}"
+        for j in range(_HASH_EMB_DIM)
+    )
+    return (
+        r"toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents), "
+        "w AS (SELECT doc_id, unnest(t) AS word FROM toks), "
+        f"b AS (SELECT doc_id, {bucket} AS b FROM w), "
+        f"e AS (SELECT doc_id, {dims} FROM b GROUP BY doc_id)"
+    )
+
+
+def _text_cluster_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    C = _text_cluster_centroids(sf_dir)
+    cn2 = [sum(x * x for x in c) for c in C]
+    norm = "sqrt(" + " + ".join(f"e{i} * e{i}" for i in range(_HASH_EMB_DIM)) + ")"
+    d_cols = ", ".join(
+        f"{cn2[j]!r} - 2.0 * ("
+        + " + ".join(f"(e{i} / nrm) * {C[j][i]!r}" for i in range(_HASH_EMB_DIM))
+        + f") AS d{j}"
+        for j in range(_TCL_K)
+    )
+    # argmin with <=: ties resolve to the LOWER centroid id, matching
+    # the Spark side's array_min over (d, cid) structs
+    cluster = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    return (
+        f"WITH {_tcl_e_cols_sql()}, "
+        f"n AS (SELECT doc_id, e.*, {norm} AS nrm FROM e), "
+        f"d AS (SELECT doc_id, {d_cols} FROM n) "
+        f"SELECT doc_id, CAST({cluster} AS BIGINT) AS cluster_id, "
+        "round(least(d0, d1, d2, d3), 6) AS dist FROM d"
+    )
+
+
+@_q("curate_text_clusters", _text_cluster_oracle)
+def curate_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain discovery: cosine k-means (k=4) over the feature-hashing
+    embeddings — the unsupervised "what sub-corpora do I have" pass
+    that feeds data-mixing decisions. Training follows the IVF recipe
+    (deterministic md5-ordered sample, shared-Python Lloyd's, only
+    k×16 doubles of driver state); assignment is a NATIVE expression —
+    16-dim normalized dot against 4 literal centroids, argmin via
+    array_min over (distance, cid) structs — map-only after the one
+    embedding aggregate. The oracle replays the identical literal
+    centroids, summation order, and tie rule."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+    )
+    b = words.select(
+        "doc_id", (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")
+    )
+    n = F.count(F.lit(1))
+    e = b.groupBy("doc_id").agg(
+        *[
+            (F.sum(F.when(F.col("b") == j, 1).otherwise(0)).cast("double") / n).alias(f"e{j}")
+            for j in range(_HASH_EMB_DIM)
+        ]
+    )
+    C = _text_cluster_centroids(sf_dir)
+    cn2 = [sum(x * x for x in c) for c in C]
+    norm = None
+    for i in range(_HASH_EMB_DIM):
+        term = F.col(f"e{i}") * F.col(f"e{i}")
+        norm = term if norm is None else norm + term
+    withn = e.withColumn("nrm", F.sqrt(norm))
+    d_exprs = []
+    for j in range(_TCL_K):
+        dot = None
+        for i in range(_HASH_EMB_DIM):
+            term = (F.col(f"e{i}") / F.col("nrm")) * F.lit(C[j][i])
+            dot = term if dot is None else dot + term
+        d_exprs.append((F.lit(cn2[j]) - 2.0 * dot).alias("d"))
+    cand = F.array(
+        *[F.struct(d_exprs[j].alias("d"), F.lit(j).alias("cid")) for j in range(_TCL_K)]
+    )
+    best = F.array_min(cand)
+    return withn.select(
+        "doc_id",
+        best["cid"].cast("bigint").alias("cluster_id"),
+        F.round(best["d"], 6).alias("dist"),
+    )

@@ -86,7 +86,21 @@ def main():
 
     spark = get_spark(app_name="oracle_harness", shuffle_partitions=8)
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # Callable oracles embed data-derived literals (trained centroids)
+    # — they must be built against the SAME sf the Spark side reads.
+    # The driver's own gate runs at sf0.01, where the default already
+    # matches; this makes the standalone harness correct at any scale.
+    import os
+
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    try:
+        oracles = entrymod.oracle_sql()
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = prev
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
