@@ -233,3 +233,53 @@ def test_first_seen_streaming_dedup_across_batches(spark, tmp_path):
     # batch 2: h1/h2 again (dropped), h3 new (emitted)
     got2 = drain([("h1", "d9"), ("h2", "d8"), ("h3", "d4")])
     assert got2 == got1 + [("h3", "d4")]
+
+
+def test_watermark_drops_late_events_append_mode(spark, tmp_path):
+    """Append-mode watermark semantics across micro-batch runs: an
+    event arriving AFTER the watermark has passed its window is
+    dropped — its window never appears in the output — while on-time
+    windows emit exactly once when the watermark crosses their end."""
+    import datetime as dt
+
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "ts timestamp, event_type string, value double"
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            windowed_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        try:
+            return {
+                (r["window_start"].hour, r["event_type"]): r["n_events"]
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return {}
+
+    # run 1: two events in the 10:00 window, one at 12:00 that will
+    # push the watermark past the 10:00 window's end
+    drain([(t(10, 0), "click", 1.0), (t(10, 30), "click", 1.0), (t(12, 0), "click", 1.0)])
+    # run 2: a LATE event at 09:00 (watermark is now 11:50 — must be
+    # dropped) plus a fresh one at 13:00; the closed 10:00 window emits
+    got2 = drain([(t(9, 0), "click", 1.0), (t(13, 0), "click", 1.0)])
+    assert got2.get((10, "click")) == 2
+    assert (9, "click") not in got2
+    # run 3: advance the watermark past 13:00 — the 12:00 window (1
+    # event, NOT polluted by the late 09:00 row) emits; 09:00 never does
+    got3 = drain([(t(14, 0), "click", 1.0)])
+    assert got3.get((12, "click")) == 1
+    assert (9, "click") not in got3
