@@ -2764,3 +2764,49 @@ def x_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
         F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
     )
+
+
+@_q(
+    "x_null_semantics",
+    """
+WITH s AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT c_custkey,
+       round(coalesce(bal, 0.0), 2) AS bal_or_zero,
+       nullif(seg, 'BUILDING') AS seg_not_building,
+       CASE WHEN bal IS NOT NULL THEN 'has_bal' ELSE 'no_bal' END AS nvl2_tag,
+       (bal IS NOT DISTINCT FROM NULL) AS bal_null_safe_eq_null,
+       (seg IS DISTINCT FROM 'MACHINERY') AS seg_differs_machinery,
+       CAST(count(bal) OVER () AS BIGINT) AS n_nonnull_bal,
+       CAST(count(*) OVER () AS BIGINT) AS n_rows
+FROM s
+""",
+)
+def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics (§2.8 extension; the reference leans on
+    pandas NaN coercion, e.g. the fillna at ETL:756): coalesce, nullif,
+    nvl2-style tagging, null-safe (dis)equality (Spark's <=> ≡ SQL
+    IS NOT DISTINCT FROM), and the count(col)-skips-nulls contract —
+    the exact places engines historically diverge. Map-only; the two
+    whole-table window counts share one single-partition exchange."""
+    c = _t(spark, sf_dir, "customer")
+    s = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    wall = W.partitionBy()
+    return s.select(
+        "c_custkey",
+        F.round(F.coalesce(F.col("bal"), F.lit(0.0)), 2).alias("bal_or_zero"),
+        F.nullif(F.col("seg"), F.lit("BUILDING")).alias("seg_not_building"),
+        F.when(F.col("bal").isNotNull(), F.lit("has_bal")).otherwise(F.lit("no_bal")).alias("nvl2_tag"),
+        F.col("bal").eqNullSafe(F.lit(None).cast("double")).alias("bal_null_safe_eq_null"),
+        (~F.col("seg").eqNullSafe(F.lit("MACHINERY"))).alias("seg_differs_machinery"),
+        F.count("bal").over(wall).cast("bigint").alias("n_nonnull_bal"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_rows"),
+    )
