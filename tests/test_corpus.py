@@ -205,3 +205,44 @@ def test_topk_matmul_contract(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
         assert all(-1_000_000 <= s <= 1_000_000 for s in sims)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_topk_matmul_equals_numpy_reference(spark):
+    """topk_matmul must reproduce, exactly, a sequential numpy
+    implementation of its own contract (floor(cos*1e6) micro-sims,
+    (sim DESC, id ASC) total order) on a small random-but-seeded
+    corpus."""
+    import numpy as np
+
+    from graphql_api_etl_spark.operators.similarity import topk_matmul
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 80, 8, 3
+    V = rng.randn(n, dim)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim_micro"])
+        for r in topk_matmul(q, df, k=k).collect()
+    }
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.floor(Vn @ Vn.T * 1_000_000).astype(np.int64)
+    for qi in range(5):
+        cand = [(-sims[ci, qi], ci) for ci in range(n) if ci != qi]
+        cand.sort()
+        for rank, (negs, ci) in enumerate(cand[:k], start=1):
+            assert got[(qi, rank)] == (ci, -negs)
+
+
+def test_bloom_probe_matches_exact_membership_semantics(spark):
+    """For ANY key sets: no false negatives, and every false positive
+    is stable (same key probes to the same answer on a rebuild)."""
+    members = [(f"m{i}",) for i in range(50)]
+    probes = [(f"m{i}",) for i in range(50)] + [(f"x{i}",) for i in range(300)]
+    keys = spark.createDataFrame(members, "key string")
+    pdf = spark.createDataFrame(probes, "key string")
+    b1 = {r["key"]: r["bloom_hit"] for r in C.bloom_probe(pdf, "key", C.bloom_build(keys)).collect()}
+    b2 = {r["key"]: r["bloom_hit"] for r in C.bloom_probe(pdf, "key", C.bloom_build(keys)).collect()}
+    assert b1 == b2
+    assert all(b1[f"m{i}"] for i in range(50))
