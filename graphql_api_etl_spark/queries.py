@@ -2810,3 +2810,56 @@ def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("bal").over(wall).cast("bigint").alias("n_nonnull_bal"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("n_rows"),
     )
+
+
+@_q(
+    "events_anomaly_zscore",
+    """
+WITH w AS (
+  SELECT event_id, event_type, ts, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sigma,
+         count(*) OVER win AS n_window
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS value,
+       CAST(n_window AS BIGINT) AS n_window,
+       CASE WHEN n_window >= 10 AND sigma > 0
+            THEN abs(value - mu) > 3.0 * sigma ELSE FALSE END AS is_anomaly
+FROM w
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event judged against
+    the mean/stddev of its type's 50 PRECEDING events (the trailing
+    frame excludes the current row — no self-contamination), flagged
+    at |z| > 3 once the window has ≥10 samples. A bounded-frame
+    running aggregate: ONE shuffle on event_type, then a single sorted
+    pass with an O(1)-per-row sliding frame — the batch shape of a
+    streaming anomaly monitor at any scale. The boolean is computed
+    from the same doubles on both engines (comparison, not rounding,
+    so a >3σ outlier is orders of magnitude away from float noise);
+    mu/sigma stay internal to dodge summation-order hash drift."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_w = F.count(F.lit(1)).over(win)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+        n_w.cast("bigint").alias("n_window"),
+        F.when(
+            (n_w >= 10) & (sigma > 0), F.abs(F.col("value") - mu) > 3.0 * sigma
+        ).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
