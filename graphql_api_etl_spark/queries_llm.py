@@ -1972,3 +1972,44 @@ def curate_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["cid"].cast("bigint").alias("cluster_id"),
         F.round(best["d"], 6).alias("dist"),
     )
+
+
+@_q(
+    "curate_mixture_temperature",
+    """
+WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS total FROM counts),
+p AS (SELECT lang, n_docs, n_docs / total AS p_raw, pow(n_docs / total, 0.3) AS p_temp
+      FROM counts, tot),
+z AS (SELECT sum(p_temp) AS zsum FROM p)
+SELECT lang, n_docs,
+       round(p_raw, 6) AS p_raw,
+       round(p_temp / zsum, 6) AS p_sample,
+       round((p_temp / zsum) / p_raw, 4) AS upweight
+FROM p, z
+""",
+)
+def curate_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the mT5/XLM-R α-sampling
+    rule, α=0.3): raw language shares are flattened with p^α and
+    renormalized, up-weighting low-resource slices — THE standard
+    recipe for setting multilingual/domain sampling rates. Two tiny
+    aggregates over the per-lang counts (the corpus-sized scan feeds
+    one partial-aggregated groupBy); the per-lang math is driver-free
+    broadcast arithmetic. Output: raw share, sampled share, and the
+    resulting up-weight factor per language."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("p_raw"),
+        F.pow(F.col("n_docs") / F.col("total"), 0.3).alias("p_temp"),
+    )
+    z = p.agg(F.sum("p_temp").alias("zsum"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang", "n_docs",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("p_temp") / F.col("zsum"), 6).alias("p_sample"),
+        F.round((F.col("p_temp") / F.col("zsum")) / F.col("p_raw"), 4).alias("upweight"),
+    )
