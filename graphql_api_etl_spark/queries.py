@@ -2863,3 +2863,88 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_w >= 10) & (sigma > 0), F.abs(F.col("value") - mu) > 3.0 * sigma
         ).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+@_q(
+    "so_union_schema_evolution",
+    """
+SELECT o_orderkey AS id, o_orderpriority AS priority,
+       round(o_totalprice, 2) AS price, NULL AS segment
+FROM orders WHERE o_orderkey % 128 = 0
+UNION ALL BY NAME
+SELECT c_custkey + 100000000 AS id, NULL AS priority,
+       NULL AS price, c_mktsegment AS segment
+FROM customer WHERE c_custkey % 16 = 0
+""",
+)
+def so_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with partially overlapping
+    columns combined by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True) ≡ DuckDB's UNION ALL BY
+    NAME) — the append path when a feed adds or drops columns
+    mid-stream. Position-based UNION would silently misalign here;
+    name-based alignment is the schema-drift-safe contract. Map-only,
+    both scans pushed and pruned."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 128 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 0)
+        .select(
+            (F.col("c_custkey") + 100_000_000).alias("id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return o.unionByName(c, allowMissingColumns=True).select(
+        "id", "priority", "price", "segment"
+    )
+
+
+@_q(
+    "source_schema_merge_read",
+    """
+SELECT doc_id,
+       lang,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT) END AS n_chars,
+       CAST(doc_id % 2 AS BIGINT) AS batch
+FROM documents
+""",
+)
+def source_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the SOURCE: two parquet batches written at
+    different pipeline generations — batch 0 (doc_id, lang), batch 1
+    adds an n_chars column — read as one table with
+    ``mergeSchema=true``; rows from the old batch surface NULL for the
+    new column. This is the data-lake reality of long-lived feeds
+    (columns appear mid-stream); footer-level schema union costs one
+    metadata pass, the data scan stays columnar and partition-pruned
+    on the batch directory key."""
+    import os as _os
+
+    path, cached = _layout_cache_path(sf_dir, "documents_evolved", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+
+        def _build(tmp: str) -> None:
+            docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+                f"{tmp}/batch=0"
+            )
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "lang", "n_chars"
+            ).write.parquet(f"{tmp}/batch=1")
+            open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        _publish_layout(_build, path)
+    m = spark.read.option("mergeSchema", "true").parquet(path)
+    return m.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("batch").cast("bigint").alias("batch"),
+    )
