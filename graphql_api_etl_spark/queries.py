@@ -2948,3 +2948,60 @@ def source_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("batch").cast("bigint").alias("batch"),
     )
+
+
+@_q(
+    "x_array_functions",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+a AS (
+  SELECT doc_id,
+         toks[1:5] AS head5,
+         list_sort(list_distinct(toks[1:10])) AS head10_distinct
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(head5, '|') AS head5_str,
+       CAST(len(head10_distinct) AS BIGINT) AS n_distinct10,
+       array_to_string(list_sort(list_intersect(head5, head10_distinct)), '|') AS inter_str,
+       coalesce(array_to_string(list_sort(list_filter(head5, x -> x >= 'm')), '|'), '') AS late_alpha,
+       array_to_string(list_transform(head5, x -> upper(x)), '|') AS head5_upper,
+       array_to_string(flatten([head5, ['<END>']]), '|') AS head5_terminated
+FROM a
+""",
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth (§2.8 extension): slice, distinct, sort,
+    intersect, filter, transform, flatten/concat — the collection
+    algebra behind every shingle/token pipeline, as native Catalyst
+    array expressions (map-only). Results are serialized with
+    array_to_string so element ORDER is part of the hash: sort
+    stability and slice bounds must agree across engines, not just
+    set membership. DuckDB twins: list_* functions with 1-based
+    inclusive slices ≡ Spark's slice(col, 1, n)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    a = docs.select(
+        "doc_id",
+        F.slice(toks, 1, 5).alias("head5"),
+        F.array_sort(F.array_distinct(F.slice(toks, 1, 10))).alias("head10_distinct"),
+    )
+    return a.select(
+        "doc_id",
+        F.array_join("head5", "|").alias("head5_str"),
+        F.size("head10_distinct").cast("bigint").alias("n_distinct10"),
+        F.array_join(
+            # intersect ORDER is engine-specific (Spark keeps the left
+            # array's order, DuckDB's is unspecified) -> sort both sides
+            F.array_sort(F.array_intersect("head5", "head10_distinct")), "|"
+        ).alias("inter_str"),
+        F.array_join(
+            F.array_sort(F.filter("head5", lambda x: x >= F.lit("m"))), "|"
+        ).alias("late_alpha"),
+        F.array_join(F.transform("head5", lambda x: F.upper(x)), "|").alias("head5_upper"),
+        F.array_join(
+            F.flatten(F.array(F.col("head5"), F.array(F.lit("<END>")))), "|"
+        ).alias("head5_terminated"),
+    )
