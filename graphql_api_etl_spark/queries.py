@@ -3005,3 +3005,65 @@ def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.array(F.col("head5"), F.array(F.lit("<END>")))), "|"
         ).alias("head5_terminated"),
     )
+
+
+@_q(
+    "a_corr_covar",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+       round(stddev_samp(l_quantity), 4) AS qty_std,
+       round(var_samp(l_discount), 6) AS disc_var
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate breadth: correlation, sample covariance,
+    stddev and variance per group — the profiling moments a feature
+    store computes per slice. All are single-pass partial-aggregable
+    (sum/sum²/sum-of-products accumulators), so the shuffle carries a
+    handful of doubles per group at any scale. Rounded at 4-6 decimals
+    (both engines accumulate in double; summation order differs only
+    below that)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@_q(
+    "x_regex_functions",
+    r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+       regexp_replace(p_name, '^([a-z]+) ([a-z]+)', '\2 \1') AS swapped_words,
+       regexp_matches(p_name, '(red|green|blue)') AS has_color,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_caps
+FROM part WHERE p_partkey % 16 = 0
+""",
+)
+def x_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function breadth: group extraction, match-all counting,
+    backreference replacement, boolean matching — with the
+    dialect bridges spelled out: group refs in the REPLACEMENT are
+    $1 in Java vs \\1 in RE2/DuckDB, and RE2 supports NO backrefs in
+    the PATTERN at all (a ([a-z])\\1 pattern silently never matches on
+    DuckDB — caught by the differential), so patterns here stay
+    backref- and lookahead-free, the same discipline as the PII
+    scrubber."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 16 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0)).cast("bigint").alias("n_vowel_runs"),
+        F.regexp_replace("p_name", r"^([a-z]+) ([a-z]+)", r"$2 $1").alias("swapped_words"),
+        F.col("p_name").rlike(r"(red|green|blue)").alias("has_color"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_caps"),
+    )
