@@ -16,7 +16,7 @@ built programmatically from those shared parameters at import time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from graphql_api_etl_spark.operators import dedup as D
@@ -2012,4 +2012,109 @@ def curate_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_raw", 6).alias("p_raw"),
         F.round(F.col("p_temp") / F.col("zsum"), 6).alias("p_sample"),
         F.round((F.col("p_temp") / F.col("zsum")) / F.col("p_raw"), 4).alias("upweight"),
+    )
+
+
+@_q(
+    "dedup_url_canonicalize",
+    r"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'HTTPS://WWW.Example' || (doc_id % 7) || '.com/Path/Item'
+                   || (doc_id % 50) || '/?utm_source=feed&utm_campaign=x'
+                   || (doc_id % 4) || '&id=' || (doc_id % 50) || '#frag'
+              ELSE 'http://example' || (doc_id % 7) || '.com/Path/Item'
+                   || (doc_id % 50) || '?id=' || (doc_id % 50) END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(regexp_replace(regexp_replace(lower(url),
+             '^https?://', ''), '^www\.', ''), '#.*$', ''),
+           '?') AS parts
+  FROM salted
+),
+canon AS (
+  SELECT doc_id,
+         rtrim(parts[1], '/') AS base,
+         array_to_string(
+           list_filter(string_split(coalesce(parts[2], ''), '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')),
+           '&') AS q
+  FROM parsed
+),
+final AS (
+  SELECT doc_id,
+         base || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+  FROM canon
+)
+SELECT doc_id, canonical,
+       CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_same_url,
+       CAST(row_number() OVER (PARTITION BY canonical ORDER BY doc_id) AS BIGINT) AS occurrence
+FROM final
+""",
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → duplicate grouping: THE web-crawl dedup
+    primitive (scheme/www/tracking-param/fragment stripping, case
+    folding, trailing-slash normalization) applied before any content
+    hashing. The corpus has no URLs, so both engines synthesize
+    identical messy ones per doc (the text_pii_scrub salting pattern)
+    and docs with the same item+id collapse to one canonical URL.
+
+    Canonicalization is STRUCTURAL (split at '?', filter params,
+    rejoin), not an iterative regex-cleanup chain: Spark's
+    regexp_replace is always-global while DuckDB's default is
+    first-match-only, so multi-occurrence regex rewrites silently
+    diverge (caught by the differential: '?utm_a=..&utm_b=..' left
+    '?&&' on one engine and '?&' on the other). Anchored single-match
+    patterns (scheme, www, fragment) are the only regexes kept.
+    Map-only + one window on the canonical key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/Path/Item"), (F.col("doc_id") % 50).cast("string"),
+            F.lit("/?utm_source=feed&utm_campaign=x"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("&id="), (F.col("doc_id") % 50).cast("string"), F.lit("#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/Path/Item"), (F.col("doc_id") % 50).cast("string"),
+            F.lit("?id="), (F.col("doc_id") % 50).cast("string"),
+        )
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"^https?://", ""), r"^www\.", ""
+        ),
+        r"#.*$", "",
+    )
+    parted = docs.select(
+        "doc_id", F.split(stripped, r"\?", 2).alias("parts")
+    ).select(
+        "doc_id",
+        F.expr("TRIM(TRAILING '/' FROM parts[0])").alias("base"),
+        F.array_join(
+            F.filter(
+                F.split(F.coalesce(F.element_at("parts", 2), F.lit("")), "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            ),
+            "&",
+        ).alias("q"),
+    )
+    canonical = F.concat(
+        F.col("base"),
+        F.when(F.col("q") != "", F.concat(F.lit("?"), F.col("q"))).otherwise(F.lit("")),
+    )
+    out = parted.select("doc_id", canonical.alias("canonical"))
+    wcan = W.partitionBy("canonical")
+    return out.select(
+        "doc_id", "canonical",
+        F.count(F.lit(1)).over(wcan).cast("bigint").alias("n_same_url"),
+        F.row_number().over(wcan.orderBy("doc_id")).cast("bigint").alias("occurrence"),
     )
