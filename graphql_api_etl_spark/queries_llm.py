@@ -2118,3 +2118,63 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wcan).cast("bigint").alias("n_same_url"),
         F.row_number().over(wcan.orderBy("doc_id")).cast("bigint").alias("occurrence"),
     )
+
+
+@_q(
+    "curate_code_filter",
+    r"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' function f' || (doc_id % 9)
+                   || '(x) { if (x > 0) { return x + 1; } else { return 0; } }'
+              ELSE text END AS t
+  FROM salted_src
+), metrics AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         length(t) - length(regexp_replace(t, '[{};()=<>+]', '', 'g')) AS n_code_chars,
+         CAST(len(regexp_extract_all(t, '\b(function|return|if|else|for|while|var|const)\b')) AS BIGINT) AS n_keywords
+  FROM metrics_src
+)
+SELECT doc_id, n_code_chars, n_keywords,
+       round(n_code_chars::DOUBLE / n_chars, 4) AS code_char_ratio,
+       (n_code_chars::DOUBLE / n_chars > 0.02 AND n_keywords >= 3) AS looks_like_code
+FROM metrics
+""".replace("salted_src", "documents").replace("metrics_src", "salted"),
+)
+def curate_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-detection heuristic — the "separate code from prose" gate
+    every web-corpus pipeline runs (to route code to its own mix or
+    drop it). The corpus is punctuation-free prose, so docs ≡ 0 mod 4
+    get a deterministic JS-ish snippet appended on BOTH engines; the
+    signals are symbol-character density and reserved-word hits, and
+    the gate fires only when both agree (ratio > 2% AND ≥3 keywords).
+    Map-only scan-speed expressions; the count-based regexes are
+    global-safe (regexp_extract_all/char-class strip, not iterative
+    replacement — see dedup_url_canonicalize for why that matters)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snippet = F.concat(
+        F.lit(" function f"), (F.col("doc_id") % 9).cast("string"),
+        F.lit("(x) { if (x > 0) { return x + 1; } else { return 0; } }"),
+    )
+    t = F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), snippet)).otherwise(
+        F.col("text")
+    )
+    salted = docs.select("doc_id", t.alias("t"))
+    n_chars = F.length("t")
+    n_code = n_chars - F.length(F.regexp_replace("t", r"[{};()=<>+]", ""))
+    n_kw = F.size(
+        F.regexp_extract_all(
+            "t", F.lit(r"\b(function|return|if|else|for|while|var|const)\b"), 0
+        )
+    ).cast("bigint")
+    m = salted.select(
+        "doc_id", n_chars.alias("n_chars"), n_code.alias("n_code_chars"), n_kw.alias("n_keywords")
+    )
+    ratio = F.col("n_code_chars").cast("double") / F.col("n_chars")
+    return m.select(
+        "doc_id", "n_code_chars", "n_keywords",
+        F.round(ratio, 4).alias("code_char_ratio"),
+        ((ratio > 0.02) & (F.col("n_keywords") >= 3)).alias("looks_like_code"),
+    )
