@@ -3067,3 +3067,171 @@ def x_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike(r"(red|green|blue)").alias("has_color"),
         F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_caps"),
     )
+
+
+@_q(
+    "a_filtered_agg",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 0), 2) AS big_revenue,
+       round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open_price,
+       round(coalesce(max(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS max_closed_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def a_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / filtered aggregation breadth (§2.6 extension):
+    the SQL ``FILTER (WHERE ...)`` clause as Spark ``count_if`` +
+    ``agg(when(...))`` (null-skipping aggregates make the two forms
+    equivalent). One hash aggregate, every conditional branch
+    partial-aggregable map-side — the shuffle carries 5 accumulators
+    per group regardless of scale, same profile as a plain GROUP BY."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count_if(big).cast("bigint").alias("n_big"),
+        F.round(F.coalesce(F.sum(F.when(big, F.col("o_totalprice"))), F.lit(0)), 2).alias("big_revenue"),
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias("avg_open_price"),
+        F.round(
+            F.coalesce(F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), F.lit(0)), 2
+        ).alias("max_closed_price"),
+    )
+
+
+@_q(
+    "x_map_functions",
+    """
+SELECT p_partkey,
+       'brand|name|type' AS keys_str,
+       p_type AS type_val,
+       coalesce(array_to_string(list_sort(list_concat(
+         CASE WHEN len(p_brand) > 8 THEN ['brand=' || p_brand] ELSE CAST([] AS VARCHAR[]) END,
+         list_concat(
+           CASE WHEN len(p_name) > 8 THEN ['name=' || p_name] ELSE CAST([] AS VARCHAR[]) END,
+           CASE WHEN len(p_type) > 8 THEN ['type=' || p_type] ELSE CAST([] AS VARCHAR[]) END))), '|'),
+         '') AS long_entries,
+       CAST(4 AS BIGINT) AS n_after_concat
+FROM part WHERE p_partkey % 8 = 0
+""",
+)
+def x_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function breadth (§2.8 extension): map construction,
+    key listing, point lookup, entry filtering, and map union — the
+    collection type behind typed property bags (S4's flattened JSON
+    payloads carry exactly this shape). All native Catalyst map
+    expressions, map-only plan. The DuckDB twin recomputes each output
+    from the underlying columns without MAP types (engine-independent
+    semantics, not engine-mirrored internals): sorted key order and
+    the length-filtered entry serialization pin both engines to the
+    same observable values."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 8 == 0)
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("name"), F.lit("type")),
+        F.array("p_brand", "p_name", "p_type"),
+    )
+    base = p.select("p_partkey", m.alias("m"))
+    long_entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.map_filter("m", lambda k, v: F.length(v) > 8)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return base.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys("m")), "|").alias("keys_str"),
+        F.element_at("m", F.lit("type")).alias("type_val"),
+        long_entries.alias("long_entries"),
+        F.size(
+            F.map_concat("m", F.create_map(F.lit("pk"), F.col("p_partkey").cast("string")))
+        ).cast("bigint").alias("n_after_concat"),
+    )
+
+
+@_q(
+    "x_edit_distance",
+    """
+WITH w AS (
+  SELECT p_partkey,
+         regexp_extract(p_name, '^(\\w+)', 1) AS w1,
+         regexp_extract(p_name, '^\\w+ (\\w+)', 1) AS w2,
+         p_brand
+  FROM part WHERE p_partkey % 16 = 0
+)
+SELECT p_partkey, w1, w2,
+       CAST(levenshtein(w1, w2) AS BIGINT) AS word_dist,
+       CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS brand_dist,
+       round(1.0 - levenshtein(w1, w2)::DOUBLE / greatest(len(w1), len(w2)), 4) AS word_sim
+FROM w
+""",
+)
+def x_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (§2.8 extension): Levenshtein
+    distance plus a length-normalized similarity — the entity-
+    resolution primitive behind fuzzy key joins (the reference's J10
+    lookup joins assume exact keys; real master-data reconciliation
+    tolerates typos). Map-only; at scale a fuzzy JOIN would first
+    block candidates (LSH/prefix buckets, as the dedup family does)
+    and apply this distance only within blocks — never all-pairs."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 16 == 0)
+    w1 = F.regexp_extract("p_name", r"^(\w+)", 1)
+    w2 = F.regexp_extract("p_name", r"^\w+ (\w+)", 1)
+    base = p.select("p_partkey", w1.alias("w1"), w2.alias("w2"), "p_brand")
+    dist = F.levenshtein("w1", "w2")
+    return base.select(
+        "p_partkey", "w1", "w2",
+        dist.cast("bigint").alias("word_dist"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("bigint").alias("brand_dist"),
+        F.round(
+            F.lit(1.0) - dist.cast("double") / F.greatest(F.length("w1"), F.length("w2")), 4
+        ).alias("word_sim"),
+    )
+
+
+@_q(
+    "a_histogram_bins",
+    """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS price_bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round(min(o_totalprice), 2) AS bin_min,
+         round(max(o_totalprice), 2) AS bin_max,
+         round(avg(o_totalprice), 2) AS bin_avg
+  FROM orders GROUP BY 1
+)
+SELECT price_bin, n, bin_min, bin_max, bin_avg,
+       CAST(sum(n) OVER (ORDER BY price_bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM b
+""",
+)
+def a_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram / ECDF binning: floor-division bin ids
+    (explicit ``floor`` — DuckDB ROUNDS double→int casts where Spark
+    truncates, the same bridge curate_token_packing documents), per-bin
+    count/min/max/avg, then a cumulative count over the ~20 bins. The
+    heavy aggregation is one partial-aggregable shuffle over the fact;
+    the running sum is a window over the BIN table (tiny — single
+    partition is correct, not a bottleneck). The profiling shape
+    behind data-distribution dashboards and equi-width bucketing
+    decisions at corpus scale."""
+    o = _t(spark, sf_dir, "orders")
+    b = (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("price_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+            F.round(F.avg("o_totalprice"), 2).alias("bin_avg"),
+        )
+    )
+    w = W.orderBy("price_bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return b.select(
+        "price_bin", "n", "bin_min", "bin_max", "bin_avg",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )

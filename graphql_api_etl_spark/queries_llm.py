@@ -2178,3 +2178,70 @@ def curate_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("code_char_ratio"),
         ((ratio > 0.02) & (F.col("n_keywords") >= 3)).alias("looks_like_code"),
     )
+
+
+@_q(
+    "text_tfidf_topterms",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+ranked AS (
+  SELECT doc_id, term, tf, df, n_docs,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, term ASC) AS rk
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df,
+       round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-terms per document — the classic keyword-extraction /
+    relevance-weighting pass a corpus pipeline runs before topic
+    routing or sparse retrieval. Three key-balanced shuffles: doc-term
+    counts (tf), term document-frequency (df, combiner-reduced to one
+    row per term before its join back onto tf), and the per-doc top-3
+    window. The corpus size N rides a broadcast single-row frame.
+
+    RANKING is integer-only (tf DESC, df ASC, term ASC) — the float
+    tfidf score is an OUTPUT, never an ordering key, so cross-engine
+    float summation/ln ulp differences cannot flip ranks (the
+    rounding-after-ranking trap the fixed-point similarity entries
+    document). At 100 TB the df side is the concern: stopword terms
+    have huge df ROWS only pre-aggregation, and the partial aggregate
+    collapses them map-side; the tf⋈df equi-join on term is
+    hash-balanced because tf rows are (doc,term)-distinct."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    scored = tf.join(dfx, "term").crossJoin(F.broadcast(n))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
