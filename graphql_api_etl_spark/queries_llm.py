@@ -2245,3 +2245,39 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+@_q(
+    "curate_train_split",
+    """
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT lang, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b
+        FROM documents)
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM s GROUP BY split, lang
+""",
+)
+def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) via the same
+    md5-prefix uniform hash as p_hash_sample: the split is a pure
+    function of doc_id, so it is disjoint and exhaustive BY
+    CONSTRUCTION — stable across engines, runs, partitionings, and
+    corpus growth (a doc never migrates between splits when new data
+    arrives, unlike rand()-seeded splits). Map-only assignment + one
+    partial-aggregable rollup; the differential pins per-split/lang
+    doc and char totals."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    b = D.shingle_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
