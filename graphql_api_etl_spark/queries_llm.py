@@ -2281,3 +2281,50 @@ def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars_total"),
     )
+
+
+@_q(
+    "text_chunk_windows",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+st AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(1, len(t) + 1, 64)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // 64 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(least(128, n - start + 1) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_slice(t, start, start + 127), ' ')) AS chunk_md5
+FROM st
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (chunk 128 tokens, stride 64):
+    the training-example construction pass that turns a corpus into
+    fixed-context overlapping windows. One generated start-offset array
+    per doc (`sequence`), `posexplode` fan-out, then `slice` — all
+    native array expressions, map-only, no shuffle at all: chunk rows
+    are emitted in the scan stage and each is independent, so the op
+    parallelizes with the input at any scale. The differential pins
+    chunk boundaries exactly via md5 of each reassembled window
+    (stride/clamping off-by-ones cannot hide); token arrays are
+    captured ONCE per row as a column — never inside a lambda (the
+    O(L²) re-evaluation trap ngrams documents)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    st = base.select(
+        "doc_id", "t", "n",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(64))).alias("pos", "start"),
+    )
+    return st.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(128), F.col("n") - F.col("start") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(F.slice("t", F.col("start"), 128), " ")).alias("chunk_md5"),
+    )
