@@ -271,3 +271,70 @@ def test_dedup_spans_conserves_and_dedupes(spark, docs):
         kept_sp = spans(kept_words) if kept_words else []
         it = iter(doc_spans)
         assert all(s in it for s in kept_sp)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40), min_size=1, max_size=4
+    )
+)
+@_SETTINGS
+def test_chunk_windows_cover_and_overlap(spark, texts):
+    """Every chunk window is within bounds, consecutive chunks start
+    exactly one stride (64) apart, and the windows jointly cover all
+    tokens: last start + its length == n for every doc (clamped final
+    window reaches the document end)."""
+    from graphql_api_etl_spark.queries_llm import text_chunk_windows
+    import os, tempfile
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "lang", F.lit("en")
+        ).withColumn("source", F.lit("t")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = text_chunk_windows(spark, tmp).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {i for i, _ in rows}
+    for i, t in rows:
+        n = len(t.strip().split())
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        starts = [c.start_tok for c in chunks]
+        assert starts == list(range(1, n + 1, 64))
+        for c in chunks:
+            assert 1 <= c.chunk_len <= 128
+            assert c.start_tok + c.chunk_len - 1 <= n
+        last = chunks[-1]
+        assert last.start_tok + last.chunk_len - 1 == n
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30, unique=True))
+@_SETTINGS
+def test_train_split_partitions_corpus(spark, ids):
+    """The hash split is a partition: every doc lands in exactly one
+    of train/val/test, and re-running with extra docs never moves an
+    existing doc's split (growth stability)."""
+    from graphql_api_etl_spark.queries_llm import curate_train_split
+    import os, tempfile
+
+    def run(id_list):
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                [(i, f"doc {i}", "en", "t", 5) for i in id_list],
+                "doc_id long, text string, lang string, source string, n_chars int",
+            ).write.parquet(os.path.join(tmp, "documents.parquet"))
+            return curate_train_split(spark, tmp).collect()
+
+    full = run(ids)
+    assert sum(r.n_docs for r in full) == len(ids)
+    assert {r.split for r in full} <= {"train", "val", "test"}
+    # growth stability: the subset's per-split totals are bounded by the
+    # full run's (no doc migrates when the corpus grows).
+    half = ids[: max(1, len(ids) // 2)]
+    sub = run(half)
+    full_by = {(r.split, r.lang): r.n_docs for r in full}
+    for r in sub:
+        assert r.n_docs <= full_by.get((r.split, r.lang), 0)
