@@ -3235,3 +3235,60 @@ def a_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_bin", "n", "bin_min", "bin_max", "bin_avg",
         F.sum("n").over(w).cast("bigint").alias("cum_n"),
     )
+
+
+@_q(
+    "a_mode_per_group",
+    """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+tot AS (
+  SELECT o_orderstatus,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_distinct_priorities
+  FROM c GROUP BY o_orderstatus
+),
+r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority ASC) AS rk
+  FROM c
+)
+SELECT r.o_orderstatus,
+       r.o_orderpriority AS mode_priority,
+       r.n AS mode_n,
+       tot.n_distinct_priorities,
+       round(r.n::DOUBLE / tot.n_total, 4) AS mode_share
+FROM r JOIN tot ON r.o_orderstatus = tot.o_orderstatus
+WHERE rk = 1
+""",
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode / categorical profiling per group: the most
+    frequent category with an explicit integer tie-break (count DESC,
+    value ASC) — engines' built-in ``mode()`` aggregates break ties
+    arbitrarily, so the catalog computes it as count + row_number,
+    which hashes identically everywhere. One shuffle for the
+    (group, category) counts; the per-group totals and ranking both
+    reuse that tiny aggregate (category cardinality ≪ fact rows at
+    any scale), so the fact table is scanned and shuffled exactly
+    once."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = c.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_priorities"),
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return r.join(tot, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("mode_priority"),
+        F.col("n").alias("mode_n"),
+        "n_distinct_priorities",
+        F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias("mode_share"),
+    )
