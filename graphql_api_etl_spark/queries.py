@@ -3292,3 +3292,637 @@ def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_priorities",
         F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias("mode_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R4c3: sequence / interval / warehouse-history analytics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_max_concurrency",
+    """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (event_id % 120 + 1) * INTERVAL 1 MINUTE AS e
+  FROM events
+),
+b AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+),
+r AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+)
+SELECT event_type,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(max(conc) AS BIGINT) AS max_concurrency
+FROM r GROUP BY event_type
+""",
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap maximum: how many synthetic
+    sessions (event start, +1..120 min deterministic duration) are
+    simultaneously open, per event_type. The classic O(n log n)
+    pattern distributed: each interval becomes a +1 start / -1 end
+    boundary, one shuffle partitions by type, and a running sum over
+    the time-ordered boundaries is the live-concurrency curve whose
+    max is taken per group. Half-open intervals: ends sort before
+    starts at equal t (ORDER BY t, d with d=-1 first), so touching
+    intervals never overlap. Among equal (t, d) rows the prefix sum
+    is order-dependent row-to-row but its group max is not (all
+    deltas in a tie group share a sign, so the extremum sits at the
+    group boundary) — the output is deterministic without a unique
+    tie-break column. Scale: one shuffle, no self-join; the window
+    sort is the same per-partition sort a 1000-executor cluster does
+    for any event-time window."""
+    from graphql_api_etl_spark.operators.timeseries import max_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 120 + 1 AS INT), 0)"
+        ).alias("e"),
+    )
+    return max_concurrency(iv, "event_type", "s", "e")
+
+
+@_q(
+    "x_scd2_history",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER w AS version,
+         lead(ts) OVER w AS next_ts
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_type AS state, CAST(version AS BIGINT) AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+         AS valid_to,
+       next_ts IS NULL AS is_current
+FROM versioned
+""",
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from an append-only
+    change stream: collapse consecutive duplicate states per user
+    (lag ≠ current keeps only change points), then close each version
+    with the next change's timestamp (lead) — open versions get the
+    sentinel high date and is_current=true. This is the warehouse
+    history-table pattern (Kimball SCD2) expressed as two windows
+    over ONE shuffle: both windows partition by user_id, so Catalyst
+    reuses the exchange and the change-point filter runs streaming in
+    the sorted partition. At 100 TB the same plan incrementalizes:
+    union yesterday's open versions with today's deltas and re-run.
+    Ordering is total — (ts, event_id) — so versions are
+    deterministic under ties. Complements events_latest_per_user
+    (SCD1 keep-latest) in the CDC family."""
+    from graphql_api_etl_spark.operators.timeseries import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    v = scd2_history(ev, "user_id", "event_type", "ts", "event_id").withColumnRenamed(
+        "state", "event_type"
+    )
+    return v.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "version",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
+@_q(
+    "events_transition_matrix",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type FROM ordered
+  WHERE prev_type IS NOT NULL
+),
+c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n::DOUBLE / tot.n_from, 4) AS p
+FROM c JOIN tot ON c.prev_type = tot.prev_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() forms (prev → next) bigrams inside one
+    user-partitioned window, a groupBy counts each transition, and
+    row-conditional probabilities normalize by the source state's
+    outflow. Two shuffles total — the user window and the
+    (prev, next) count whose cardinality is |types|² regardless of
+    data size, so the normalizing join is driver-trivial at any
+    scale. This is the sequence-mining primitive behind session-flow
+    sankeys and next-event prediction baselines; determinism comes
+    from the (ts, event_id) total order (bigrams are order-sensitive
+    only through the window sort, which is pinned)."""
+    from graphql_api_etl_spark.operators.timeseries import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+        .withColumnRenamed("prev_state", "prev_type")
+        .withColumnRenamed("next_state", "next_type")
+    )
+
+
+@_q(
+    "a_rfm_scores",
+    """
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', max(o_orderdate), TIMESTAMP '2026-01-01 00:00:00')
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+         frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days ASC, c_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS BIGINT) AS m_score
+  FROM base
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+         CAST(m_score AS VARCHAR) AS rfm_segment
+FROM scored
+""",
+)
+def a_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary), the
+    standard marketing-analytics segmentation: one aggregate over
+    orders per customer, then three ntile(5) quintile windows over
+    the per-customer rollup. The windows are global-order — fine
+    here because they run over the AGGREGATED table (|customers|,
+    already 3–4 orders of magnitude smaller than the fact table; at
+    100 TB of orders the per-customer rollup is still cluster-tiny,
+    and a truly huge customer dimension would swap ntile for
+    percentile-bucket joins). Recency anchors to a fixed literal
+    date so the query is reproducible; every ordering carries a
+    c_custkey tie-break, making quintile boundaries deterministic on
+    both engines (ntile's equal-split semantics agree given a total
+    order)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.lit("2026-01-01").cast("timestamp"), F.max("o_orderdate"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = W.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("c_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@_q(
+    "a_profile_columns",
+    """
+WITH p AS (
+  SELECT 'c_custkey' AS col_name, 'bigint' AS dtype,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+         CAST(min(c_custkey) AS VARCHAR) AS min_val,
+         CAST(max(c_custkey) AS VARCHAR) AS max_val,
+         CAST(NULL AS DOUBLE) AS avg_len
+  FROM customer
+  UNION ALL
+  SELECT 'c_name', 'string', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(c_name) AS BIGINT),
+         CAST(count(DISTINCT c_name) AS BIGINT),
+         min(c_name), max(c_name), round(avg(length(c_name)), 2)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', 'int', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(c_nationkey) AS BIGINT),
+         CAST(count(DISTINCT c_nationkey) AS BIGINT),
+         CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR),
+         CAST(NULL AS DOUBLE)
+  FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', 'double', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(c_acctbal) AS BIGINT),
+         CAST(count(DISTINCT c_acctbal) AS BIGINT),
+         CAST(CAST(min(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR),
+         CAST(CAST(max(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR),
+         CAST(NULL AS DOUBLE)
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', 'string', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(c_mktsegment) AS BIGINT),
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+         min(c_mktsegment), max(c_mktsegment),
+         round(avg(length(c_mktsegment)), 2)
+  FROM customer
+)
+SELECT * FROM p
+""",
+)
+def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the Deequ / Great-Expectations
+    "profile" primitive): null count, distinct count, min/max, and
+    string mean-length for every column of the customer dimension,
+    unpivoted to one row per column. Spark computes ALL measures in a
+    single aggregate over one scan — the five count-distincts expand
+    to one shuffle (Expand operator, 5× the dimension's rows, still
+    dim-sized) — then stack() reshapes the single wide row; the
+    oracle writes the same measures as per-column passes for clarity.
+    Numeric min/max are emitted through DECIMAL(12,2) so both engines
+    render identical strings. At 100 TB this is the profile job you
+    run per-partition-batch after ingest; count(DISTINCT) swaps for
+    approx_count_distinct when exactness stops mattering (that
+    variant is a_approx_count_distinct)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    agg = c.agg(
+        n.cast("bigint").alias("n_rows"),
+        (n - F.count("c_custkey")).cast("bigint").alias("null_custkey"),
+        F.count_distinct("c_custkey").cast("bigint").alias("nd_custkey"),
+        F.min("c_custkey").cast("string").alias("min_custkey"),
+        F.max("c_custkey").cast("string").alias("max_custkey"),
+        (n - F.count("c_name")).cast("bigint").alias("null_name"),
+        F.count_distinct("c_name").cast("bigint").alias("nd_name"),
+        F.min("c_name").alias("min_name"),
+        F.max("c_name").alias("max_name"),
+        F.round(F.avg(F.length("c_name")), 2).alias("len_name"),
+        (n - F.count("c_nationkey")).cast("bigint").alias("null_nationkey"),
+        F.count_distinct("c_nationkey").cast("bigint").alias("nd_nationkey"),
+        F.min("c_nationkey").cast("string").alias("min_nationkey"),
+        F.max("c_nationkey").cast("string").alias("max_nationkey"),
+        (n - F.count("c_acctbal")).cast("bigint").alias("null_acctbal"),
+        F.count_distinct("c_acctbal").cast("bigint").alias("nd_acctbal"),
+        F.min("c_acctbal").cast("decimal(12,2)").cast("string").alias("min_acctbal"),
+        F.max("c_acctbal").cast("decimal(12,2)").cast("string").alias("max_acctbal"),
+        (n - F.count("c_mktsegment")).cast("bigint").alias("null_seg"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("nd_seg"),
+        F.min("c_mktsegment").alias("min_seg"),
+        F.max("c_mktsegment").alias("max_seg"),
+        F.round(F.avg(F.length("c_mktsegment")), 2).alias("len_seg"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'c_custkey', 'bigint', n_rows, null_custkey, nd_custkey, min_custkey, max_custkey, CAST(NULL AS DOUBLE), "
+        "'c_name', 'string', n_rows, null_name, nd_name, min_name, max_name, len_name, "
+        "'c_nationkey', 'int', n_rows, null_nationkey, nd_nationkey, min_nationkey, max_nationkey, CAST(NULL AS DOUBLE), "
+        "'c_acctbal', 'double', n_rows, null_acctbal, nd_acctbal, min_acctbal, max_acctbal, CAST(NULL AS DOUBLE), "
+        "'c_mktsegment', 'string', n_rows, null_seg, nd_seg, min_seg, max_seg, len_seg"
+        ") AS (col_name, dtype, n_rows, n_null, n_distinct, min_val, max_val, avg_len)"
+    )
+
+
+@_q(
+    "dq_expectations",
+    """
+WITH cust AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS dup_keys,
+         CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS neg_bal
+  FROM customer
+),
+ord AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000)
+              AS BIGINT) AS bad_price,
+         CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS null_date
+  FROM orders
+),
+ord_ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+              AS BIGINT) AS bad_qty
+  FROM lineitem
+),
+li_ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS null_ts
+  FROM events
+),
+doc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE lang NOT IN ('en','de','fr','es'))
+              AS BIGINT) AS bad_lang
+  FROM documents
+)
+SELECT 'customer_custkey_unique' AS rule, n AS n_checked,
+       dup_keys AS n_violations, dup_keys = 0 AS passed FROM cust
+UNION ALL
+SELECT 'customer_acctbal_non_negative', n, neg_bal, neg_bal = 0 FROM cust
+UNION ALL
+SELECT 'orders_totalprice_in_range', n, bad_price, bad_price = 0 FROM ord
+UNION ALL
+SELECT 'orders_orderdate_not_null', n, null_date, null_date = 0 FROM ord
+UNION ALL
+SELECT 'orders_custkey_in_customer', (SELECT n FROM ord), orphans,
+       orphans = 0 FROM ord_ref
+UNION ALL
+SELECT 'lineitem_quantity_in_range', n, bad_qty, bad_qty = 0 FROM li
+UNION ALL
+SELECT 'lineitem_orderkey_in_orders', (SELECT n FROM li), orphans,
+       orphans = 0 FROM li_ref
+UNION ALL
+SELECT 'events_ts_not_null', n, null_ts, null_ts = 0 FROM ev
+UNION ALL
+SELECT 'documents_lang_expected', n, bad_lang, bad_lang = 0 FROM doc
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ /
+    Great-Expectations check primitive): nine rules across five
+    tables — uniqueness, non-null, numeric range, referential
+    integrity, and categorical domain — each yielding (rule,
+    n_checked, n_violations, passed). Rules sharing a table fuse into
+    ONE aggregate pass (count + conditional counts in the same agg),
+    so the whole suite costs one scan per table plus two anti-join
+    probes for referential integrity; nothing shuffles more than the
+    key being checked. Two rules fail on this corpus by design
+    (negative balances exist; 'zh' documents are outside the expected
+    language set) so both branches of the verdict logic carry
+    evidence. This is the validation-gate family (V1–V5, ETL:
+    1020–1074) generalized from count gates to rule suites."""
+    _sum = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    doc = _t(spark, sf_dir, "documents")
+
+    cust = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).cast("bigint").alias("dup_keys"),
+        _sum(F.col("c_acctbal") < 0).alias("neg_bal"),
+    )
+    ordr = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _sum((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000)).alias("bad_price"),
+        _sum(F.col("o_orderdate").isNull()).alias("null_date"),
+    )
+    ord_orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+    )
+    lin = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _sum((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("bad_qty"),
+    )
+    li_orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+    )
+    evt = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _sum(F.col("ts").isNull()).alias("null_ts"),
+    )
+    docs = doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _sum(~F.col("lang").isin("en", "de", "fr", "es")).alias("bad_lang"),
+    )
+
+    def rule(src: DataFrame, name: str, n_col: str, viol_col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col(n_col).alias("n_checked"),
+            F.col(viol_col).alias("n_violations"),
+            (F.col(viol_col) == 0).alias("passed"),
+        )
+
+    ord_ref = ordr.select("n").crossJoin(ord_orphans)
+    li_ref = lin.select("n").crossJoin(li_orphans)
+    frames = [
+        rule(cust, "customer_custkey_unique", "n", "dup_keys"),
+        rule(cust, "customer_acctbal_non_negative", "n", "neg_bal"),
+        rule(ordr, "orders_totalprice_in_range", "n", "bad_price"),
+        rule(ordr, "orders_orderdate_not_null", "n", "null_date"),
+        rule(ord_ref, "orders_custkey_in_customer", "n", "orphans"),
+        rule(lin, "lineitem_quantity_in_range", "n", "bad_qty"),
+        rule(li_ref, "lineitem_orderkey_in_orders", "n", "orphans"),
+        rule(evt, "events_ts_not_null", "n", "null_ts"),
+        rule(docs, "documents_lang_expected", "n", "bad_lang"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@_q(
+    "text_sentence_split",
+    """
+WITH s AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+ ')) AS raw
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(raw), '[.!?]+$', '')) AS slen
+  FROM s
+  WHERE length(regexp_replace(trim(raw), '[.!?]+$', '')) > 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       round(avg(slen), 2) AS avg_sentence_chars,
+       CAST(max(slen) AS BIGINT) AS max_sentence_chars
+FROM cleaned GROUP BY doc_id
+""",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + per-document sentence statistics: split
+    on terminal-punctuation-plus-space runs, strip residual trailing
+    punctuation, drop empties, and aggregate count / mean / max
+    sentence length per document. The rule is deliberately
+    regex-engine-portable (no lookbehind — Java regex has it, RE2
+    does not), so Spark and DuckDB segment identically. Map-side
+    explode then one shuffle on doc_id; at corpus scale the explode
+    multiplies rows ~n_sentences× but stays pipeline-local (no
+    materialization between split and aggregate), the same shape as
+    the shingle/token entries. Sentence stats feed the quality-score
+    family (mean sentence length is a standard fluency signal
+    alongside text_quality_stats' ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.explode(F.split("text", r"[.!?]+ ")).alias("raw")
+    )
+    slen = F.length(F.regexp_replace(F.trim(F.col("raw")), r"[.!?]+$", ""))
+    cleaned = s.select("doc_id", slen.alias("slen")).filter(F.col("slen") > 0)
+    return cleaned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.round(F.avg("slen"), 2).alias("avg_sentence_chars"),
+        F.max("slen").cast("bigint").alias("max_sentence_chars"),
+    )
+
+
+def _ewma_lag_sql() -> str:
+    """Build the 20-term lag-weighted EWMA oracle (see events_ewma_trailing:
+    the weights are powers of two so every product and partial sum is exact
+    BIGINT arithmetic — summation order cannot perturb the result)."""
+    num = " + ".join(
+        f"coalesce(lag(v_cents, {d}) OVER w, 0) * {1 << (19 - d)}" for d in range(20)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v_cents, {d}) OVER w IS NOT NULL THEN {100 * (1 << (19 - d))} ELSE 0 END)"
+        for d in range(20)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id, ts,
+         {num} AS num,
+         {den} AS den
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(num::DOUBLE / den::DOUBLE, 4) AS ewma
+FROM t
+"""
+
+
+@_q("events_ewma_trailing", _ewma_lag_sql())
+def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (half-life = one
+    event, window = last 20 events) per user — the standard smoothing
+    feature for time-series feature stores. Expressed as ONE
+    event-time window pass: the 20 decayed terms are lag(value, d)
+    calls sharing a single (user_id, ts, event_id) window, so Spark
+    computes all of them in one sort within one shuffle — no
+    self-join, no row inflation. Determinism is engineered, not
+    assumed: values quantize to integer cents and the weights are
+    powers of two (2^(19-d)), making numerator and denominator exact
+    BIGINT sums immune to FP summation order; the single final
+    division is the only float op. At 100 TB this is the same
+    plan shape as any sessionized rolling feature — partition by
+    entity, sort by time, constant per-row work."""
+    from graphql_api_etl_spark.operators.timeseries import ewma_trailing_cents
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    t, ewma = ewma_trailing_cents(base, "user_id", ["ts", "event_id"], "v_cents", depth=20)
+    return t.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        ewma.alias("ewma"),
+    )
+
+
+@_q(
+    "a_benford_first_digit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+SELECT digit, n,
+       round(n::DOUBLE / tot.n_total, 4) AS observed_share,
+       round(log10(1 + 1.0 / digit), 4) AS benford_share,
+       round(abs(n::DOUBLE / tot.n_total - log10(1 + 1.0 / digit)), 4)
+         AS abs_gap
+FROM c, tot
+""",
+)
+def a_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the classic
+    forensic-accounting / data-quality test for fabricated or
+    truncated numeric columns. One map-side projection extracts the
+    leading digit (integer floor → string head, no float log tricks
+    on the extraction path), one 9-group aggregate, and the expected
+    log10(1 + 1/d) shares plus absolute gaps are computed on the
+    9-row result. Scale-free beyond the single fact scan; the
+    aggregate is map-side-combined to 9 groups. Complements
+    dq_expectations (rule-based) with a distributional screen."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_total"))
+    benford = F.round(F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")), 4)
+    share = F.col("n").cast("double") / F.col("n_total")
+    return c.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.round(share, 4).alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(F.abs(share - F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))), 4).alias("abs_gap"),
+    )

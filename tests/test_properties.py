@@ -338,3 +338,114 @@ def test_train_split_partitions_corpus(spark, ids):
     full_by = {(r.split, r.lang): r.n_docs for r in full}
     for r in sub:
         assert r.n_docs <= full_by.get((r.split, r.lang), 0)
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # key
+            st.integers(min_value=0, max_value=20),  # start
+            st.integers(min_value=1, max_value=10),  # length
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_max_concurrency_equals_brute_force(spark, ivals):
+    """Sweep-line max overlap == O(n²) brute force counting, for any
+    interval set per key, half-open [s, e) semantics (touching
+    intervals never overlap)."""
+    from graphql_api_etl_spark.operators.timeseries import max_concurrency
+
+    if not ivals:
+        return
+    rows = [(k, s, s + ln) for k, s, ln in ivals]
+    df = spark.createDataFrame(rows, "k int, s int, e int")
+    got = {
+        r["k"]: r["max_concurrency"]
+        for r in max_concurrency(df, "k", "s", "e").collect()
+    }
+    for k in {k for k, _, _ in rows}:
+        span = [(s, e) for kk, s, e in rows if kk == k]
+        # brute force: at every start point, count open intervals
+        want = max(sum(1 for s2, e2 in span if s2 <= s < e2) for s, _ in span)
+        assert got[k] == want, (k, span)
+
+
+@given(
+    seq=st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+)
+@_SETTINGS
+def test_scd2_versions_tile_the_timeline(spark, seq):
+    """SCD2 invariants for any state sequence: versions are 1..n
+    contiguous, consecutive versions have distinct states, each
+    version opens exactly when the previous closes, and exactly one
+    version is open (next_ts NULL)."""
+    from graphql_api_etl_spark.operators.timeseries import scd2_history
+
+    if not seq:
+        return
+    rows = [(1, s, t, t) for t, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "uid int, state string, ts int, tb int")
+    hist = sorted(
+        scd2_history(df, "uid", "state", "ts", "tb").collect(),
+        key=lambda r: r["version"],
+    )
+    # python reference: collapse consecutive duplicates
+    want_states = [s for i, s in enumerate(seq) if i == 0 or s != seq[i - 1]]
+    assert [r["state"] for r in hist] == want_states
+    assert [r["version"] for r in hist] == list(range(1, len(want_states) + 1))
+    opens = [r for r in hist if r["next_ts"] is None]
+    assert len(opens) == 1 and opens[0]["version"] == len(want_states)
+    for prev, nxt in zip(hist, hist[1:]):
+        assert prev["next_ts"] == nxt["ts"]
+        assert prev["state"] != nxt["state"]
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50000), min_size=1, max_size=15),
+    depth=st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_ewma_trailing_equals_python_reference(spark, vals, depth):
+    """Windowed EWMA == the direct weighted sum over the trailing
+    `depth` values with weights 2^-d, computed exactly in Python."""
+    from graphql_api_etl_spark.operators.timeseries import ewma_trailing_cents
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid int, pos int, cents long")
+    out, ewma = ewma_trailing_cents(df, "uid", ["pos"], "cents", depth=depth)
+    got = {
+        r["pos"]: r["ewma"]
+        for r in out.select("pos", ewma.alias("ewma")).collect()
+    }
+    for i in range(len(vals)):
+        window = vals[max(0, i - depth + 1) : i + 1][::-1]  # newest first
+        num = sum(v * (1 << (depth - 1 - d)) for d, v in enumerate(window))
+        den = sum(100 * (1 << (depth - 1 - d)) for d in range(len(window)))
+        assert got[i] == round(num / den, 4), (i, window)
+
+
+@given(seq=st.lists(st.sampled_from("abc"), min_size=0, max_size=12))
+@_SETTINGS
+def test_transition_matrix_counts_and_normalizes(spark, seq):
+    """Transition counts == Python bigram counts; probabilities per
+    source state sum to ~1."""
+    from collections import Counter
+
+    from graphql_api_etl_spark.operators.timeseries import transition_matrix
+
+    if len(seq) < 2:
+        return
+    rows = [(1, s, t) for t, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "uid int, state string, ts int")
+    got = transition_matrix(df, "uid", "state", ["ts"]).collect()
+    want = Counter(zip(seq, seq[1:]))
+    assert {(r["prev_state"], r["next_state"]): r["n"] for r in got} == dict(want)
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["prev_state"], 0.0)
+        by_src[r["prev_state"]] += r["p"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 0.01, (src, total)
