@@ -2328,3 +2328,102 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(128), F.col("n") - F.col("start") + 1).cast("bigint").alias("chunk_len"),
         F.md5(F.array_join(F.slice("t", F.col("start"), 128), " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (dimensionality reduction for embedding pipelines)
+# ---------------------------------------------------------------------------
+
+_PCA_K = 4
+_PCA_SAMPLE = 4096
+
+
+def _pca_model(sf_dir: str) -> tuple[list[list[float]], list[float]]:
+    """Fit PCA on the md5-ordered bounded sample (IVF/k-means recipe:
+    deterministic sample order, ≤ 4096×64 doubles of driver state) —
+    pure-Python/pyarrow path shared verbatim by the Spark entry and
+    the oracle builder, so both embed bit-identical literals.
+
+    Returns (W, offsets): W is the K×64 component matrix (rows are
+    unit eigenvectors of the sample covariance, eigenvalue-descending,
+    sign-pinned so each row's largest-|w| entry is positive — eigh's
+    sign is otherwise arbitrary), offsets[j] = mean · W[j] folds the
+    centering into a single subtraction per component. Both are
+    rounded before use so the two engines share exact constants."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    V = np.asarray(tbl.column("embedding").to_pylist(), dtype="float64")
+    order = sorted(
+        range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest()
+    )[:_PCA_SAMPLE]
+    X = V[order]
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    C = (Xc.T @ Xc) / max(len(X) - 1, 1)
+    evals, evecs = np.linalg.eigh(C)
+    idx = np.argsort(evals)[::-1][:_PCA_K]
+    Wm = evecs[:, idx].T.copy()
+    for j in range(_PCA_K):
+        if Wm[j][int(np.argmax(np.abs(Wm[j])))] < 0:
+            Wm[j] = -Wm[j]
+    Wm = np.round(Wm, 8)
+    mean = np.round(mean, 8)
+    W = [[float(x) for x in row] for row in Wm]
+    offsets = []
+    for j in range(_PCA_K):
+        acc = 0.0
+        for i in range(64):
+            acc += float(mean[i]) * W[j][i]
+        offsets.append(round(acc, 10))
+    return W, offsets
+
+
+def _pca_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    W, offsets = _pca_model(sf_dir)
+    pcs = ", ".join(
+        "round("
+        + " + ".join(f"v[{i + 1}] * {W[j][i]!r}" for i in range(64))
+        + f" - {offsets[j]!r}, 6) AS pc{j + 1}"
+        for j in range(_PCA_K)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        f"SELECT vec_id, label, {pcs} FROM e"
+    )
+
+
+@_q("emb_pca_project", _pca_oracle)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-4 principal
+    components — the dimensionality-reduction pass before clustering /
+    visualization / cheap ANN. Fit follows the engine's deterministic
+    training recipe (md5-ordered ≤4096-vector sample → 64×64 sample
+    covariance → eigh, bounded driver state; the covariance itself is
+    one numpy pass over the sample, and at 100 TB the full-data
+    variant is a single map-reduce of per-partition X'X partials —
+    64×64 doubles per partition). The PROJECTION — the data-sized
+    work — is a wholly native expression: 4 dot products against
+    literal component rows with the centering folded into one
+    pre-computed offset per component, map-only, zero shuffle, scales
+    with the scan. Both engines evaluate the same left-to-right sum
+    over float→double casts, so values are bit-identical before the
+    round(6). Sign is pinned (largest-|w| entry positive) because
+    eigenvector sign is arbitrary."""
+    W, offsets = _pca_model(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")]
+    for j in range(_PCA_K):
+        acc = None
+        for i in range(64):
+            term = F.col("embedding").getItem(i).cast("double") * F.lit(W[j][i])
+            acc = term if acc is None else acc + term
+        cols.append(F.round(acc - F.lit(offsets[j]), 6).alias(f"pc{j + 1}"))
+    return emb.select(*cols)

@@ -521,3 +521,34 @@ def test_interval_join_renames_colliding_right_columns(spark):
         assert "tag_right" in out.columns and out.columns.count("tag") == 1
         row = out.collect()[0]
         assert row["tag"] == "L" and row["tag_right"] == "R"
+
+
+def test_pca_model_invariants_and_projection_matches_numpy(spark):
+    """PCA fit: rows orthonormal, eigenvalue-descending variance on
+    the sample, sign pinned; the Spark projection equals the numpy
+    projection of the same vectors with the same literals."""
+    import numpy as np
+
+    from graphql_api_etl_spark.queries_llm import _pca_model, emb_pca_project
+
+    sf = "/root/testdata/sf0.001"
+    W, offsets = _pca_model(sf)
+    Wm = np.asarray(W)
+    gram = Wm @ Wm.T
+    assert np.allclose(gram, np.eye(len(W)), atol=1e-6)  # orthonormal (rounded @ 8dp)
+    # deterministic across calls (the oracle builder relies on this)
+    W2, offsets2 = _pca_model(sf)
+    assert W == W2 and offsets == offsets2
+    out = {r["vec_id"]: r for r in emb_pca_project(spark, sf).collect()}
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    V = np.asarray(tbl.column("embedding").to_pylist(), dtype="float64")
+    proj = V @ Wm.T - np.asarray(offsets)
+    for row_i, vid in enumerate(ids[:50]):
+        for j in range(len(W)):
+            assert abs(out[vid][f"pc{j + 1}"] - round(proj[row_i, j], 6)) <= 2e-6
+    # variance decreases component-to-component over the corpus
+    var = np.var(proj, axis=0)
+    assert all(var[j] >= var[j + 1] - 1e-9 for j in range(len(W) - 1))
