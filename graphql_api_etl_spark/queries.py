@@ -3926,3 +3926,72 @@ def a_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_share"),
         F.round(F.abs(share - F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))), 4).alias("abs_gap"),
     )
+
+
+@_q(
+    "a_quantile_buckets",
+    """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+         quantile_cont(o_totalprice, 0.2) AS b2,
+         quantile_cont(o_totalprice, 0.3) AS b3,
+         quantile_cont(o_totalprice, 0.4) AS b4,
+         quantile_cont(o_totalprice, 0.5) AS b5,
+         quantile_cont(o_totalprice, 0.6) AS b6,
+         quantile_cont(o_totalprice, 0.7) AS b7,
+         quantile_cont(o_totalprice, 0.8) AS b8,
+         quantile_cont(o_totalprice, 0.9) AS b9
+  FROM orders
+),
+assigned AS (
+  SELECT 1 + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END) AS decile,
+         o_totalprice
+  FROM orders, b
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM assigned GROUP BY decile
+""",
+)
+def a_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-boundary bucketing — the SCALABLE alternative to a
+    global ntile() window (which funnels every row through one sorted
+    partition): ONE partial-aggregable percentile pass produces the 9
+    decile boundaries, that single row is broadcast back over the
+    fact scan, and bucket assignment is a map-side comparison chain —
+    no global sort, no second shuffle beyond the 10-group rollup.
+    This is the shape a_rfm_scores' docstring promises for
+    fact-sized scoring tables. Strict-> comparisons pin boundary
+    ties (a row equal to boundary k stays in bucket k) identically
+    on both engines; at 100 TB the exact percentile swaps for
+    approx_percentile with everything else unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q / 10})").alias(f"b{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + F.when(F.col("o_totalprice") > F.col(f"b{q}"), 1).otherwise(0)
+    assigned = o.crossJoin(F.broadcast(b)).select(
+        decile.cast("bigint").alias("decile"), "o_totalprice"
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )

@@ -2427,3 +2427,80 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = term if acc is None else acc + term
         cols.append(F.round(acc - F.lit(offsets[j]), 6).alias(f"pc{j + 1}"))
     return emb.select(*cols)
+
+
+_KNN_K = 10
+
+
+@_q(
+    "sim_knn_classify",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, label,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, label, CAST(count(*) AS BIGINT) AS votes
+  FROM ranked WHERE rank <= {_KNN_K}
+  GROUP BY query_id, true_label, label
+),
+best AS (
+  SELECT query_id, true_label, label AS predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, predicted_label, votes, true_label,
+       predicted_label = true_label AS correct
+FROM best WHERE vr = 1
+""",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification (k=10, majority vote) over
+    the embedding corpus — the label-propagation / auto-labeling
+    primitive of a training-data platform. Reuses the exact top-k
+    plan (broadcast queries × streamed corpus, per-query window
+    rank), joins neighbor labels from the corpus side, and votes with
+    an INTEGER-ONLY tie-break (votes DESC, label ASC) so the
+    prediction is engine-deterministic even when two labels tie at
+    5–5. Scale: identical to sim_topk_bruteforce (|Q| rows broadcast,
+    corpus streamed once, no shuffle beyond the vote aggregate whose
+    cardinality is |Q|·|labels|); the ANN variants (LSH-bucketed,
+    IVF, matmul) drop in as the scoring stage unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = S.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb, k=_KNN_K, dim=64
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
+    )
+    truth = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    best = votes.withColumn("vr", F.row_number().over(w)).filter(F.col("vr") == 1)
+    return best.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        F.col("label").alias("predicted_label"),
+        "votes",
+        "true_label",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
