@@ -3995,3 +3995,92 @@ def a_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
     )
+
+
+@_q(
+    "a_entropy_per_group",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, tot.n_events, tot.n_types,
+       round(-sum((c.n::DOUBLE / tot.n_events) * ln(c.n::DOUBLE / tot.n_events)), 4)
+         AS entropy
+FROM c JOIN tot ON c.user_id = tot.user_id
+GROUP BY c.user_id, tot.n_events, tot.n_types
+""",
+)
+def a_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity / anomaly-profiling score (bots are
+    low-entropy, organic users high). One shuffle to the
+    (user, type) counts, whose cardinality is users × |types|; totals
+    and the -Σ p·ln p fold both run over that aggregate, never the
+    fact table. Probabilities derive from exact integer counts, so
+    the only float work is ln over identical doubles (libm 1-ulp
+    differences vanish under round 4)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("n_events")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", "n_events", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+    )
+
+
+@_q(
+    "events_interarrival_stats",
+    """
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_ms) AS BIGINT) AS min_ms,
+       round(avg(gap_ms), 1) AS avg_ms,
+       round(quantile_cont(gap_ms, 0.5), 1) AS p50_ms,
+       round(quantile_cont(gap_ms, 0.9), 1) AS p90_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: millisecond gaps between each
+    user's consecutive events, aggregated per the arriving event's
+    type (min / mean / exact p50 / p90 / max) — the latency-profile
+    pass behind rate-limit tuning and burst detection. One
+    user-partitioned window computes the gaps; the per-type rollup is
+    a second small shuffle. Gaps are exact integers (epoch_ms), so
+    the percentile interpolation is over identical values on both
+    engines (the only float step, rounded to 0.1 ms)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    g = ev.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_ms").cast("bigint").alias("min_ms"),
+        F.round(F.avg("gap_ms"), 1).alias("avg_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 1).alias("p50_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 1).alias("p90_ms"),
+        F.max("gap_ms").cast("bigint").alias("max_ms"),
+    )

@@ -2504,3 +2504,116 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("label") == F.col("true_label")).alias("correct"),
     )
+
+
+@_q(
+    "text_zipf_fit",
+    r"""
+WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM counts
+),
+top AS (SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y
+        FROM ranked WHERE rank <= 1000),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM top
+)
+SELECT n_words,
+       round((sxy - sx * sy / n_words) / (sxx - sx * sx / n_words), 4) AS zipf_slope,
+       round((sy - ((sxy - sx * sy / n_words) / (sxx - sx * sx / n_words)) * sx)
+             / n_words, 4) AS intercept
+FROM s
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(frequency) against ln(rank) for the top-1000 words — the
+    corpus-linguistics health check (natural text slopes ≈ -1;
+    boilerplate or synthetic corpora deviate). The vocabulary
+    aggregate is the one data-sized shuffle (partial-aggregated, as
+    text_wordcount); ranking and the 5-sum regression run over at
+    most 1000 rows. The rank cut is INTEGER-deterministic
+    ((n DESC, tok) row_number), so both engines regress over the
+    identical point set; ln/round(4) absorbs libm ulp noise. The
+    closed-form normal-equation slope avoids any iterative fit."""
+    from graphql_api_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = counts.select(
+        "n", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))).alias("rank")
+    ).filter(F.col("rank") <= 1000)
+    top = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_words")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_words")
+    )
+    return s.select(
+        "n_words",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n_words"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@_q(
+    "curate_weighted_sample",
+    """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, n_chars,
+         ln((h + 1) / 268435456.0) / n_chars AS es_key
+  FROM t
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(es_key, 8) AS es_key
+FROM k ORDER BY es_key DESC, doc_id LIMIT 100
+""",
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): key = u^(1/w) with u the doc's
+    md5-uniform in (0,1] and w = n_chars, take the k largest keys —
+    here ranked equivalently by ln(u)/w (monotone in u^(1/w), avoids
+    pow). Longer documents are proportionally likelier, yet the draw
+    is reproducible on any engine / partitioning because the
+    randomness is the same 28-bit md5 hash the sampling family uses
+    (p_hash_sample, curate_domain_mixture). Top-k via
+    TakeOrderedAndProject — per-partition heaps, no global sort — the
+    one-pass distributed weighted-reservoir pattern. Selection
+    boundary holds cross-engine because both compute the identical
+    expression over identical doubles (integer hash → one division,
+    one ln)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = D.shingle_hash(F.col("doc_id").cast("string"))
+    es_key = F.log((h + 1) / F.lit(268435456.0)) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(es_key, 8).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )
