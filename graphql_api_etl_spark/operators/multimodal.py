@@ -364,3 +364,99 @@ def binary_metadata(media: DataFrame) -> DataFrame:
         F.lower(F.sha2(F.col("payload"), 256)).alias("payload_sha256"),
         F.lower(F.substring(F.hex(F.col("payload")), 1, 8)).alias("magic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio DSP: windowed RMS energy over decoded PCM
+# ---------------------------------------------------------------------------
+
+
+def closed_form_samples(key: int, n: int) -> list[int]:
+    """Deterministic PCM16 waveform with a CLOSED-FORM per-sample
+    value: s_i = (((key·31 + i·17) · 2654435761) mod 2³²) >> 16 − 32768.
+    Unlike the iterated-LCG synth above, each sample depends only on
+    (key, i), so a SQL engine can replay the waveform with
+    generate_series — the property the audio differential oracle
+    needs. All intermediates fit in int64."""
+    return [
+        ((((key * 31 + i * 17) * 2654435761) % 4294967296) >> 16) - 32768
+        for i in range(n)
+    ]
+
+
+def synthesize_wav_samples(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples as a valid PCM16 mono RIFF/WAVE file."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _wav_data_chunk(payload: bytes) -> bytes:
+    """Extract the raw PCM data chunk by walking RIFF chunks (same
+    traversal as decode_wav, returning bytes instead of features)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV payload")
+    pos, data = 12, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return data
+
+
+RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("rms_micro", T.LongType()),
+    ]
+)
+
+
+def audio_rms_windows(media: DataFrame, window: int = 200) -> DataFrame:
+    """Windowed RMS energy over decoded PCM — the audio
+    feature-extraction stage (VAD / loudness normalization / silence
+    trimming all start here). Arrow-batched ``mapInPandas``: each
+    batch decodes its WAV payloads (RIFF walk → int16 LE), squares in
+    EXACT int64 (samples ≤ 2¹⁵ so Σv² over any window ≪ 2⁶³ — the
+    sum is order-independent integer arithmetic, immune to FP
+    reassociation), and emits per-window sqrt(Σv²/n) in FIXED-POINT
+    micro-units (floor(rms·1e4) — the family's micro-sim convention,
+    so the only float ops are one division and one IEEE sqrt whose
+    result is bit-identical everywhere). Fan-out is
+    in-batch (one row per window); nothing returns to the driver.
+    At scale this is embarrassingly parallel with the scan, like the
+    thumbnail stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out_id, out_w, out_n, out_r = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = _wav_data_chunk(bytes(payload))
+                n = len(raw) // 2
+                vals = struct.unpack(f"<{n}h", raw[: 2 * n])
+                for wi in range(0, (n + window - 1) // window):
+                    chunk = vals[wi * window : (wi + 1) * window]
+                    ss = 0
+                    for v in chunk:
+                        ss += v * v  # exact int accumulation
+                    out_id.append(mid)
+                    out_w.append(wi)
+                    out_n.append(len(chunk))
+                    out_r.append(int(math.floor(math.sqrt(ss / len(chunk)) * 10000)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "window_idx": pd.Series(out_w, dtype="int64"),
+                    "n_in_window": pd.Series(out_n, dtype="int64"),
+                    "rms_micro": pd.Series(out_r, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RMS_SCHEMA)

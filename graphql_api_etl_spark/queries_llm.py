@@ -2617,3 +2617,61 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@_q(
+    "mm_audio_rms",
+    """
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 5) * 100 AS n FROM documents
+),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d
+),
+s AS (
+  SELECT doc_id, i // 200 AS window_idx,
+         ((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768 AS v
+  FROM i
+)
+SELECT doc_id AS media_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_in_window,
+       CAST(floor(sqrt(sum(v * v) / count(*)) * 10000) AS BIGINT) AS rms_micro
+FROM s GROUP BY doc_id, window_idx
+""",
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP on REAL PCM bytes: per-doc WAV payloads (PCM16 mono,
+    600–1000 samples, closed-form waveform) synthesized on executors,
+    then windowed RMS energy (200-sample windows) extracted by the
+    Arrow-batched decode stage (operators/multimodal.audio_rms_windows:
+    RIFF walk → int16 LE → exact-int Σv² → sqrt).
+
+    Differential design: unlike the LCG payloads elsewhere in the
+    family, each sample is a CLOSED FORM of (doc_id, i), so DuckDB
+    replays the entire waveform with generate_series and must agree on
+    every window's RMS — the real sample values flow through
+    synthesize→encode→decode→DSP, so any byte-order, chunk-walk,
+    windowing, or accumulation bug breaks the hash. Σv² is exact
+    int64 on both sides (order-independent); the single sqrt/division
+    is the only float op."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: MM.synthesize_wav_samples(
+                            MM.closed_form_samples(int(i), 600 + int(i) % 5 * 100)
+                        )
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.audio_rms_windows(media, window=200)

@@ -552,3 +552,26 @@ def test_pca_model_invariants_and_projection_matches_numpy(spark):
     # variance decreases component-to-component over the corpus
     var = np.var(proj, axis=0)
     assert all(var[j] >= var[j + 1] - 1e-9 for j in range(len(W) - 1))
+
+
+def test_audio_rms_windows_roundtrip_and_values(spark):
+    """Closed-form samples survive WAV encode→RIFF walk→int16 decode
+    byte-exactly, and windowed RMS matches the direct computation."""
+    import math
+    import struct
+
+    from graphql_api_etl_spark.operators import multimodal as MM
+
+    samples = MM.closed_form_samples(7, 450)
+    wav = MM.synthesize_wav_samples(samples)
+    raw = MM._wav_data_chunk(wav)
+    assert list(struct.unpack(f"<{len(samples)}h", raw)) == samples
+
+    media = spark.createDataFrame([(7, bytearray(wav))], "media_id long, payload binary")
+    rows = {r["window_idx"]: r for r in MM.audio_rms_windows(media, window=200).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert [rows[i]["n_in_window"] for i in (0, 1, 2)] == [200, 200, 50]
+    for wi in (0, 1, 2):
+        chunk = samples[wi * 200 : (wi + 1) * 200]
+        want = int(math.floor(math.sqrt(sum(v * v for v in chunk) / len(chunk)) * 10000))
+        assert rows[wi]["rms_micro"] == want
