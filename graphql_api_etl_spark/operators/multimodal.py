@@ -460,3 +460,72 @@ def audio_rms_windows(media: DataFrame, window: int = 200) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, RMS_SCHEMA)
+
+
+def closed_form_pixel_bytes(key: int, n: int) -> bytes:
+    """Deterministic pixel-byte stream with a closed-form per-byte
+    value (same rationale as closed_form_samples: SQL engines can
+    replay it): b_i = (((key·13 + i·29) · 2654435761) mod 2³²) >> 24."""
+    return bytes(
+        (((key * 13 + i * 29) * 2654435761) % 4294967296) >> 24 for i in range(n)
+    )
+
+
+def synthesize_bmp_bytes(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Build a 24-bpp BITMAPINFOHEADER BMP around caller-provided
+    pixel data (must already include row padding; use widths whose
+    3·width is a multiple of 4 to avoid padding entirely)."""
+    row_bytes = (width * 3 + 3) & ~3
+    if len(pixel_bytes) != row_bytes * height:
+        raise ValueError("pixel byte count does not match dimensions")
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_bytes
+
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def image_histogram(media: DataFrame, bins: int = 4) -> DataFrame:
+    """Channel-value histogram over DECODED pixels — the image-QA /
+    exposure-analysis stage. Arrow-batched ``mapInPandas``: each
+    payload runs the full pure-stdlib BMP decode (header parse, row
+    order, padding), then every R/G/B channel byte is bucketed into
+    ``bins`` equal ranges. Counting is unordered integer work, so the
+    result is independent of pixel traversal order — the histogram
+    over decoded (r, g, b) tuples equals the histogram over the raw
+    channel bytes, which is what a SQL oracle can replay."""
+    width_bin = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_bin, out_n = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, rows = decode_bmp_pixels(bytes(payload))
+                counts = [0] * bins
+                for row in rows:
+                    for r, g, b in row:
+                        counts[r // width_bin] += 1
+                        counts[g // width_bin] += 1
+                        counts[b // width_bin] += 1
+                for bi, c in enumerate(counts):
+                    out_id.append(mid)
+                    out_bin.append(bi)
+                    out_n.append(c)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "bin": pd.Series(out_bin, dtype="int64"),
+                    "n": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, HIST_SCHEMA)

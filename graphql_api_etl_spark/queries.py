@@ -4084,3 +4084,87 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_ms, 0.9)"), 1).alias("p90_ms"),
         F.max("gap_ms").cast("bigint").alias("max_ms"),
     )
+
+
+@_q(
+    "a_monthly_growth",
+    """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY month
+),
+g AS (
+  SELECT month, revenue, n_orders,
+         lag(revenue) OVER (ORDER BY month) AS prev_rev
+  FROM m
+)
+SELECT month, revenue, n_orders,
+       round((revenue - prev_rev) / prev_rev, 4) AS mom_pct
+FROM g
+""",
+)
+def a_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the canonical BI trend query:
+    calendar-month rollup of the fact table (one partial-aggregated
+    shuffle; the month key is a formatted string so both engines
+    bucket identically), then a lag window over the ~80-row month
+    table for the growth ratio. The global-order window runs over the
+    AGGREGATE (bounded by the calendar, not the data), so the plan
+    holds at any fact scale. Revenue is rounded BEFORE the ratio on
+    both sides, making the division operands identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    g = m.withColumn("prev_rev", F.lag("revenue").over(w))
+    return g.select(
+        "month", "revenue", "n_orders",
+        F.round((F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev"), 4).alias(
+            "mom_pct"
+        ),
+    )
+
+
+@_q(
+    "events_range_frame_sum",
+    """
+WITH b AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_60s,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_60s
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frames (RANGE BETWEEN, not ROWS): each
+    event's trailing-60-second count and spend per user — the
+    rate-limit / rolling-exposure primitive where the frame is
+    defined by the ORDER VALUE, so simultaneous events (equal ms)
+    are always in or out TOGETHER, making the result independent of
+    tie order without any tie-break column (the reason this entry
+    exists alongside the ROWS-frame suite). One shuffle on user_id;
+    values quantize to integer cents so the frame sums are exact.
+    Spark's rangeBetween needs a numeric sort key — epoch_ms — the
+    same bridge the sessionize family uses."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ms").rangeBetween(-60000, 0)
+    return b.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_60s"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_60s"),
+    )

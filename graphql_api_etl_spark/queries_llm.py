@@ -2675,3 +2675,59 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.audio_rms_windows(media, window=200)
+
+
+@_q(
+    "mm_image_histogram",
+    """
+WITH d AS (
+  SELECT doc_id, 24 * (4 + doc_id % 3) AS n_bytes FROM documents
+),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, n_bytes - 1)) AS i FROM d
+),
+v AS (
+  SELECT doc_id,
+         ((((doc_id * 13 + i * 29) * 2654435761) % 4294967296) // 16777216) AS b
+  FROM i
+)
+SELECT doc_id AS media_id,
+       CAST(b // 64 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY doc_id, bin
+""",
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pixel-value histogram on REAL decoded pixels: 8×(4..6)
+    24-bpp BMPs with CLOSED-FORM pixel bytes synthesized on executors,
+    full stdlib decode (header, bottom-up rows — width 8 ⇒ zero row
+    padding, so pixel bytes are exactly the closed-form stream), then
+    4-bin channel-value counts in the Arrow stage.
+
+    Completes the multimodal differential story: mm_audio_rms checks
+    SAMPLE values, this checks PIXEL values (thumbnails/features check
+    dims and byte plumbing) — DuckDB replays every pixel byte via
+    generate_series, so a decode bug in row order, channel unpacking,
+    or padding handling breaks the count match. Pure integer work on
+    both sides; histogram order-independence makes traversal order
+    irrelevant."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                h = 4 + i % 3
+                return MM.synthesize_bmp_bytes(
+                    8, h, MM.closed_form_pixel_bytes(i, 24 * h)
+                )
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_histogram(media, bins=4)
