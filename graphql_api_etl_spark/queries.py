@@ -4168,3 +4168,215 @@ def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_60s"),
         F.sum("cents").over(w).cast("bigint").alias("cents_60s"),
     )
+
+
+@_q(
+    "events_path_analysis",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path
+  FROM o WHERE p2 IS NOT NULL
+),
+c AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+SELECT path, n, round(n::DOUBLE / tot.n_total, 4) AS share
+FROM c, tot
+ORDER BY n DESC, path LIMIT 5
+""",
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 5 most-travelled 3-step event sequences across
+    all user journeys (the sankey / user-flow primitive, one order up
+    from events_transition_matrix's bigrams). Two stacked lags in ONE
+    user-partitioned window form the trigrams; the path aggregate has
+    at most |types|³ groups regardless of data size, and top-5 is
+    TakeOrderedAndProject with a (n DESC, path) integer-first
+    tie-break — no global sort, deterministic under count ties."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    paths = o.select(
+        F.concat_ws(" > ", F.col("p2"), F.col("p1"), F.col("event_type")).alias("path")
+    )
+    c = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("path", "n", F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias("share"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(5)
+    )
+
+
+@_q(
+    "events_ohlc_bars",
+    """
+WITH b AS (
+  SELECT event_type,
+         epoch_ms(ts) // 300000 AS bar,
+         value, ts, event_id,
+         row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 300000
+                            ORDER BY ts ASC, event_id ASC) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 300000
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, CAST(bar AS BIGINT) AS bar,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close
+FROM b GROUP BY event_type, bar
+""",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: open / high / low / close of the value
+    series per (event_type, 5-minute bar) — the financial/metrics
+    downsampling primitive. Open and close are FIRST/LAST under the
+    (ts, event_id) total order, computed as rank-1 rows of two
+    opposite-direction windows over the SAME partitioning as the
+    final aggregate — one shuffle serves both windows and the
+    group-by (Catalyst reuses the exchange). High/low are plain
+    min/max. first_value/last_value would need frame care and
+    arg_min/max tie rules differ across engines; rank-1-then-agg is
+    deterministic everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    bar = (F.unix_millis("ts") / F.lit(300000)).cast("bigint")
+    base = ev.select("event_type", bar.alias("bar"), "value", "ts", "event_id")
+    wo = W.partitionBy("event_type", "bar").orderBy(F.asc("ts"), F.asc("event_id"))
+    wc = W.partitionBy("event_type", "bar").orderBy(F.desc("ts"), F.desc("event_id"))
+    b = base.select(
+        "event_type", "bar", "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return b.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
+    )
+
+
+@_q(
+    "events_active_users",
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(count(DISTINCT CASE WHEN du.day = d.day THEN du.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN du.day > d.day - 7 THEN du.user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS mau
+FROM days d
+JOIN du ON du.day BETWEEN d.day - 29 AND d.day
+GROUP BY d.day
+""",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU engagement rollup — rolling DISTINCT users
+    over 1/7/30-day windows, which no window frame can express
+    (distinct isn't decomposable over sliding frames). The scalable
+    shape: dedup the fact stream to (day, user) FIRST — one shuffle,
+    after which cardinality is bounded by users × days — then a
+    range join of that small table against the day spine with
+    conditional distinct counts per window length. At 100 TB the
+    dedup absorbs the data size; the windowed join never touches the
+    raw stream. (The sketch alternative — per-day HLL merged across
+    windows — is a_approx_count_distinct's territory; this entry is
+    the exact path.)"""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        (F.unix_millis("ts") / F.lit(86400000)).cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    joined = days.join(
+        du, (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")), "inner"
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.count_distinct(
+                F.when(F.col("day") > F.col("d") - 7, F.col("user_id"))
+            ).cast("bigint").alias("wau"),
+            F.count_distinct("user_id").cast("bigint").alias("mau"),
+        )
+        .withColumnRenamed("d", "day")
+    )
+
+
+@_q(
+    "a_key_skew_report",
+    """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, o_custkey ASC) AS rk FROM c
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_n,
+         sum(rk * n) AS srk
+  FROM r
+)
+SELECT n_keys, n_rows, max_n,
+       round(max_n::DOUBLE * n_keys / n_rows, 4) AS skew_ratio,
+       round((2.0 * srk) / (n_keys * n_rows) - (n_keys + 1.0) / n_keys, 4) AS gini
+FROM s
+""",
+)
+def a_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per-key row counts for orders'
+    customer key, summarized as max/avg skew ratio and the Gini
+    coefficient (rank formula G = 2Σ(rank·n)/(K·N) − (K+1)/K over
+    counts sorted ascending with an integer tie-break) — the report
+    you run BEFORE choosing between a plain shuffle join, AQE skew
+    splitting, or the salted join (j_salted_skew_join implements the
+    cure; this measures the disease). The fact table collapses to
+    per-key counts in one partial-aggregated shuffle; ranking runs
+    over keys, not rows. All inputs to the final two divisions are
+    exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = c.select(
+        "n",
+        F.row_number().over(W.orderBy(F.asc("n"), F.asc("o_custkey"))).alias("rk"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.sum(F.col("rk") * F.col("n")).alias("srk"),
+    )
+    return s.select(
+        "n_keys", "n_rows", "max_n",
+        F.round(F.col("max_n").cast("double") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
+        F.round(
+            (F.lit(2.0) * F.col("srk")) / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            4,
+        ).alias("gini"),
+    )
