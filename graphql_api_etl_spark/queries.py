@@ -4380,3 +4380,84 @@ def a_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@_q(
+    "source_fixed_width",
+    """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-record source — the mainframe/EDI layout every ETL
+    tool supports: records are written once as 20-byte lines
+    (doc_id: 10, right-aligned · lang: 2 · n_chars: 8, right-aligned),
+    read back as raw text, and sliced by POSITION with native
+    substring/trim/cast — no delimiter logic at all. The differential
+    compares the parsed fields against the parquet originals, so any
+    off-by-one in the column offsets breaks the match. Newline-framed
+    → parallel scan like the text-lines source; parsing is map-only
+    codegen."""
+    path, cached = _layout_cache_path(sf_dir, "documents_fixedwidth", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+        _publish_layout(
+            lambda tmp: docs.select(
+                F.concat(
+                    F.lpad(F.col("doc_id").cast("string"), 10, " "),
+                    F.rpad(F.col("lang"), 2, " "),
+                    F.lpad(F.col("n_chars").cast("string"), 8, " "),
+                ).alias("value")
+            ).write.mode("overwrite").text(tmp),
+            path,
+        )
+    lines = spark.read.text(path)
+    return lines.select(
+        F.trim(F.substring("value", 1, 10)).cast("bigint").alias("doc_id"),
+        F.trim(F.substring("value", 11, 2)).alias("lang"),
+        F.trim(F.substring("value", 13, 8)).cast("bigint").alias("n_chars"),
+    )
+
+
+@_q(
+    "a_audience_overlap",
+    """
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f_click,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f_purchase
+  FROM events GROUP BY user_id
+)
+SELECT f_click = 1 AS did_click, f_view = 1 AS did_view,
+       f_purchase = 1 AS did_purchase,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM flags GROUP BY did_click, did_view, did_purchase
+""",
+)
+def a_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap segmentation (the Venn-diagram / audience-
+    builder primitive): exact user counts for every observed
+    combination of click/view/purchase activity. The stream collapses
+    to one boolean flag row per user in a single partial-aggregated
+    shuffle (conditional max — no distinct explosion); the 2³-group
+    rollup over that dim-sized table is free. At 100 TB the flag
+    aggregate is the same one pass; adding segments adds columns, not
+    shuffles (contrast with N self-joins of per-segment user lists,
+    the naive shape)."""
+    ev = _t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("f_click"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("f_view"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("f_purchase"),
+    )
+    return (
+        flags.select(
+            (F.col("f_click") == 1).alias("did_click"),
+            (F.col("f_view") == 1).alias("did_view"),
+            (F.col("f_purchase") == 1).alias("did_purchase"),
+        )
+        .groupBy("did_click", "did_view", "did_purchase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
