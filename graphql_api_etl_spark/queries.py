@@ -4461,3 +4461,78 @@ def a_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("did_click", "did_view", "did_purchase")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@_q(
+    "a_market_basket",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+),
+item_n AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_ab,
+       round(n_ab::DOUBLE / n_orders.n, 6) AS support,
+       round(n_ab::DOUBLE * n_orders.n / (ia.n_item * ib.n_item), 4) AS lift
+FROM pairs, n_orders
+JOIN item_n ia ON ia.l_partkey = pairs.part_a
+JOIN item_n ib ON ib.l_partkey = pairs.part_b
+ORDER BY n_ab DESC, part_a, part_b LIMIT 20
+""",
+)
+def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top co-purchased part pairs
+    with support and lift — the classic retail affinity analysis. The
+    basket self-join is keyed on the ORDER (equi-join, pairs bounded
+    by Σ k_o² over per-order item counts k_o ≈ a few — never a
+    cartesian over parts), the pair aggregate is one shuffle on the
+    (a, b) key, and both marginal-count joins broadcast the dim-sized
+    item-frequency table. Lift's inputs are exact integers; top-20 is
+    TakeOrderedAndProject with integer-first tie-breaks. At 100 TB
+    the same plan holds because pair cardinality scales with orders,
+    not parts² (a pathological mega-basket would need the per-order
+    item cap any production basket job applies)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ia = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("na") * F.col("nb")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -2287,7 +2287,9 @@ def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunk_windows",
     r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
 ),
 st AS (
   SELECT doc_id, t, len(t) AS n,
@@ -2313,13 +2315,19 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk boundaries exactly via md5 of each reassembled window
     (stride/clamping off-by-ones cannot hide); token arrays are
     captured ONCE per row as a column — never inside a lambda (the
-    O(L²) re-evaluation trap ngrams documents)."""
+    O(L²) re-evaluation trap ngrams documents). Empty tokens are
+    filtered BEFORE windowing, so a whitespace-only document yields
+    zero chunks instead of one empty chunk (hypothesis-found edge:
+    split('') is [''] on both engines)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
     base = docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
     st = base.select(
         "doc_id", "t", "n",
-        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(64))).alias("pos", "start"),
+        F.posexplode(
+            F.when(F.col("n") > 0, F.sequence(F.lit(1), F.col("n"), F.lit(64)))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("pos", "start"),
     )
     return st.select(
         "doc_id",

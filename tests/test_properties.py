@@ -298,9 +298,12 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
     by_doc: dict[int, list] = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    assert set(by_doc) == {i for i, _ in rows}
+    # whitespace-only/empty docs have zero tokens -> zero chunks
+    assert set(by_doc) == {i for i, t in rows if t.strip()}
     for i, t in rows:
         n = len(t.strip().split())
+        if n == 0:
+            continue
         chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
         starts = [c.start_tok for c in chunks]
         assert starts == list(range(1, n + 1, 64))
