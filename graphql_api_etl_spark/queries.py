@@ -4536,3 +4536,109 @@ def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@_q(
+    "x_try_cast_tolerant",
+    """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'x' || CAST(n_chars AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN ' ' || CAST(n_chars AS VARCHAR) || ' '
+              ELSE CAST(n_chars AS VARCHAR) END AS n_str,
+         CASE WHEN doc_id % 4 = 0 THEN '1970-13-45'
+              ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END
+           AS d_str
+  FROM documents
+)
+SELECT doc_id,
+       TRY_CAST(n_str AS BIGINT) AS n_parsed,
+       TRY_CAST(n_str AS BIGINT) IS NULL AS n_bad,
+       strftime(TRY_CAST(d_str AS DATE), '%Y-%m-%d') AS d_parsed,
+       TRY_CAST(d_str AS DATE) IS NULL AS d_bad
+FROM raw
+""",
+)
+def x_try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion casts (try_cast): malformed numerics
+    and impossible dates become NULL instead of failing the job — the
+    difference between a 100 TB backfill that finishes with a
+    quarantine column and one that dies at hour nine on a single bad
+    record. The entry manufactures three numeric shapes (corrupt,
+    whitespace-padded — which BOTH engines' try_cast accept after
+    trim — and clean) plus invalid calendar dates, and emits value +
+    validity flag for each; the flags drive the dead-letter split in
+    a real pipeline. Map-only codegen; ANSI-safe on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    n_str = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("x"), F.col("n_chars").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(" "), F.col("n_chars").cast("string"), F.lit(" ")))
+        .otherwise(F.col("n_chars").cast("string"))
+    )
+    d_str = F.when(F.col("doc_id") % 4 == 0, F.lit("1970-13-45")).otherwise(
+        F.concat(F.lit("2024-01-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+    )
+    raw = docs.select("doc_id", n_str.alias("n_str"), d_str.alias("d_str"))
+    n_parsed = F.expr("try_cast(n_str AS BIGINT)")
+    d_parsed = F.expr("try_cast(d_str AS DATE)")
+    return raw.select(
+        "doc_id",
+        n_parsed.alias("n_parsed"),
+        n_parsed.isNull().alias("n_bad"),
+        F.date_format(d_parsed, "yyyy-MM-dd").alias("d_parsed"),
+        d_parsed.isNull().alias("d_bad"),
+    )
+
+
+@_q(
+    "a_group_ols",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(l_quantity) AS sx,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n, 2)
+         AS intercept,
+       round(pow(sxy - sx * sy / n, 2) / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS r2
+FROM s
+""",
+)
+def a_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit with R²: price-vs-quantity
+    regression per return flag, from the five classic moment sums —
+    ONE partial-aggregable pass over the fact table, closed-form
+    normal equations on the 3-row result (no iterative optimizer, no
+    second scan). This is the grouped-ML-lite pattern (trend per
+    segment at warehouse scale); the moment sums shuffle as 5 doubles
+    per group regardless of data size. Both engines accumulate
+    doubles in their own order, so outputs are rounded at ratio level
+    (slope 4dp, R² 6dp) — the sums agree to ~1e-12 relative at this
+    scale, far inside the rounding margin."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = cov / varx
+    return s.select(
+        "l_returnflag", "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 2).alias("intercept"),
+        F.round(F.pow(cov, 2) / (varx * vary), 6).alias("r2"),
+    )
