@@ -4642,3 +4642,8 @@ def a_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 2).alias("intercept"),
         F.round(F.pow(cov, 2) / (varx * vary), 6).alias("r2"),
     )
+
+
+# Graph-analytics entries (derived co-purchase / trade graphs) register
+# themselves on import, same bottom-import pattern as queries_llm.
+from graphql_api_etl_spark import queries_graph  # noqa: E402,F401
