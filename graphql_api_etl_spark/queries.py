@@ -4644,6 +4644,118 @@ def a_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "layout_dpp_prune",
+    """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def layout_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a hive-partitioned fact copy —
+    the third layout lever next to bucketing (tpch_q3_bucketed) and
+    Z-order (layout_zorder_prune): lineitem denormalized with its
+    supplier nation and written ``partitionBy(s_nationkey)`` (25
+    directories), then queried through a dim filter that is NOT on
+    the partition column (region name → nation). Static pruning can't
+    touch the scan; at runtime Spark builds the pruning set from the
+    broadcast dim subtree and reads only the ~5 matching partitions —
+    at 100 TB that is the difference between scanning everything and
+    scanning one region. The executed plan carries
+    ``dynamicpruning`` in the scan's PartitionFilters
+    (plan-asserted in tests/test_skew_and_tables.py); the oracle
+    reads the RAW tables, so the hash match also proves the
+    partitioned rewrite is lossless."""
+    path, cached = _layout_cache_path(sf_dir, "lineitem_bynation", ["lineitem", "supplier"])
+    if not cached:
+
+        def _build(tmp: str) -> None:
+            fact = (
+                _t(spark, sf_dir, "lineitem")
+                .join(
+                    F.broadcast(_t(spark, sf_dir, "supplier")),
+                    F.col("l_suppkey") == F.col("s_suppkey"),
+                )
+                .select("l_extendedprice", "l_discount", "s_nationkey")
+            )
+            # one file per partition dir: repartition on the partition
+            # column so 25 writers each own one directory
+            fact.repartition("s_nationkey").write.partitionBy("s_nationkey").parquet(tmp)
+
+        _publish_layout(_build, path)
+    fact = spark.read.parquet(path)
+    dim = _t(spark, sf_dir, "nation").join(
+        F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.s_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@_q(
+    "a_autocorr_lag",
+    """
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS idx,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(lag_days AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.n, b.n), 6) AS autocorr
+FROM (SELECT unnest(range(1, 8)) AS lag_days) lags
+CROSS JOIN daily a
+JOIN daily b ON b.idx = a.idx + lags.lag_days
+GROUP BY lag_days
+""",
+)
+def a_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–7 —
+    the seasonality screen (weekly cycle shows as a lag-7 peak) a
+    metrics pipeline runs before forecasting. Shape: one
+    partial-aggregable rollup of the fact table to |days| rows, then
+    all lag pairs via a self-equi-join on shifted day index — a
+    deliberate alternative to a 7×LAG window, which would need a
+    single-partition sort; the join formulation stays key-partitioned
+    no matter how long the series grows (years × metrics). corr() is
+    Pearson on both engines over day-count pairs; rounded 6dp, far
+    above the ~1e-12 accumulation-order noise on a 30-point series."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")).alias("idx"),
+            "n",
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag_days"))
+    a = daily.select(F.col("idx").alias("a_idx"), F.col("n").alias("a_n"))
+    b = daily.select(F.col("idx").alias("b_idx"), F.col("n").alias("b_n"))
+    pairs = lags.crossJoin(a).join(
+        b, F.col("b_idx") == F.col("a_idx") + F.col("lag_days")
+    )
+    return pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("a_n", "b_n"), 6).alias("autocorr"),
+    )
+
+
 # Graph-analytics entries (derived co-purchase / trade graphs) register
 # themselves on import, same bottom-import pattern as queries_llm.
 from graphql_api_etl_spark import queries_graph  # noqa: E402,F401

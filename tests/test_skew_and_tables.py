@@ -198,3 +198,18 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # z-order: meaningful skipping on BOTH columns
     assert z_cust >= 0.3, z_cust
     assert z_price >= 0.3, z_price
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_oracle_dir):
+    """layout_dpp_prune's fact scan must carry a runtime
+    dynamic-pruning predicate on the partition column: the region
+    filter reaches the partitioned lineitem copy through the nation
+    dim at execution time, not as a static PartitionFilter."""
+    from graphql_api_etl_spark.queries import QUERIES
+
+    df = QUERIES["layout_dpp_prune"][0](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    # the pruning subquery must hang off the broadcast dim, not a
+    # re-scan of the fact
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
