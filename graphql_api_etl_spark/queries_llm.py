@@ -2739,3 +2739,123 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.image_histogram(media, bins=4)
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval: BM25 scoring (Robertson/Spärck Jones; the lexical
+# retrieval baseline every RAG / data-curation stack runs next to the
+# embedding top-k entries above).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "merge")  # fixed literal query
+
+
+@_q(
+    "text_bm25_topk",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens FROM d
+),
+terms AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE term IN ('hash', 'join', 'merge')
+  GROUP BY doc_id, dl, term
+),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT doc_id, dl, tf,
+         CAST(tf AS DOUBLE) AS tfd, CAST(dl AS DOUBLE) AS dld,
+         CAST(df AS DOUBLE) AS dfd, CAST(n_docs AS DOUBLE) AS nd,
+         CAST(tot_tokens AS DOUBLE) AS ttd
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+),
+fp AS (
+  SELECT doc_id, dl, tf,
+         CAST(floor(ln((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                    * (tfd * 2.2)
+                    / (tfd + 1.2 * (0.25 + 0.75 * dld / (ttd / nd)))
+                    * 1000000) AS BIGINT) AS term_fp
+  FROM sc
+),
+agg AS (
+  SELECT doc_id, dl, CAST(sum(tf) AS BIGINT) AS tf_total,
+         CAST(sum(term_fp) AS BIGINT) AS bm25_micro
+  FROM fp GROUP BY doc_id, dl
+),
+top AS (
+  SELECT doc_id, dl, tf_total, bm25_micro,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+  FROM agg
+)
+SELECT doc_id, dl, tf_total, bm25_micro, CAST(rk AS BIGINT) AS rk
+FROM top WHERE rk <= 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75, the
+    idf = ln((N-df+0.5)/(df+0.5)+1) "plus-one" variant so scores stay
+    positive) — the lexical-retrieval twin of sim_topk_*: a curation
+    stack that mines targeted subsets ("find docs about X") runs
+    exactly this over the corpus.
+
+    Determinism: each per-term score is evaluated by the SAME textual
+    expression tree over pre-cast doubles on both engines, then
+    fixed-pointed to micro units (floor ×1e6, the house convention)
+    BEFORE the per-doc sum — so the doc score is an exact BIGINT sum,
+    immune to float summation order, and the ranking key
+    (bm25_micro DESC, doc_id) is integer-only. ln() is the one libm
+    call; its ulp is scaled by ≤1e7 so a floor flip needs the true
+    value within ~1e-8 of an integer — checked at three scales.
+
+    Scale: the term filter lands BEFORE the tf aggregation, so the
+    shuffled stream is only query-term occurrences (|Q|-bounded per
+    doc), not the corpus token stream; df (|Q| rows) and the corpus
+    stats row are broadcast; top-20 is TakeOrderedAndProject, no
+    global sort. At 100 TB the plan is: one scan, one |Q|-sparse
+    shuffle, one per-doc agg (partial-aggregated map-side), top-k.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).select("doc_id", "t", F.size("t").cast("bigint").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_tokens"),
+    )
+    terms = toks.select("doc_id", "dl", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sc = tf.join(F.broadcast(dfx), "term").crossJoin(F.broadcast(stats))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    dfd = F.col("df").cast("double")
+    nd = F.col("n_docs").cast("double")
+    ttd = F.col("tot_tokens").cast("double")
+    term_fp = F.floor(
+        F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        * (tfd * 2.2)
+        / (tfd + 1.2 * (0.25 + 0.75 * dld / (ttd / nd)))
+        * 1000000
+    ).cast("bigint")
+    agg = (
+        sc.select("doc_id", "dl", "tf", term_fp.alias("term_fp"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.sum("term_fp").cast("bigint").alias("bm25_micro"),
+        )
+    )
+    top = agg.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(20)
+    # rk is assigned AFTER the TakeOrdered limit: the window's single
+    # partition holds exactly 20 rows, never the corpus.
+    w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
