@@ -2859,3 +2859,110 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition holds exactly 20 rows, never the corpus.
     w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+@_q(
+    "text_lm_score",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS bigram
+  FROM toks
+),
+m AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS m FROM bg GROUP BY doc_id, bigram),
+c2 AS (SELECT bigram, CAST(sum(m) AS BIGINT) AS c2 FROM m GROUP BY bigram),
+c1 AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+sc AS (
+  SELECT doc_id, m,
+         CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp_fp
+  FROM m
+  JOIN c2 USING (bigram)
+  JOIN c1 ON string_split(m.bigram, ' ')[1] = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * lp_fp) AS BIGINT) AS sum_lp_micro,
+       sum(m * lp_fp) >= -3400000 * sum(m) AS keep_lm
+FROM sc GROUP BY doc_id
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    CCNet/Wikipedia-LM quality-filter shape: train token statistics on
+    the corpus itself, score every document by its average bigram log
+    probability, gate on a perplexity threshold (keep_lm; −3.4 nats
+    average splits this corpus so BOTH verdict branches carry driver
+    evidence). p(w2|w1) = (c(w1w2)+1)/(c(w1)+V) with c(w1) summed over
+    bigram histories and V the corpus unigram vocabulary.
+
+    Determinism: the smoothed probability is a ratio of exact BIGINTs,
+    so both engines divide identical integers; ln() is fixed-pointed
+    per bigram TYPE (floor ×1e6) before the multiplicity-weighted
+    per-doc sum — everything after the single libm call is exact
+    integer arithmetic, and the keep gate compares BIGINTs only.
+
+    Scale: one shuffle for per-doc bigram multiplicities
+    (doc_id,bigram — key-balanced because rows are doc-distinct), the
+    corpus model c2/c1/V collapses via partial aggregation (stopword
+    bigrams combine map-side), and the score join is an equi-join on
+    bigram — hash-balanced for the same reason the TF-IDF df join is.
+    Vocabulary here is tiny so the model side broadcasts; at real
+    corpus scale Catalyst falls back to sort-merge and the plan still
+    holds (no all-pairs, no driver state)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i+1))) "
+        "ELSE array() END"
+    )
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+    m = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    c2 = m.groupBy("bigram").agg(F.sum("m").cast("bigint").alias("c2"))
+    c1 = c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1")).agg(
+        F.sum("c2").cast("bigint").alias("c1")
+    )
+    v = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    sc = (
+        m.join(c2, "bigram")
+        .join(c1, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(v))
+    )
+    lp_fp = F.floor(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+        * 1000000
+    ).cast("bigint")
+    return (
+        sc.select("doc_id", "m", lp_fp.alias("lp_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("lp_fp")).cast("bigint").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "sum_lp_micro",
+            (
+                F.col("sum_lp_micro") >= F.lit(-3400000) * F.col("n_bigrams")
+            ).alias("keep_lm"),
+        )
+    )
