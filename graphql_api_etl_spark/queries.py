@@ -4759,3 +4759,81 @@ def a_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph-analytics entries (derived co-purchase / trade graphs) register
 # themselves on import, same bottom-import pattern as queries_llm.
 from graphql_api_etl_spark import queries_graph  # noqa: E402,F401
+
+
+@_q(
+    "a_heavy_hitters_cms",
+    r"""
+WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+hb AS (
+  SELECT user_id, d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 7) AS BIGINT) % 256 AS bucket
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+),
+counters AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY d, bucket),
+exact AS (SELECT user_id, k, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY user_id, k),
+cand AS (SELECT user_id, k, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 15),
+cb AS (
+  SELECT user_id, exact_n, d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 7) AS BIGINT) % 256 AS bucket
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+)
+SELECT user_id, exact_n,
+       CAST(min(cnt) AS BIGINT) AS cms_n,
+       min(cnt) >= exact_n AS never_under
+FROM cb JOIN counters USING (d, bucket)
+GROUP BY user_id, exact_n
+""",
+)
+def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode–Muthukrishnan) over the
+    event stream: a d=4 × w=256 counter sketch built in ONE shuffled
+    aggregation (the 4-row hash fan-out happens map-side and the
+    partial aggregate collapses it to ≤ d·w rows per task), then the
+    top-15 exact keys re-estimated from the sketch. The output pins the
+    CMS one-sided-error invariant — `never_under` must be true for
+    every key on both engines, and `cms_n` itself must match because
+    the md5 hash family is engine-portable (the 28-bit house hash,
+    seeded per row d).
+
+    Why it matters at 100 TB: the sketch is a FIXED 1024-cell
+    mergeable summary regardless of key cardinality — the distributed
+    pattern for frequency estimation when the key space (urls, ngrams,
+    user ids) no longer fits a hash aggregate. The exact side here
+    exists to adjudicate estimate quality in the differential; a real
+    pipeline ships only the counters.
+
+    Cites ETL:563–569 (the reference's only frequency surface is exact
+    value_counts — this is its sketch-sized scale path)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("user_id").cast("string").alias("k")
+    )
+
+    def bucket(d: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{d}:"), F.col("k")))
+        return F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % 256
+
+    fan = F.array(
+        *[F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket")) for d in range(4)]
+    )
+    rows = ev.select(F.explode(fan).alias("hb"))
+    counters = rows.groupBy(
+        F.col("hb.d").alias("d"), F.col("hb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    exact = ev.groupBy("user_id", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(15)
+    cb = cand.select("user_id", "exact_n", "k").select(
+        "user_id", "exact_n", F.explode(fan).alias("hb")
+    )
+    return (
+        cb.select("user_id", "exact_n", F.col("hb.d").alias("d"), F.col("hb.bucket").alias("bucket"))
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_n"))
+        .select(
+            "user_id", "exact_n", "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("never_under"),
+        )
+    )
