@@ -4837,3 +4837,70 @@ def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") >= F.col("exact_n")).alias("never_under"),
         )
     )
+
+
+@_q(
+    "j_fuzzy_blocked",
+    r"""
+WITH clean AS (
+  SELECT c_custkey AS clean_id, c_name AS clean_name,
+         substr(c_name, 16, 3) AS blk
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substr(c_name, 1, pos - 1) || 'x' || substr(c_name, pos + 1, 100) AS dirty_name
+  FROM (SELECT c_custkey, c_name, 10 + c_custkey % 9 AS pos FROM customer)
+),
+db AS (SELECT dirty_id, dirty_name, substr(dirty_name, 16, 3) AS blk FROM dirty)
+SELECT dirty_id, clean_id,
+       CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist,
+       dirty_id = clean_id AS is_self
+FROM db JOIN clean USING (blk)
+WHERE levenshtein(dirty_name, clean_name) <= 2
+""",
+)
+def j_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (record linkage): match a deterministically
+    corrupted name register (one digit substituted with 'x' at
+    position 10 + key%9) back to the clean register with
+    levenshtein ≤ 2, candidates generated by EQUI-JOIN blocking on a
+    3-char suffix key — never all-pairs. This is the standard
+    blocking-then-verify linkage shape (F4/F5's exact membership
+    generalized to approximate identity, ETL:426–447).
+
+    The differential also pins the honest failure modes: corruptions
+    landing INSIDE the block key (pos ≥ 16) produce unmatchable
+    blocks (documented recall loss — real blocking schemes use
+    multiple redundant keys), and distinct customers sharing a block
+    within distance 2 surface as non-self matches (is_self = false),
+    so both match classes carry evidence.
+
+    Scale: cost is Σ per-block |dirty|·|clean| with near-unique block
+    keys, and levenshtein runs only on candidates. Both engines
+    implement unit-cost Wagner–Fischer, so `dist` is engine-exact."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_id"),
+        F.col("c_name").alias("clean_name"),
+        F.substring("c_name", 16, 3).alias("blk"),
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            "concat(substr(c_name, 1, 10 + c_custkey % 9 - 1), 'x', "
+            "substr(c_name, 10 + c_custkey % 9 + 1, 100))"
+        ).alias("dirty_name"),
+    ).select(
+        "dirty_id", "dirty_name", F.substring("dirty_name", 16, 3).alias("blk")
+    )
+    dist = F.levenshtein("dirty_name", "clean_name")
+    return (
+        dirty.join(clean, "blk")
+        .filter(dist <= 2)
+        .select(
+            "dirty_id", "clean_id",
+            dist.cast("bigint").alias("dist"),
+            (F.col("dirty_id") == F.col("clean_id")).alias("is_self"),
+        )
+    )
