@@ -2966,3 +2966,130 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_lm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings,
+# then exact-cosine dedup WITHIN clusters only.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 4
+_SEMDEDUP_ITERS = 3
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_centroids(sf_dir: str) -> list[list[float]]:
+    from graphql_api_etl_spark.operators.ivf import train_kmeans_local
+
+    return train_kmeans_local(
+        f"{sf_dir}/embeddings.parquet", k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS
+    )
+
+
+def _semdedup_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    C = _semdedup_centroids(sf_dir)
+    cn2 = [sum(x * x for x in c) for c in C]
+    d_cols = ", ".join(
+        f"{cn2[j]!r} - 2.0 * ("
+        + " + ".join(f"(v[{i + 1}] / nrm) * {C[j][i]!r}" for i in range(64))
+        + f") AS d{j}"
+        for j in range(_SEMDEDUP_K)
+    )
+    cluster = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, v, nrm, {d_cols} FROM n),
+asg AS (SELECT vec_id, v, nrm, CAST({cluster} AS BIGINT) AS cluster_id FROM d),
+dups AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM asg a JOIN asg b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT asg.vec_id, cluster_id, dups.vec_id IS NOT NULL AS is_dup
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+"""
+
+
+@_q("dedup_semdedup", _semdedup_oracle)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means over the
+    embedding space, then EXACT cosine dedup restricted to
+    within-cluster pairs — a vector keeps its cluster's lowest-id
+    representative and everything cosine ≥ τ=0.4 to an earlier member
+    is flagged a semantic duplicate. Clustering bounds the quadratic:
+    all-pairs cost drops from |N|² to Σ|cluster|², and cross-cluster
+    near-dups are the method's documented recall loss (the oracle
+    replays the same clusters, so the differential pins exactly that
+    semantics).
+
+    Training follows the house IVF recipe — deterministic md5-ordered
+    sample through the shared pure-Python Lloyd's, k×64 doubles of
+    driver state, bit-identical on the Spark and oracle paths.
+    Assignment is a NATIVE expression (normalized 64-dot against 4
+    literal centroids, array_min over (d, cid) structs with the
+    lower-cid tie rule); verification reuses dot_fixed/norm_fixed with
+    the round-6 sim convention the embedding-cosine entry proved
+    engine-stable.
+
+    Scale: assignment is map-only; the self-join is an equi-join ON
+    cluster_id (shuffle both sides by cluster, AQE handles skewed
+    clusters); the dup-id set is DISTINCT-aggregated before the flag
+    join. At 100 TB you'd raise k so Σ|cluster|² stays bounded —
+    the plan shape is unchanged."""
+    from pyspark.storagelevel import StorageLevel
+
+    C = _semdedup_centroids(sf_dir)
+    cn2 = [sum(x * x for x in c) for c in C]
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", S.norm_fixed("v", 64).alias("nrm"))
+    d_exprs = []
+    for j in range(_SEMDEDUP_K):
+        dot = None
+        for i in range(64):
+            term = (F.element_at("v", i + 1) / F.col("nrm")) * F.lit(C[j][i])
+            dot = term if dot is None else dot + term
+        d_exprs.append(F.lit(cn2[j]) - 2.0 * dot)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(d_exprs[j].alias("d"), F.lit(j).alias("cid"))
+                for j in range(_SEMDEDUP_K)
+            ]
+        )
+    )
+    asg = e.select(
+        "vec_id", "v", "nrm", best["cid"].cast("bigint").alias("cluster_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cluster_id",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster_id",
+    )
+    sim = F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6)
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup_", F.lit(True))
+    )
+    return asg.join(dups, "vec_id", "left").select(
+        "vec_id", "cluster_id", F.coalesce("is_dup_", F.lit(False)).alias("is_dup")
+    )
