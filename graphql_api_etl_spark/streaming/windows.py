@@ -66,3 +66,40 @@ def sessionized(
             "total_value",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time stream-stream INNER join: right-side events matched
+    to left-side events of the same key that happened in
+    ``[l_ts, l_ts + within]``. Both sides carry a watermark and the
+    join condition carries the time bound — together they let the
+    engine expire buffered rows once the watermark passes
+    ``l_ts + within``, so join state is bounded by (key cardinality ×
+    interval depth), never the stream length. Works identically on
+    bounded frames, which is what the batch twin in the test asserts.
+    """
+    iv = F.expr(f"INTERVAL {within}")
+    l = left.select(
+        F.col(key_col).alias("l_user"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("r_user"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + iv),
+        "inner",
+    )

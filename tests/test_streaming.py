@@ -283,3 +283,41 @@ def test_watermark_drops_late_events_append_mode(spark, tmp_path):
     got3 = drain([(t(14, 0), "click", 1.0)])
     assert got3.get((12, "click")) == 1
     assert (9, "click") not in got3
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Event-time stream-stream inner join (click → purchase within 30
+    minutes per user): append-mode availableNow run must produce
+    exactly the batch join's row set — the watermark only bounds
+    STATE here (no late data in a single ordered replay), so no rows
+    may be dropped."""
+    from graphql_api_etl_spark.streaming.windows import stream_stream_join
+
+    stream, batch = events_stream
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    buys_s = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_join(clicks_s, buys_s)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = {
+            (r["l_event"], r["r_event"])
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+        expected = {
+            (r["l_event"], r["r_event"])
+            for r in stream_stream_join(
+                batch.filter(F.col("event_type") == "click"),
+                batch.filter(F.col("event_type") == "purchase"),
+            ).collect()
+        }
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        q.stop()
