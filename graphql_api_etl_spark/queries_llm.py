@@ -23,7 +23,7 @@ from graphql_api_etl_spark.operators import dedup as D
 from graphql_api_etl_spark.operators import multimodal as MM
 from graphql_api_etl_spark.operators import similarity as S
 from graphql_api_etl_spark.operators import text as TX
-from graphql_api_etl_spark.queries import _q, _t
+from graphql_api_etl_spark.queries import QUERIES, _q, _t
 
 # ---------------------------------------------------------------------------
 # Shared oracle-SQL fragments (DuckDB), mirroring operators.text/dedup.
@@ -3093,3 +3093,130 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.join(dups, "vec_id", "left").select(
         "vec_id", "cluster_id", F.coalesce("is_dup_", F.lit(False)).alias("is_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+# with a dense (hash-embedding cosine) list.
+# ---------------------------------------------------------------------------
+
+
+def _rrf_query_vec() -> tuple[list[float], float]:
+    """16-dim hash embedding of the fixed BM25 query, derived from md5
+    at import time (data-independent literals shared with the SQL
+    oracle — the query-side twin of _hash_emb_py)."""
+    import hashlib
+    import math
+
+    v = [0] * _HASH_EMB_DIM
+    for t in _BM25_TERMS:
+        v[int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % _HASH_EMB_DIM] += 1
+    q = [c / len(_BM25_TERMS) for c in v]
+    return q, math.sqrt(sum(x * x for x in q))
+
+
+def _rrf_sql() -> str:
+    qv, qn = _rrf_query_vec()
+    bm25 = QUERIES["text_bm25_topk"][1]
+    bucket = f"CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {_HASH_EMB_DIM}"
+    dims = ", ".join(
+        f"sum(CASE WHEN b = {j} THEN 1 ELSE 0 END)::DOUBLE / count(*) AS e{j}"
+        for j in range(_HASH_EMB_DIM)
+    )
+    nrm = "sqrt(" + " + ".join(f"e{i} * e{i}" for i in range(_HASH_EMB_DIM)) + ")"
+    dot = " + ".join(f"e{i} * {qv[i]!r}" for i in range(_HASH_EMB_DIM))
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+b AS (SELECT doc_id, {bucket} AS b FROM w),
+e AS (SELECT doc_id, {dims} FROM b GROUP BY doc_id),
+simd AS (
+  SELECT doc_id,
+         CAST(floor(({dot}) / ({nrm} * {qn!r}) * 1000000) AS BIGINT) AS sim_micro
+  FROM e
+),
+densetop AS (SELECT doc_id, sim_micro FROM simd ORDER BY sim_micro DESC, doc_id LIMIT 50),
+dense AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim_micro DESC, doc_id) AS BIGINT) AS rk_dense
+  FROM densetop
+),
+lex AS (SELECT doc_id, rk AS rk_lex FROM ({bm25})),
+fused AS (
+  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, rk_lex, rk_dense,
+         coalesce(CAST(floor(1000000 / (60 + rk_lex)) AS BIGINT), 0)
+         + coalesce(CAST(floor(1000000 / (60 + rk_dense)) AS BIGINT), 0) AS rrf_micro
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+),
+top AS (SELECT * FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20)
+SELECT doc_id, rk_lex, rk_dense, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rk
+FROM top
+"""
+
+
+@_q("sim_rrf_hybrid", _rrf_sql())
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    the BM25 top-20 lexical list fused with a dense top-50 list
+    (cosine of each document's 16-dim hash embedding against the
+    query's embedding — data-independent md5-derived literals) by
+    RRF(d) = Σ 1/(60+rank). Fusion is EXACT integer arithmetic:
+    ranks are integers by construction, each reciprocal is
+    fixed-pointed (floor of 1e6/(60+rk)), and the sum/final ordering
+    key is a BIGINT — nothing float crosses the fusion boundary, the
+    classic reason RRF beats score-interpolation for cross-engine /
+    cross-model stability.
+
+    Scale: both candidate lists are TakeOrderedAndProject top-k
+    (ranks assigned post-limit over ≤50 rows), the fusion is a
+    full-outer join of two ≤50-row frames — broadcast-trivial — and
+    each list's generation keeps its own entry's scale shape
+    (BM25: |Q|-sparse shuffle; dense: one partial-aggregated
+    embedding shuffle, map-only scoring)."""
+    qv, qn = _rrf_query_vec()
+    lex = text_bm25_topk(spark, sf_dir).select("doc_id", F.col("rk").alias("rk_lex"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+    )
+    b = words.select(
+        "doc_id", (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")
+    )
+    n = F.count(F.lit(1))
+    e = b.groupBy("doc_id").agg(
+        *[
+            (F.sum(F.when(F.col("b") == j, 1).otherwise(0)).cast("double") / n).alias(f"e{j}")
+            for j in range(_HASH_EMB_DIM)
+        ]
+    )
+    nrm = None
+    dot = None
+    for i in range(_HASH_EMB_DIM):
+        t2 = F.col(f"e{i}") * F.col(f"e{i}")
+        nrm = t2 if nrm is None else nrm + t2
+        td = F.col(f"e{i}") * F.lit(qv[i])
+        dot = td if dot is None else dot + td
+    sim_micro = F.floor(dot / (F.sqrt(nrm) * F.lit(qn)) * 1000000).cast("bigint")
+    densetop = (
+        e.select("doc_id", sim_micro.alias("sim_micro"))
+        .orderBy(F.desc("sim_micro"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wd = W.orderBy(F.desc("sim_micro"), F.asc("doc_id"))
+    dense = densetop.select(
+        "doc_id", F.row_number().over(wd).cast("bigint").alias("rk_dense")
+    )
+    rec = lambda c: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000) / (F.lit(60) + F.col(c))).cast("bigint"), F.lit(0)
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rk_lex", "rk_dense",
+            (rec("rk_lex") + rec("rk_dense")).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(20)
+    )
+    wf = W.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
