@@ -4904,3 +4904,62 @@ def j_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dirty_id") == F.col("clean_id")).alias("is_self"),
         )
     )
+
+
+@_q(
+    "events_hypertable_rollup",
+    """
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS h,
+         date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS wk,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day'
+            ELSE 'week' END AS grain,
+       strftime(coalesce(h, d, wk), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM base
+GROUP BY GROUPING SETS ((h), (d), (wk))
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup (the TimescaleDB
+    continuous-aggregate shape): hour, day, AND week buckets of the
+    event stream in ONE pass via GROUPING SETS over pre-computed
+    truncs — Spark's Expand fans each row to its three grains BEFORE
+    the partial aggregation, so the exchange carries |buckets|·3 rows
+    (combiner-collapsed map-side), not |events|·3, and the scan runs
+    once instead of three times. Values are fixed-pointed to cents
+    per ROW (round-half-up) before the BIGINT sum, so bucket totals
+    are exact integers regardless of engine summation order — the
+    difference from round(sum(double)) that matters as buckets widen
+    to weeks. Both engines week-truncate to Monday.
+
+    At 100 TB this is the continuous-aggregate maintenance job: the
+    same plan over an incremental time slice, merged into per-grain
+    materializations (cf. layout_* entries for the storage side)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_ht")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 date_trunc('day', ts) AS d,
+                 date_trunc('week', ts) AS wk,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM __events_ht
+        )
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               date_format(coalesce(h, d, wk), 'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM base
+        GROUP BY GROUPING SETS ((h), (d), (wk))
+        """
+    )

@@ -3220,3 +3220,49 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = W.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
     return fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+
+
+@_q(
+    "curate_stratified_sample",
+    """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS BIGINT) AS pick
+  FROM h
+)
+SELECT doc_id, lang, pick FROM r WHERE pick <= 40
+""",
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-quota sampling: exactly min(40, |stratum|)
+    documents per language, chosen by md5(doc_id) order — the
+    balanced-data-mixing primitive (equal per-language slices for an
+    eval set or an anneal mix) complementing the proportional
+    samplers (p_hash_sample: global rate; curate_domain_mixture /
+    curate_mixture_temperature: per-domain rates; curate_weighted_
+    sample: weighted top-k). The md5 sort key makes the pick
+    deterministic across engines, runs, and partitionings, and STABLE
+    under corpus growth at the head: a new document displaces at most
+    one pick in its own stratum, never reshuffles others.
+
+    Scale: one window partitioned BY STRATUM — work is distributed
+    across languages and each partition's sort is |stratum|-bounded;
+    no global sort, no driver state. (A still-larger-scale variant
+    replaces the full per-stratum sort with a two-pass hash-threshold
+    pick; the window form is exact and sufficient while strata fit a
+    partition.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    w = W.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick") <= 40)
+        .select("doc_id", "lang", "pick")
+    )
