@@ -4963,3 +4963,101 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((h), (d), (wk))
         """
     )
+
+
+@_q(
+    "a_ab_test_ztest",
+    """
+WITH assigned AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM assigned GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         max(CASE WHEN arm = 'A' THEN s1 END) AS s1_a,
+         max(CASE WHEN arm = 'A' THEN s2 END) AS s2_a,
+         max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         max(CASE WHEN arm = 'B' THEN s1 END) AS s1_b,
+         max(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
+  FROM m
+),
+z AS (
+  SELECT n_a, n_b,
+         CAST(s1_a AS DOUBLE) / n_a AS mean_a,
+         CAST(s1_b AS DOUBLE) / n_b AS mean_b,
+         (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1) AS var_a,
+         (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1) AS var_b
+  FROM w
+)
+SELECT n_a, n_b,
+       CAST(floor((mean_b - mean_a) * 10000) AS BIGINT) AS mean_diff_centimilli,
+       CAST(floor((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b) * 10000) AS BIGINT) AS z_tenthousandths,
+       abs((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)) > 1.96 AS significant
+FROM z
+""",
+)
+def a_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on mean event value between
+    deterministically assigned experiment arms (md5(user_id) % 2 —
+    the same engine-portable uniform every sampler entry uses, so
+    assignment is stable across runs/engines and consistent PER USER,
+    the property a real experiment needs). The experimentation-
+    analytics primitive: at 100 TB this exact plan scores thousands
+    of metric×experiment pairs from one pass of per-arm moment sums.
+
+    Determinism: values are fixed-pointed to cents per ROW, so the
+    per-arm moment sums (n, Σx, Σx²) are exact BIGINTs regardless of
+    partitioning/summation order (Σx² ≈ 1e14 at sf0.1 — comfortably
+    in range); mean/variance/z are then computed from those exact
+    integers by an identical expression tree, and outputs are
+    fixed-pointed. The moments pivot to one row via the max-CASE
+    conditional-aggregation idiom (a_filtered_agg), not a join.
+
+    Plan: one partial-aggregable shuffle to 2 rows, then constant
+    work. Welch (unequal-variance) form; n≫30 makes the z reference
+    valid, and the gate |z| > 1.96 is pinned by both engines."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    m = (
+        ev.select(arm.alias("arm"), cents.alias("cents"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+        )
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("A", "n").alias("n_a"), pick("A", "s1").alias("s1_a"), pick("A", "s2").alias("s2_a"),
+        pick("B", "n").alias("n_b"), pick("B", "s1").alias("s1_b"), pick("B", "s2").alias("s2_b"),
+    )
+    mean_a = F.col("s1_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("s2_a").cast("double") - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("s2_b").cast("double") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    zval = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return w.select(
+        "n_a", "n_b",
+        F.floor((mean_b - mean_a) * 10000).cast("bigint").alias("mean_diff_centimilli"),
+        F.floor(zval * 10000).cast("bigint").alias("z_tenthousandths"),
+        (F.abs(zval) > 1.96).alias("significant"),
+    )
