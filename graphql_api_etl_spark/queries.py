@@ -5061,3 +5061,72 @@ def a_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(zval * 10000).cast("bigint").alias("z_tenthousandths"),
         (F.abs(zval) > 1.96).alias("significant"),
     )
+
+
+@_q(
+    "a_mad_outliers",
+    """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+med AS (
+  SELECT event_type, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, cents, med2, abs(2 * cents - med2) AS dev2
+  FROM c JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       med2, mad4,
+       CAST(count(*) FILTER (WHERE 2 * dev2 > 3 * mad4) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type, med2, mad4
+""",
+)
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via median absolute deviation: per event
+    type, the median and MAD of event value with a count of points
+    beyond the 3×MAD fence — the data-cleaning staple that, unlike
+    the z-score entries, is immune to the outliers it hunts.
+
+    Exactness trick: medians of integers are integers or exact
+    halves, so doubling makes EVERY quantity a BIGINT — cents → med2
+    (half-cents), deviations → dev2 (half-cents), MAD → mad4
+    (quarter-cents) — and the fence test 2·dev2 > 3·mad4 compares
+    exact integers. No float survives past each percentile's exact
+    interpolation, so engines cannot disagree.
+
+    Plan: two percentile aggregations per group (sort-based within
+    group; swap approx_percentile at scale — a_approx_percentiles is
+    the house pattern) with dim-sized results broadcast back onto the
+    map-side deviation/fence computation."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", "med2", F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(dev2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((2 * F.col("dev2") > 3 * F.col("mad4")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med2", "mad4", "n_outliers")
+    )
