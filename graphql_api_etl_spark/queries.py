@@ -5130,3 +5130,179 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med2", "mad4", "n_outliers")
     )
+
+
+@_q(
+    "a_abc_pareto",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+ranked AS (
+  SELECT cents, total,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM rev CROSS JOIN tot
+)
+SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+            WHEN 100 * cum <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents
+FROM ranked GROUP BY 1
+""",
+)
+def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto concentration analysis: parts ranked by revenue,
+    classified by cumulative share (A ≤ 80%, B ≤ 95%, C the tail) —
+    the assortment/inventory 80-20 report. Class boundaries compare
+    100·cum ≤ k·total as exact BIGINTs (revenue fixed-pointed to
+    cents per row before aggregation), so no float share ever exists
+    to disagree about, and the running sum's (cents DESC, partkey)
+    order is total.
+
+    Plan: one key-balanced shuffle to per-part revenue, then the
+    running-share window runs over the AGGREGATED dim-sized frame
+    (|parts|, not |lineitem|) — the same dim-bounded single-partition
+    trade-off the RFM entry documents; at a key cardinality where
+    |parts| outgrows a partition, the two-pass percentile-boundary
+    pattern (a_quantile_buckets) replaces the window."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "cents", "total", F.sum("cents").over(w).cast("bigint").alias("cum")
+    )
+    cls = F.when(100 * F.col("cum") <= 80 * F.col("total"), "A").when(
+        100 * F.col("cum") <= 95 * F.col("total"), "B"
+    ).otherwise("C")
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+    )
+
+
+@_q(
+    "events_resample_interpolate",
+    """
+WITH p AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+pe AS (SELECT event_type, epoch_ms(h) AS t, cents FROM p),
+spans AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM p GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         epoch_ms(unnest(generate_series(lo, hi, INTERVAL 15 MINUTE))) AS t
+  FROM spans
+),
+u AS (
+  SELECT event_type, t, 0 AS ord, cents, t AS pt FROM pe
+  UNION ALL
+  SELECT event_type, t, 1 AS ord, NULL AS cents, NULL AS pt FROM grid
+),
+f AS (
+  SELECT event_type, t, ord,
+         last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(pt IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, ord
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(pt IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t, ord
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM u
+)
+SELECT event_type, t AS grid_ms,
+       CAST(CASE WHEN prev_t = t THEN prev_v
+                 ELSE (prev_v * (next_t - t) + next_v * (t - prev_t)) // (next_t - prev_t)
+            END AS BIGINT) AS interp_cents,
+       prev_t = t AS is_observed
+FROM f WHERE ord = 1
+""",
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation (the
+    InfluxDB/Timescale `interpolate(linear)` shape, complementing
+    events_gapfill's carry-forward): per event type, hourly
+    observations re-sampled onto a 15-minute grid, each grid point
+    linearly interpolated between its straddling observations.
+
+    Neighbor search is ONE sorted pass per series: grid points are
+    unioned with observations (observations sort first at equal
+    timestamps via the ord column), then two ignore-nulls window
+    scans — last_value backward, first_value forward — give the
+    straddling (t, value) pairs; no self-join, no per-row search. The
+    interpolation weight formula (prev·(tn−g) + next·(g−tp)) ÷
+    (tn−tp) runs ENTIRELY in BIGINTs (cents × ms offsets ≈ 1e12,
+    well in range; both engines' integer division agrees on the
+    positive numerator), with grid-coincident points short-circuited
+    to the exact observation, so no float exists anywhere.
+
+    Scale: the heavy input collapses to per-(type, hour) rows in one
+    partial-aggregated shuffle BEFORE any window; the windows
+    partition by series key, so state is per-series and
+    span-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    pe = p.select("event_type", F.unix_millis("h").alias("t"), "cents").select(
+        "event_type", "t", F.lit(0).alias("ord"), "cents", F.col("t").alias("pt")
+    )
+    spans = p.groupBy("event_type").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTE"))).alias("g"),
+    ).select(
+        "event_type",
+        F.unix_millis("g").alias("t"),
+        F.lit(1).alias("ord"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit(None).cast("bigint").alias("pt"),
+    )
+    u = pe.unionByName(grid)
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("t", "ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("t", "ord")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    f = u.select(
+        "event_type", "t", "ord",
+        F.last("cents", ignorenulls=True).over(back).alias("prev_v"),
+        F.last("pt", ignorenulls=True).over(back).alias("prev_t"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first("pt", ignorenulls=True).over(fwd).alias("next_t"),
+    ).filter(F.col("ord") == 1)
+    interp = F.when(F.col("prev_t") == F.col("t"), F.col("prev_v")).otherwise(
+        F.expr(
+            "(prev_v * (next_t - t) + next_v * (t - prev_t)) div (next_t - prev_t)"
+        )
+    )
+    return f.select(
+        "event_type",
+        F.col("t").alias("grid_ms"),
+        interp.cast("bigint").alias("interp_cents"),
+        (F.col("prev_t") == F.col("t")).alias("is_observed"),
+    )
