@@ -5306,3 +5306,107 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.cast("bigint").alias("interp_cents"),
         (F.col("prev_t") == F.col("t")).alias("is_observed"),
     )
+
+
+@_q(
+    "ts_sax_symbols",
+    """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, n,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+  FROM d
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM d GROUP BY event_type
+),
+paa AS (
+  SELECT r.event_type, (rn - 1) // 4 AS window_idx,
+         CAST(sum(n) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS wn,
+         max(s1) AS s1, max(s2) AS s2, max(nd) AS nd
+  FROM r JOIN m ON r.event_type = m.event_type
+  GROUP BY r.event_type, (rn - 1) // 4
+),
+z AS (
+  SELECT event_type, window_idx,
+         (CAST(wsum AS DOUBLE) / wn - CAST(s1 AS DOUBLE) / nd)
+         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / nd) AS zval
+  FROM paa
+)
+SELECT event_type, CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(floor(zval * 1000000) AS BIGINT) AS paa_micro,
+       CASE WHEN zval < -0.6745 THEN 'a'
+            WHEN zval < 0.0 THEN 'b'
+            WHEN zval < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+""",
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh Symbolic Aggregate approXimation)
+    of the per-type daily activity series: z-normalize, piecewise-
+    aggregate over 4-day windows, discretize against the standard
+    N(0,1) quartile breakpoints (±0.6745, 0) into an 'a'–'d'
+    alphabet — the representation distributed time-series similarity
+    search indexes (cf. the EDBT'19 streaming-similarity line in
+    PAPERS.md): symbolic words prefilter candidates, exact distance
+    verifies, the same block-then-verify shape as the dedup family.
+
+    Determinism: day counts and the z-score moment sums (n, Σx, Σx²)
+    are exact BIGINTs, the z expression tree is identical on both
+    engines (bit-identical doubles), PAA means divide exact integers,
+    and breakpoints are shared literals — so symbols can only differ
+    if a value lands within one ulp of a breakpoint, excluded by the
+    driver-checked paa_micro fixed-point column.
+
+    Plan: the stream collapses to (type, day) in one partial-
+    aggregated shuffle; the ranking window and PAA regrouping are
+    per-series (dim-bounded partitions); moments ride a broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wd = W.partitionBy("event_type").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(wd).cast("bigint"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    paa = (
+        r.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", F.expr("(rn - 1) div 4").alias("window_idx"))
+        .agg(
+            F.sum("n").cast("bigint").alias("wsum"),
+            F.count(F.lit(1)).cast("bigint").alias("wn"),
+            F.max("s1").alias("s1"),
+            F.max("s2").alias("s2"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    zval = (
+        F.col("wsum").cast("double") / F.col("wn")
+        - F.col("s1").cast("double") / F.col("nd")
+    ) / F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("nd"))
+        / F.col("nd")
+    )
+    sym = (
+        F.when(zval < -0.6745, "a")
+        .when(zval < 0.0, "b")
+        .when(zval < 0.6745, "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        "event_type",
+        F.col("window_idx").cast("bigint").alias("window_idx"),
+        F.floor(zval * 1000000).cast("bigint").alias("paa_micro"),
+        sym.alias("symbol"),
+    )
