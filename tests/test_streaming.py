@@ -321,3 +321,43 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_stream_static_join_enrichment(spark, events_stream):
+    """Stream-static join: an unbounded stream enriched against a
+    bounded dimension frame — executed as a per-micro-batch broadcast
+    hash join with no streaming state at all (the static side is
+    re-broadcast, never buffered). Result must equal the batch join."""
+    stream, batch = events_stream
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    q = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("ssj_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = {
+            (r["category"], r["n"])
+            for r in spark.sql("SELECT * FROM ssj_static").collect()
+        }
+        expected = {
+            (r["category"], r["n"])
+            for r in batch.join(dim, "event_type")
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expected
+        assert len(got) == 4
+    finally:
+        q.stop()
