@@ -2933,8 +2933,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE array() END"
     )
     bg = toks.select("doc_id", F.explode(bigrams).alias("bigram"))
-    m = bg.groupBy("doc_id", "bigram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m")
+    # Persisted: three consumers (c2 aggregation, the score join's
+    # probe side, and through c2 the c1 rollup) would otherwise each
+    # recompute the tokenize→explode→count tree.
+    from pyspark.storagelevel import StorageLevel
+
+    m = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c2 = m.groupBy("bigram").agg(F.sum("m").cast("bigint").alias("c2"))
     c1 = c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1")).agg(
