@@ -5410,3 +5410,88 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(zval * 1000000).cast("bigint").alias("paa_micro"),
         sym.alias("symbol"),
     )
+
+
+@_q(
+    "ts_similarity_topk",
+    """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT user_id, CAST(sum(n * n) AS BIGINT) AS s2 FROM d GROUP BY user_id),
+q AS (SELECT user_id AS query_user, day, n AS qn FROM d WHERE user_id < 5),
+joint AS (
+  SELECT query_user, d.user_id AS neighbor_user,
+         CAST(sum(qn * n) AS BIGINT) AS sab
+  FROM q JOIN d USING (day)
+  WHERE d.user_id != query_user
+  GROUP BY query_user, d.user_id
+),
+dist AS (
+  SELECT query_user, neighbor_user,
+         sq.s2 + sn.s2 - 2 * sab AS dist2
+  FROM joint
+  JOIN s sq ON sq.user_id = query_user
+  JOIN s sn ON sn.user_id = neighbor_user
+),
+ranked AS (
+  SELECT query_user, neighbor_user, CAST(dist2 AS BIGINT) AS dist2,
+         CAST(row_number() OVER (PARTITION BY query_user
+                                 ORDER BY dist2, neighbor_user) AS BIGINT) AS rank
+  FROM dist
+)
+SELECT query_user, neighbor_user, dist2, rank FROM ranked WHERE rank <= 5
+""",
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over SPARSE daily-activity
+    series (the EDBT'19/REPOSE distributed-similarity family): top-5
+    nearest users to each query user by squared Euclidean distance
+    between daily event-count series — WITHOUT materializing dense
+    day vectors. ‖a−b‖² = Σa² + Σb² − 2·Σ aₔbₔ, so per-user energies
+    come from one rollup and the cross term only needs an INVERTED-
+    INDEX join on day (pairs sharing no active day are maximally
+    distant and never become candidates — the same block-then-verify
+    candidate rule the dedup family uses, replayed identically by the
+    oracle). Counts are BIGINTs, so distances and the (dist2,
+    neighbor) ranking are exact integers.
+
+    Scale: the stream collapses to (user, day) once; the candidate
+    join fans out per shared day and re-collapses in a partial-
+    aggregated (query, neighbor) sum; query rows broadcast. Day keys
+    are naturally balanced; a viral day would salt like
+    j_salted_skew_join."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = d.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2")
+    )
+    q = F.broadcast(
+        d.filter(F.col("user_id") < 5).select(
+            F.col("user_id").alias("query_user"), "day", F.col("n").alias("qn")
+        )
+    )
+    joint = (
+        q.join(d, "day")
+        .filter(F.col("user_id") != F.col("query_user"))
+        .groupBy("query_user", F.col("user_id").alias("neighbor_user"))
+        .agg(F.sum(F.col("qn") * F.col("n")).cast("bigint").alias("sab"))
+    )
+    sq = s.select(F.col("user_id").alias("query_user"), F.col("s2").alias("s2q"))
+    sn = s.select(F.col("user_id").alias("neighbor_user"), F.col("s2").alias("s2n"))
+    dist = (
+        joint.join(F.broadcast(sq), "query_user")
+        .join(sn, "neighbor_user")
+        .select(
+            "query_user", "neighbor_user",
+            (F.col("s2q") + F.col("s2n") - 2 * F.col("sab")).cast("bigint").alias("dist2"),
+        )
+    )
+    w = W.partitionBy("query_user").orderBy("dist2", "neighbor_user")
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
