@@ -3351,3 +3351,56 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@_q(
+    "dedup_containment_pairs",
+    f"""
+WITH {_NTOKS_CTE}, {_SHS_CTE},
+sizes AS (SELECT doc_id, len(sh) AS sz FROM shs),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+common AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_common
+           FROM inv a JOIN inv b USING (shingle)
+           WHERE a.doc_id != b.doc_id GROUP BY 1, 2),
+scored AS (SELECT src_id, dst_id,
+                  round(n_common::DOUBLE / za.sz, 4) AS containment
+           FROM common JOIN sizes za ON za.doc_id = src_id)
+SELECT src_id, dst_id, containment FROM scored WHERE containment >= 0.8
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard CONTAINMENT C(src→dst) = |src∩dst| / |src| — the
+    asymmetric twin of dedup_ngram_jaccard that symmetric similarity
+    misses: a short document quoted inside a long one has low Jaccard
+    but containment ≈ 1, the relation quote/boilerplate/sub-document
+    dedup actually needs (cf. suffix-style decontamination, where the
+    benchmark side is the contained one). Directional by
+    construction: both (a→b) and (b→a) are scored, each against its
+    own source size.
+
+    Same inverted-shingle-index plan as the Jaccard entry — |∩| is a
+    groupBy count off the posting-list self-join, Σ|posting|² cost,
+    never |n|²; at scale the candidate set comes from MinHash banding
+    and this becomes the verification stage (the operator's
+    `candidates` parameter)."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = D.shingled(docs, "text", "doc_id", 2)
+    sizes = sets.select("doc_id", F.size("sh").alias("sz"))
+    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("src_id"), "shingle")
+    b = inv.select(F.col("doc_id").alias("dst_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("src_id"), F.col("sz").alias("sz_src"))
+    return (
+        common.join(za, "src_id")
+        .select(
+            "src_id", "dst_id",
+            F.round(F.col("n_common").cast("double") / F.col("sz_src"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
