@@ -5495,3 +5495,58 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@_q(
+    "a_forecast_seasonal_naive",
+    """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+e AS (
+  SELECT cur.event_type,
+         abs(cur.n - prior.n) AS abs_err
+  FROM d cur JOIN d prior
+    ON cur.event_type = prior.event_type AND prior.day + INTERVAL 7 DAY = cur.day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+       CAST((1000000 * sum(abs_err)) // count(*) AS BIGINT) AS mae_micro
+FROM e GROUP BY event_type
+""",
+)
+def a_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naïve forecast baseline evaluation: ŷ(d) = y(d−7)
+    per event type, scored by MAE over every day with a week-prior
+    observation — the baseline any demand/traffic forecasting job
+    must beat before a model earns its compute (and the denominator
+    of MASE). The 7-day shift is a self EQUI-join on
+    (type, day−7d) — not a row-offset lag, so missing days never
+    misalign the season — and every quantity (counts, absolute
+    errors, the ×1e6 integer-division MAE) is exact BIGINT
+    arithmetic.
+
+    Plan: the stream collapses to (type, day) in one partial-
+    aggregated shuffle; the shifted self-join and final rollup run on
+    the day-grain frame (|types|·|days|), orders of magnitude below
+    the input."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cur = d.select("event_type", "day", F.col("n").alias("n_cur"))
+    prior = d.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("n").alias("n_prior"),
+    )
+    e = cur.join(prior, ["event_type", "day"]).select(
+        "event_type", F.abs(F.col("n_cur") - F.col("n_prior")).alias("abs_err")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("abs_err").cast("bigint").alias("total_abs_err"),
+        F.expr("(1000000 * sum(abs_err)) div count(*)").cast("bigint").alias("mae_micro"),
+    )
