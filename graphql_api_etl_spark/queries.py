@@ -5550,3 +5550,80 @@ def a_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("abs_err").cast("bigint").alias("total_abs_err"),
         F.expr("(1000000 * sum(abs_err)) div count(*)").cast("bigint").alias("mae_micro"),
     )
+
+
+@_q(
+    "dq_table_checksums",
+    """
+SELECT 'orders' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 7) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag), 1, 7) AS BIGINT))
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+                 c_mktsegment), 1, 7) AS BIGINT))
+            AS BIGINT)
+FROM customer
+""",
+)
+def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksums: per table, row count plus
+    the BIGINT SUM of a per-row md5-derived 28-bit hash over its key
+    columns — the cross-system reconciliation primitive (does the
+    warehouse copy equal the lake copy?) that needs no sort, no
+    collect, and MERGES: partial sums from any partitioning of the
+    data agree, so each side computes its fingerprint independently
+    and ships back 16 bytes. Hash inputs are integers and enum
+    strings joined with an explicit separator (no float rendering,
+    no ambiguity between ('ab','c') and ('a','bc')); the engine-
+    portable md5 prefix is the house hash, so both engines — and any
+    third system implementing the same recipe — produce identical
+    checksums. Sum capacity: 2^28-max hashes × 6e8 rows ≈ 2^57,
+    within BIGINT.
+
+    Plan: one map-side hash + partial-aggregated single-row reduce
+    per table; the UNION ALL of three one-row frames is free.
+    Reference parity: the shape-gate accounting of ETL:1033–1060
+    upgraded to content equality."""
+    def cks(df: DataFrame, name: str, concat_col: F.Column) -> DataFrame:
+        h = F.conv(F.substring(F.md5(concat_col), 1, 7), 16, 10).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("checksum"),
+        ).select("table_name", "n_rows", "checksum")
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        cks(
+            o, "orders",
+            F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"), F.col("o_orderstatus")),
+        )
+        .unionByName(
+            cks(
+                li, "lineitem",
+                F.concat_ws("|", F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"), F.col("l_returnflag")),
+            )
+        )
+        .unionByName(
+            cks(
+                c, "customer",
+                F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_mktsegment")),
+            )
+        )
+    )
