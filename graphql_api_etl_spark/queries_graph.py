@@ -272,3 +272,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node_id"),
         F.col("r").alias("rank_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS distances — single source over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+),
+root AS (SELECT min(u) AS node FROM edges),
+walk(node, dist) AS (
+  SELECT node, 0 FROM root
+  UNION
+  SELECT adj.dst, walk.dist + 1
+  FROM walk JOIN adj ON adj.src = walk.node
+  WHERE walk.dist < 3
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@_q("graph_bfs_distances", _BFS_SQL)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS distances, bounded to 3 hops, from the
+    lowest-id node of the co-purchase part graph — the reachability /
+    blast-radius primitive (recall campaigns, contamination spread)
+    complementing the closure, components, triangle, and PageRank
+    entries.
+
+    Frontier-at-a-time execution: each round expands ONLY the
+    just-discovered frontier through the adjacency equi-join, then
+    anti-joins the visited set — so a node's distance is final the
+    round it is first seen (min-dist falls out of the loop, never a
+    re-aggregation), and total work is Σ|frontier|·deg, the textbook
+    level-synchronous BFS a Pregel engine runs. The visited set rides
+    a localCheckpoint per round (reliable checkpoint at cluster
+    scale, as connected_components documents). The driver holds ONLY
+    the loop counter — fixed 3 rounds, no convergence collect. The
+    DuckDB oracle is the same search as a depth-bounded UNION-
+    recursive CTE reduced by min(dist).
+
+    Distances are small exact integers; the graph derivation is the
+    triangle entry's one-shuffle distinct-pair join."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    root = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    visited = root.localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, 4):
+        nxt = (
+            frontier.join(adj, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(k).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("bigint").alias("dist"))
