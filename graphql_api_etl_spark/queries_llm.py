@@ -3455,3 +3455,77 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_hit) div n_true").cast("bigint").alias("recall_micro"),
         )
     )
+
+
+@_q(
+    "mm_video_scene_cut",
+    """
+WITH g AS (SELECT doc_id, i FROM documents, generate_series(0, 95) s(i))
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS cut_frame,
+       CAST(sum(abs(
+           ((((doc_id * 2) * 13 + i * 29) * 2654435761) % 4294967296) // 16777216
+         - ((((doc_id * 2 + 1) * 13 + i * 29) * 2654435761) % 4294967296) // 16777216
+       )) AS BIGINT) AS delta_at_cut,
+       CAST(4 AS BIGINT) AS n_frames
+FROM g GROUP BY doc_id
+""",
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection on REAL decoded frames: per-doc
+    4-frame videos (8×4 24-bpp BMPs, closed-form pixel streams, scene
+    switch at frame 1 + doc_id % 3), container-walked, frame-decoded,
+    and scored by the inter-frame pixel delta Σ|pₜ − pₜ₋₁| inside the
+    Arrow batch — the cut is the first frame whose delta is nonzero.
+
+    The differential is real on BOTH claims: the cut position must
+    emerge from decoded deltas (oracle derives it from the
+    construction arithmetic — a mis-walked frame boundary or wrong
+    decode shifts it), and delta_at_cut must equal the closed-form
+    byte sum DuckDB replays via generate_series (any decode byte
+    corruption breaks the exact sum; pixel-order permutations cancel
+    because both frames permute identically under Σ|·|).
+
+    Scale: pure in-batch fan-out — frames never leave the Arrow
+    stage, one output row per video; the same shape ships a real
+    shot-boundary detector (histogram or SSIM deltas) at 100 TB of
+    video."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            out = {"media_id": [], "cut_frame": [], "delta_at_cut": [], "n_frames": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cut = 1 + i % 3
+                video = MM.synthesize_video(
+                    [
+                        MM.synthesize_bmp_bytes(
+                            8, 4,
+                            MM.closed_form_pixel_bytes(2 * i + (0 if f < cut else 1), 96),
+                        )
+                        for f in range(4)
+                    ]
+                )
+                streams = []
+                for fb in MM.split_video_frames(video):
+                    _, _, pix = MM.decode_bmp_pixels(fb)
+                    streams.append(
+                        bytes(c for row in pix for px in row for c in px)
+                    )
+                deltas = [
+                    sum(abs(a - b) for a, b in zip(streams[f - 1], streams[f]))
+                    for f in range(1, len(streams))
+                ]
+                found = next(f for f, d in enumerate(deltas, start=1) if d > 0)
+                out["media_id"].append(i)
+                out["cut_frame"].append(found)
+                out["delta_at_cut"].append(deltas[found - 1])
+                out["n_frames"].append(len(streams))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        make, "media_id bigint, cut_frame bigint, delta_at_cut bigint, n_frames bigint"
+    )
