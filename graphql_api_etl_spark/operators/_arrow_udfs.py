@@ -18,3 +18,12 @@ def arrow_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     num = np.einsum("ij,ij->i", x, y)
     den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
     return pd.Series(num / den)
+
+
+@pandas_udf("long")
+def gzip_len_udf(texts: pd.Series) -> pd.Series:
+    """Deflate length per row (zlib level 6) — the compressibility
+    quality signal's Python stage."""
+    import zlib
+
+    return texts.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), 6)))

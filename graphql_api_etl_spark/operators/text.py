@@ -253,3 +253,29 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_hash", h).withColumn(
         "fingerprint", F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
     )
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gzip-compressibility quality signal (the Gopher-family filter:
+    machine-generated/repetitive text compresses far better than
+    natural prose): adds ``compressed_len``, ``raw_len``, and
+    ``compression_ratio`` (compressed/raw, rounded to 4).
+
+    Compression runs in an Arrow-batched pandas UDF (zlib level 6,
+    stdlib — deterministic for a fixed level and library build; the
+    RATIO is a per-row map, so partitioning never affects values).
+    This is a Python-stage operator by necessity — no SQL engine
+    exposes deflate — so it carries pytest evidence, not a DuckDB
+    oracle, and stays off the native-path audit like the multimodal
+    codecs (same Arrow-only policy)."""
+    from graphql_api_etl_spark.operators._arrow_udfs import gzip_len_udf as _clen
+
+    raw_len = F.length(F.col(text_col)).cast("long")
+    return (
+        df.withColumn("compressed_len", _clen(F.col(text_col)))
+        .withColumn("raw_len", raw_len)
+        .withColumn(
+            "compression_ratio",
+            F.round(F.col("compressed_len").cast("double") / F.col("raw_len"), 4),
+        )
+    )

@@ -575,3 +575,33 @@ def test_audio_rms_windows_roundtrip_and_values(spark):
         chunk = samples[wi * 200 : (wi + 1) * 200]
         want = int(math.floor(math.sqrt(sum(v * v for v in chunk) / len(chunk)) * 10000))
         assert rows[wi]["rms_micro"] == want
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    """Repetitive text must compress harder (lower ratio) than
+    high-entropy text; ratios are per-row maps, stable across
+    partitionings."""
+    from graphql_api_etl_spark.operators.text import with_compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "".join(
+                __import__("hashlib").md5(str(i).encode()).hexdigest()
+                for i in range(32)
+            )),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_compression_ratio(df).collect()}
+    assert rows[1]["compression_ratio"] < 0.1
+    assert rows[2]["compression_ratio"] > 0.5
+    assert rows[1]["raw_len"] == 1000
+    assert rows[2]["raw_len"] == 1024
+    # partition-independence: same values at a different parallelism
+    rows4 = {
+        r["doc_id"]: r for r in with_compression_ratio(df.repartition(4)).collect()
+    }
+    assert {k: v["compressed_len"] for k, v in rows.items()} == {
+        k: v["compressed_len"] for k, v in rows4.items()
+    }
