@@ -299,3 +299,28 @@ def test_multimodal_thumbnail_and_frame_sampling(spark):
     frames = sample_frames(vmedia, every_k=2).collect()
     assert sorted(r["frame_idx"] for r in frames) == [0, 2, 4]
     assert all((r["width"], r["height"]) == (6, 4) for r in frames)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic must
+    rewrite only the partitions present in the incoming frame — the
+    idempotent daily-reload primitive (static mode would drop every
+    other day)."""
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d3", 40)],
+        "id long, day string, v long",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(path)
+    patch = spark.createDataFrame([(9, "d2", 99)], "id long, day string, v long")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {
+        (r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    # d1/d3 untouched, d2 fully replaced by the single patch row
+    assert got == {(1, "d1", 10), (2, "d1", 20), (9, "d2", 99), (4, "d3", 40)}
