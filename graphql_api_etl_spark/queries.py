@@ -5627,3 +5627,59 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@_q(
+    "source_xml_records",
+    """
+SELECT doc_id, lang,
+       md5(text || ' <&">') AS text_md5
+FROM documents
+""",
+)
+def source_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-framed XML record source (the log-export/feed layout:
+    one `<doc id=".." lang=".."><text>..</text></doc>` element per
+    line): written once from the documents table WITH an injected
+    `' <&">'` suffix so every XML entity class is actually exercised,
+    escaped on write and unescaped on read by native replace chains
+    (amp FIRST on escape, LAST on unescape — the order that makes the
+    pair a bijection), parsed by a single anchored regexp_extract.
+    The differential compares md5(round-tripped text) against
+    md5(original || salt) computed from the parquet originals, so a
+    broken escape order, a greedy-match slip, or any byte corruption
+    breaks the hash.
+
+    Newline-framed → splittable parallel scan (like the text-lines
+    and fixed-width sources); parse+unescape is map-only codegen.
+    Full nested-DOM XML goes through the executor-side stdlib codec
+    instead, as sources/xlsx.py does for its zip+XML container."""
+    path, cached = _layout_cache_path(sf_dir, "documents_xml", ["documents"])
+    docs = _t(spark, sf_dir, "documents")
+    if not cached:
+        salted = F.concat(F.col("text"), F.lit(' <&">'))
+        esc = salted
+        for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]:
+            esc = F.replace(esc, F.lit(a), F.lit(b))
+        line = F.concat(
+            F.lit('<doc id="'), F.col("doc_id").cast("string"),
+            F.lit('" lang="'), F.col("lang"),
+            F.lit('"><text>'), esc, F.lit("</text></doc>"),
+        )
+        _publish_layout(
+            lambda tmp: docs.select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(tmp),
+            path,
+        )
+    lines = spark.read.text(path)
+    pat = r'^<doc id="([0-9]+)" lang="([a-z]+)"><text>(.*)</text></doc>$'
+    parsed = lines.select(
+        F.regexp_extract("value", pat, 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("value", pat, 2).alias("lang"),
+        F.regexp_extract("value", pat, 3).alias("raw"),
+    )
+    un = F.col("raw")
+    for a, b in [("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")]:
+        un = F.replace(un, F.lit(a), F.lit(b))
+    return parsed.select("doc_id", "lang", F.md5(un).alias("text_md5"))
