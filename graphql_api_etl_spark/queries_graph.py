@@ -30,7 +30,7 @@ SURVEY.md §6 prescribes for pipeline-adjacent analytics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from graphql_api_etl_spark.queries import _q, _t
@@ -364,3 +364,112 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — common-neighbor / Jaccard scores on non-edges
+# ---------------------------------------------------------------------------
+
+_LINKPRED_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS b, v AS n FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT b AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY b),
+cn AS (
+  SELECT x.n AS a, y.n AS c, CAST(count(*) AS BIGINT) AS n_common
+  FROM adj x JOIN adj y ON x.b = y.b AND x.n < y.n
+  GROUP BY x.n, y.n
+),
+nonedge AS (
+  SELECT a, c, n_common FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = cn.a AND e.v = cn.c)
+),
+scored AS (
+  SELECT a, c, n_common,
+         round(n_common::DOUBLE / (da.d + dc.d - n_common), 4) AS jaccard_cn,
+         row_number() OVER (ORDER BY n_common DESC, a, c) AS rk
+  FROM nonedge JOIN deg da ON da.node = a JOIN deg dc ON dc.node = c
+)
+SELECT a, c, n_common, jaccard_cn, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= 20
+"""
+
+
+@_q("graph_link_prediction", _LINKPRED_SQL)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-20 NON-edges
+    ranked by common-neighbor count (Jaccard coefficient reported
+    alongside) — the "customers who bought these also bought"
+    recommendation primitive, and the fourth classic on the shared
+    graph derivation (triangles, PageRank, BFS, now prediction).
+
+    Common-neighbor counts fall out of the wedge equi-join on the
+    center node (Σ deg(b)² wedge cost — unlike the triangle entry the
+    full neighborhood is needed, so the mitigation at scale is hub
+    capping / degree thresholds, the standard recommender practice,
+    not degree orientation); existing edges leave via an anti-join;
+    ranking is INTEGER-first (n_common DESC, a, c) with the float
+    Jaccard as an output only. Top-20 is TakeOrdered with rk assigned
+    post-limit."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        x.join(y, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(F.col("u").alias("b"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("b"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy(F.col("b").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    xa = adj.select("b", F.col("n").alias("a"))
+    yc = adj.select("b", F.col("n").alias("c"))
+    cn = (
+        xa.join(yc, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    nonedge = cn.join(
+        edges,
+        (F.col("a") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    scored = (
+        nonedge.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a", "c", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("n_common")),
+                4,
+            ).alias("jaccard_cn"),
+        )
+        .orderBy(F.desc("n_common"), F.asc("a"), F.asc("c"))
+        .limit(20)
+    )
+    w = W.orderBy(F.desc("n_common"), F.asc("a"), F.asc("c"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
