@@ -5683,3 +5683,73 @@ def source_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in [("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")]:
         un = F.replace(un, F.lit(a), F.lit(b))
     return parsed.select("doc_id", "lang", F.md5(un).alias("text_md5"))
+
+
+@_q(
+    "a_dow_seasonality",
+    """
+WITH d AS (
+  SELECT event_type,
+         (epoch_ms(date_trunc('day', ts)) // 86400000 + 4) % 7 AS dow
+  FROM events
+),
+c AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM d GROUP BY event_type, dow
+),
+cc AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type) AS n,
+         max(o) OVER (PARTITION BY event_type) AS mx
+  FROM c
+),
+t AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum((7 * o - n) * (7 * o - n)) AS BIGINT) AS ss,
+         CAST(min(CASE WHEN o = mx THEN dow END) AS BIGINT) AS peak_dow
+  FROM cc GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST((1000000 * ss) // (7 * n) AS BIGINT) AS chi2_micro,
+       peak_dow
+FROM t
+""",
+)
+def a_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality screen: per event type, the χ²
+    statistic against a uniform weekly profile plus the peak day —
+    the is-there-a-weekly-cycle gate run before any seasonal model
+    (cf. a_forecast_seasonal_naive, which assumes the cycle this
+    measures). With e = n/7, χ² = Σ(o−e)²/e = Σ(7o−n)² / (7n) — so
+    the statistic is a ×1e6 integer division of EXACT BIGINT sums;
+    day-of-week itself is the engine-independent epoch-day formula
+    ((days since 1970-01-01 + 4) mod 7, Sunday=0), not each engine's
+    dayofweek() convention. Peak day ties resolve to the smallest
+    dow on both sides.
+
+    Plan: one partial-aggregated shuffle to (type, dow) — 7 rows per
+    type — then window/rollup arithmetic on that dim-sized frame."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (
+        F.floor(F.unix_millis(F.date_trunc("day", F.col("ts"))) / 86400000) + 4
+    ) % 7
+    c = ev.select("event_type", dow.alias("dow")).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    wt = W.partitionBy("event_type")
+    cc = c.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(wt).alias("n"),
+        F.max("o").over(wt).alias("mx"),
+    )
+    dev = 7 * F.col("o") - F.col("n")
+    t = cc.groupBy("event_type", "n").agg(
+        F.sum(dev * dev).cast("bigint").alias("ss"),
+        F.min(F.when(F.col("o") == F.col("mx"), F.col("dow"))).cast("bigint").alias("peak_dow"),
+    )
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(1000000 * ss) div (7 * n)").cast("bigint").alias("chi2_micro"),
+        "peak_dow",
+    )
