@@ -5753,3 +5753,81 @@ def a_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * ss) div (7 * n)").cast("bigint").alias("chi2_micro"),
         "peak_dow",
     )
+
+
+@_q(
+    "a_growth_accounting",
+    """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+lagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+  FROM a
+),
+st AS (
+  SELECT week,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev_week = week - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN prev_week IS NOT NULL
+                        AND prev_week < week - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM lagged GROUP BY week
+)
+SELECT strftime(cur.week, '%Y-%m-%d') AS week,
+       cur.n_active, cur.n_new, cur.n_retained, cur.n_resurrected,
+       CAST(coalesce(prev.n_active - cur.n_retained, 0) AS BIGINT) AS n_churned
+FROM st cur LEFT JOIN st prev ON prev.week = cur.week - INTERVAL 7 DAY
+""",
+)
+def a_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition every product-analytics stack reports): each active
+    (user, week) is classified by the user's previous active week —
+    never seen → new, exactly last week → retained, older → 
+    resurrected — and churn(w) = active(w−1) − retained(w) falls out
+    of a self-join of the weekly rollup, no per-user lead pass. The
+    identity n_active = n_new + n_retained + n_resurrected holds by
+    construction (the three cases partition the lag domain), and
+    everything is exact integer counts over Monday-truncated weeks.
+
+    Plan: one distinct shuffle to (user, week), one per-user lag
+    window, one week rollup; the churn self-join runs on the
+    week-grain frame. At 100 TB the distinct is the only input-sized
+    exchange."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    wl = W.partitionBy("user_id").orderBy("week")
+    lagged = a.withColumn("prev_week", F.lag("week").over(wl))
+    wk = F.col("week")
+    prev7 = wk - F.expr("INTERVAL 7 DAY")
+    st = lagged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("prev_week") == prev7, 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull() & (F.col("prev_week") < prev7), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+    cur = st
+    prev = st.select(
+        (F.col("week") + F.expr("INTERVAL 7 DAY")).alias("week"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return (
+        cur.join(prev, "week", "left")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_active", "n_new", "n_retained", "n_resurrected",
+            F.coalesce(F.col("prev_active") - F.col("n_retained"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+    )
