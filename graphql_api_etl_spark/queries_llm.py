@@ -3586,3 +3586,87 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_hit) div n_exact").cast("bigint").alias("recall_micro"),
         )
     )
+
+
+def _matryoshka_sql() -> str:
+    dot = " + ".join(f"qv[{i + 1}] * cv[{i + 1}]" for i in range(16))
+    qn = "sqrt(" + " + ".join(f"qv[{i + 1}] * qv[{i + 1}]" for i in range(16)) + ")"
+    cn = "sqrt(" + " + ".join(f"cv[{i + 1}] * cv[{i + 1}]" for i in range(16)) + ")"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+scored AS (SELECT query_id, neighbor_id,
+           CAST(floor(({dot}) / ({qn} * {cn}) * 1000000) AS BIGINT) AS sim_micro
+           FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+pred AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 3),
+fscored AS (SELECT query_id, neighbor_id,
+            list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM fscored) WHERE rank <= 3),
+x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM exact JOIN pred USING (query_id, neighbor_id))
+SELECT n_exact, n_hit,
+       CAST((1000000 * n_hit) // n_exact AS BIGINT) AS recall_micro
+FROM x CROSS JOIN h
+"""
+
+
+@_q("sim_matryoshka_recall", _matryoshka_sql())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension trade pricing: top-3 by the
+    16-dim PREFIX cosine (4× cheaper dot, 4× smaller index — the MRL
+    deployment trick) measured against full 64-dim exact top-3 over
+    the same 50 queries, recall@3 as a ×1e6 integer division. The
+    prefix list's ranking key is fixed-pointed (floor ×1e6, explicit
+    left-to-right 16-term chains shared with the SQL), so the
+    candidate list itself is engine-exact; the same harness prices
+    any prefix length.
+
+    Plan: one broadcast(queries) × corpus pass per list (prefix dots
+    read 16 components; column pruning keeps the full vector out of
+    the prefix scan), a pair equi-join, two count aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dot = None
+    qn = None
+    cn = None
+    for i in range(16):
+        d = F.element_at("qv", i + 1) * F.element_at("cv", i + 1)
+        a2 = F.element_at("qv", i + 1) * F.element_at("qv", i + 1)
+        b2 = F.element_at("cv", i + 1) * F.element_at("cv", i + 1)
+        dot = d if dot is None else dot + d
+        qn = a2 if qn is None else qn + a2
+        cn = b2 if cn is None else cn + b2
+    sim_micro = F.floor(dot / (F.sqrt(qn) * F.sqrt(cn)) * 1000000).cast("bigint")
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    wp = W.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
+    pred = (
+        pairs.select("query_id", "neighbor_id", sim_micro.alias("sim_micro"))
+        .withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    exact = S.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 50), emb, k=3, dim=64
+    ).select("query_id", "neighbor_id")
+    x = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    h = exact.join(pred, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return x.crossJoin(h).select(
+        "n_exact", "n_hit",
+        F.expr("(1000000 * n_hit) div n_exact").cast("bigint").alias("recall_micro"),
+    )
