@@ -5831,3 +5831,87 @@ def a_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_churned"),
         )
     )
+
+
+@_q(
+    "a_decile_lift",
+    """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_all
+  FROM documents
+),
+bucketed AS (
+  SELECT CAST(1 + (CASE WHEN n_chars > bs[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[4] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[5] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[6] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[7] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[8] THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars > bs[9] THEN 1 ELSE 0 END) AS BIGINT) AS decile,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents CROSS JOIN b
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_en) AS BIGINT) AS n_en,
+       CAST((1000000 * sum(is_en)) // count(*) AS BIGINT) AS en_rate_micro,
+       CAST((1000000 * sum(is_en) * max(n_all)) // (count(*) * max(n_en_all)) AS BIGINT) AS lift_micro
+FROM bucketed CROSS JOIN tot
+GROUP BY decile
+""",
+)
+def a_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table (the model-evaluation and bias-report
+    staple): documents bucketed into length deciles via ONE bounded
+    percentile pass + a broadcast comparison chain (a_quantile_
+    buckets' scalable global-ntile alternative — no global sort),
+    then per-decile English share and its lift over the corpus base
+    rate. Rates and lifts are ×1e6 integer divisions of exact counts
+    — only the decile BOUNDARIES are doubles, and both engines
+    interpolate them from identical integer multisets, so bucket
+    membership cannot drift. Ties share a bucket by construction
+    (comparison against boundaries, not rank), which is what makes
+    the bucketing growth-stable.
+
+    Swap length for any model score and lang for any label and this
+    is the lift chart a quality classifier ships with."""
+    docs = _t(spark, sf_dir, "documents").select("n_chars", "lang")
+    b = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bs")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en_all"),
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(
+            F.col("n_chars") > F.element_at("bs", i + 1), 1
+        ).otherwise(0)
+    bucketed = (
+        docs.crossJoin(F.broadcast(b))
+        .select(
+            decile.cast("bigint").alias("decile"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_en").cast("bigint").alias("n_en"),
+        F.expr("(1000000 * sum(is_en)) div count(*)").cast("bigint").alias("en_rate_micro"),
+        F.expr("(1000000 * sum(is_en) * max(n_all)) div (count(*) * max(n_en_all))")
+        .cast("bigint")
+        .alias("lift_micro"),
+    )
