@@ -3670,3 +3670,105 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact", "n_hit",
         F.expr("(1000000 * n_hit) div n_exact").cast("bigint").alias("recall_micro"),
     )
+
+
+def _triplet_sql() -> str:
+    cos = (
+        "CAST(floor(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, label AS cl, v AS cv FROM e),
+scored AS (
+  SELECT query_id, ql, neighbor_id, cl, {cos} AS sim_micro
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+pos AS (
+  SELECT query_id, neighbor_id AS pos_id, sim_micro AS pos_sim_micro
+  FROM (SELECT query_id, neighbor_id, sim_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_micro DESC, neighbor_id) AS rk
+        FROM scored WHERE ql = cl) WHERE rk = 1
+),
+neg AS (
+  SELECT query_id, neighbor_id AS neg_id, sim_micro AS neg_sim_micro
+  FROM (SELECT query_id, neighbor_id, sim_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_micro DESC, neighbor_id) AS rk
+        FROM scored WHERE ql != cl) WHERE rk = 1
+)
+SELECT pos.query_id, pos_id, pos_sim_micro, neg_id, neg_sim_micro,
+       pos_sim_micro > neg_sim_micro AS margin_ok
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+
+@_q("emb_triplet_mining", _triplet_sql())
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining — the pair-generation pass an
+    embedding-model training pipeline runs over its own corpus: for
+    each anchor, the hardest POSITIVE (most-similar same-label
+    vector) and the hardest NEGATIVE (most-similar different-label
+    vector — the semi-hard negatives that make triplet/InfoNCE losses
+    work), plus a margin flag. Similarities are fixed-pointed
+    (floor ×1e6) so both rank windows order by exact integers; the
+    flag compares BIGINTs.
+
+    Plan: one broadcast(anchors) × corpus scoring pass feeds BOTH
+    windows (same partitioning, one exchange); per-anchor state is
+    two rank-1 rows. At 100 TB anchors batch through the same plan,
+    and an ANN candidate stage (sim_topk_lsh_bucketed / _hamming)
+    replaces the cross join — the mining windows are unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"),
+            F.col("v").alias("qv"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cl"),
+        F.col("v").alias("cv"),
+    )
+    sim_micro = F.floor(
+        S.dot_fixed("qv", "cv", 64)
+        / (S.norm_fixed("qv", 64) * S.norm_fixed("cv", 64))
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "ql", "neighbor_id", "cl", sim_micro.alias("sim_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
+    pos = (
+        scored.filter(F.col("ql") == F.col("cl"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("sim_micro").alias("pos_sim_micro"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("ql") != F.col("cl"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("sim_micro").alias("neg_sim_micro"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "pos_id", "pos_sim_micro", "neg_id", "neg_sim_micro",
+        (F.col("pos_sim_micro") > F.col("neg_sim_micro")).alias("margin_ok"),
+    )
