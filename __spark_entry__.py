@@ -30,10 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries without an r3 row fit, so after this round every one of the
 # 86 r3-era entries has a green row from r3 or r4. The final 8 slots
 # keep the flagship + highest-risk core under continuous check.
-# Entries not listed follow in registration order (all green in r3, or
-# — for the 30 entries added during round 4 — green under the local
-# driver-replica gate, tests/test_oracle_diff.py at sf0.01, pending
-# their r5 window rotation).
+# Entries not listed follow in registration order (all green in r3,
+# or — for the 100+ entries added during round 4's continuation
+# sessions — green under the local driver-replica gate at sf0.001,
+# sf0.01 AND sf0.1 before each commit (tests/test_oracle_diff.py +
+# tests/oracle_harness.py), pending their r5+ window rotations).
 _PRIORITY = [
     # (a) registered post-check in r3 — never driver-checked:
     "tpch_q2_min_cost_supplier",
