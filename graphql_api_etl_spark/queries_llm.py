@@ -3772,3 +3772,58 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "pos_id", "pos_sim_micro", "neg_id", "neg_sim_micro",
         (F.col("pos_sim_micro") > F.col("neg_sim_micro")).alias("margin_ok"),
     )
+
+
+@_q(
+    "curate_vocab_coverage",
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+r AS (
+  SELECT tok, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM c
+)
+SELECT rk AS vocab_size, cum AS covered, total,
+       CAST((1000000 * cum) // total AS BIGINT) AS coverage_micro
+FROM r WHERE rk IN (5, 10, 20)
+""",
+)
+def curate_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing question
+    (what fraction of corpus token OCCURRENCES does a top-k
+    vocabulary cover?) answered at k = 5/10/20: tokens ranked by
+    exact count with a running occurrence share, everything a ×1e6
+    integer division of BIGINT sums (ties break on the token string,
+    so the rank order is total). The curve's knee is where a BPE
+    vocab stops paying.
+
+    Plan: one partial-aggregated shuffle to the VOCAB-sized count
+    table (stopword mass collapses map-side), then ranking windows
+    over that frame — fine while the vocab fits a partition (here
+    ~30; at a 10⁷-type vocab the percentile-boundary pattern of
+    a_quantile_buckets replaces the global window, same as
+    text_zipf_fit documents for its rank cut)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wr = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = c.select(
+        F.row_number().over(wr).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").over(wc).cast("bigint").alias("covered"),
+        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).cast("bigint").alias("total"),
+    )
+    return r.filter(F.col("vocab_size").isin(5, 10, 20)).select(
+        "vocab_size", "covered", "total",
+        F.expr("(1000000 * covered) div total").cast("bigint").alias("coverage_micro"),
+    )
