@@ -5915,3 +5915,65 @@ def a_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_micro"),
     )
+
+
+@_q(
+    "events_slo_error_budget",
+    """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day, n_total, n_err,
+         date_trunc('month', day) AS month,
+         CAST(sum(n_err) OVER (PARTITION BY date_trunc('month', day) ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_err,
+         CAST(sum(n_total) OVER (PARTITION BY date_trunc('month', day) ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_total
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n_total, n_err,
+       100 * n_err > 20 * n_total AS day_breach,
+       5 * cum_err > cum_total AS budget_exhausted
+FROM m
+""",
+)
+def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget tracking (the SRE burn-rate report): per day,
+    the error share against a 20% SLO (both verdict branches occur on
+    this stream) and the month-to-date budget state as a running
+    comparison 5·Σerr > Σtotal — every check is an exact BIGINT
+    cross-multiplication, so no error RATE is ever computed as a
+    float. Daily breach and cumulative exhaustion differ exactly when
+    a bad day lands in an otherwise-healthy month, which is the
+    signal burn-rate alerting exists for.
+
+    Plan: one partial-aggregated shuffle to day grain; the running
+    windows partition by month over the day-grain frame (bounded
+    partitions, no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    month = F.date_trunc("month", F.col("day"))
+    wm = W.partitionBy(month).orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    m = d.select(
+        "day", "n_total", "n_err",
+        F.sum("n_err").over(wm).cast("bigint").alias("cum_err"),
+        F.sum("n_total").over(wm).cast("bigint").alias("cum_total"),
+    )
+    return m.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_total", "n_err",
+        (100 * F.col("n_err") > 20 * F.col("n_total")).alias("day_breach"),
+        (5 * F.col("cum_err") > F.col("cum_total")).alias("budget_exhausted"),
+    )
