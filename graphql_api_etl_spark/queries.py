@@ -5977,3 +5977,68 @@ def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (100 * F.col("n_err") > 20 * F.col("n_total")).alias("day_breach"),
         (5 * F.col("cum_err") > F.col("cum_total")).alias("budget_exhausted"),
     )
+
+
+@_q(
+    "a_contingency_chisq",
+    """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cell AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS o FROM j GROUP BY seg, pri),
+wr AS (
+  SELECT seg, pri, o,
+         CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS rt,
+         CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT) AS ct,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cell
+)
+SELECT seg, pri, o,
+       CAST(floor(CAST(rt AS DOUBLE) * ct / n * 10000) AS BIGINT) AS expected_tenthousandths,
+       CAST(floor((CAST(n AS DOUBLE) * o - CAST(rt AS DOUBLE) * ct)
+                  * (CAST(n AS DOUBLE) * o - CAST(rt AS DOUBLE) * ct)
+                  / (CAST(n AS DOUBLE) * rt * ct) * 10000) AS BIGINT) AS term_tenthousandths
+FROM wr
+""",
+)
+def a_contingency_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence screen: the segment × priority
+    χ² decomposition (observed count, expected count under
+    independence, and each cell's χ² term) — the "are these two
+    dimensions related" analysis behind every cross-tab report.
+    Per-cell χ² = (N·o − rt·ct)² / (N·rt·ct): counts and marginals
+    are exact BIGINTs from ONE pass (three window sums over the
+    |seg|×|pri| cell table share the cell aggregation), and the two
+    float quantities are computed by identical pre-cast-double
+    expression trees then fixed-pointed — IEEE doubles make both
+    engines round the >2⁵³ intermediate products identically.
+
+    Plan: one fact join (dim broadcast), one shuffle to the 25-cell
+    table, window marginals on that dim-sized frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    cell = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    wr_ = cell.select(
+        "seg", "pri", "o",
+        F.sum("o").over(W.partitionBy("seg")).cast("bigint").alias("rt"),
+        F.sum("o").over(W.partitionBy("pri")).cast("bigint").alias("ct"),
+        F.sum("o").over(
+            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    rtd = F.col("rt").cast("double")
+    dev = nd * F.col("o") - rtd * F.col("ct")
+    return wr_.select(
+        "seg", "pri", "o",
+        F.floor(rtd * F.col("ct") / F.col("n") * 10000)
+        .cast("bigint")
+        .alias("expected_tenthousandths"),
+        F.floor(dev * dev / (nd * F.col("rt") * F.col("ct")) * 10000)
+        .cast("bigint")
+        .alias("term_tenthousandths"),
+    )
