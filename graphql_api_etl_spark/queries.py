@@ -6042,3 +6042,51 @@ def a_contingency_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("term_tenthousandths"),
     )
+
+
+@_q(
+    "dq_pseudonymize",
+    """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         substr(md5('pepper-2026:' || CAST(user_id AS VARCHAR)), 1, 14) AS pseudonym
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+       CAST(count(*) - count(DISTINCT pseudonym) AS BIGINT) AS n_collisions,
+       count(*) = count(DISTINCT pseudonym) AS injective
+FROM p
+""",
+)
+def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization audit (the privacy-engineering
+    primitive: replace identifiers with a keyed hash so joins still
+    work across datasets, but raw ids never leave the boundary): each
+    user maps to a 56-bit peppered-md5 pseudonym, and the entry
+    REPORTS the injectivity evidence — user count, pseudonym count,
+    collision count — rather than assuming it (at 56 bits the
+    birthday bound stays negligible into the billions; the audit is
+    what tells you when it stops being). The pepper is a literal here;
+    in production it is a secret, which changes nothing in the plan.
+
+    Map-only hash + two distinct aggregates; the same expression
+    applied to any table's key column pseudonymizes consistently, so
+    cross-table joins survive the masking — the property that makes
+    this the standard alternative to sequence-renumbering."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.substring(
+            F.md5(F.concat(F.lit("pepper-2026:"), F.col("user_id").cast("string"))),
+            1, 14,
+        ).alias("pseudonym"),
+    ).distinct()
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.countDistinct("pseudonym").cast("bigint").alias("n_pseudonyms"),
+        (F.count(F.lit(1)) - F.countDistinct("pseudonym"))
+        .cast("bigint")
+        .alias("n_collisions"),
+        (F.count(F.lit(1)) == F.countDistinct("pseudonym")).alias("injective"),
+    )
