@@ -6090,3 +6090,42 @@ def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_collisions"),
         (F.count(F.lit(1)) == F.countDistinct("pseudonym")).alias("injective"),
     )
+
+
+@_q(
+    "x_decimal_money_exact",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DECIMAL(38, 2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(38, 2)) AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18, 4)) AS DECIMAL(18, 4)))
+            AS DECIMAL(38, 4)) AS sum_disc_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def x_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic (the type-discipline twin of
+    the float entries' cents fixed-point): quantities and prices cast
+    to DECIMAL(18,2/4) at the scan, summed and multiplied in decimal
+    space where arithmetic is EXACT and summation order is provably
+    irrelevant — what a financial pipeline uses instead of doubles.
+    Every aggregate is re-cast to an explicit result scale on BOTH
+    engines because each engine widens decimal sums/products to a
+    different intermediate precision; pinning (38,2)/(38,4) makes the
+    rendered values byte-identical.
+
+    One partial-aggregable shuffle; decimal aggregation stays inside
+    whole-stage codegen (Spark's Decimal128 path), so the exactness
+    costs no plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_price"),
+        F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
+    )
