@@ -3827,3 +3827,87 @@ def curate_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size", "covered", "total",
         F.expr("(1000000 * covered) div total").cast("bigint").alias("coverage_micro"),
     )
+
+
+def _dedup_panel_sql() -> str:
+    mh = QUERIES["dedup_minhash_lsh"][1]
+    sh = QUERIES["dedup_simhash_pairs"][1]
+    return rf"""
+WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, doc_id != min(doc_id) OVER (PARTITION BY ch) AS is_exact_dup FROM h
+),
+mh AS (SELECT DISTINCT id_b AS doc_id FROM ({mh})),
+sh AS (SELECT DISTINCT doc_id FROM (
+         SELECT id_a AS doc_id FROM ({sh})
+         UNION ALL SELECT id_b FROM ({sh}))),
+p AS (
+  SELECT ex.doc_id, is_exact_dup,
+         mh.doc_id IS NOT NULL AS is_minhash_dup,
+         sh.doc_id IS NOT NULL AS is_simhash_candidate
+  FROM ex LEFT JOIN mh ON ex.doc_id = mh.doc_id
+          LEFT JOIN sh ON ex.doc_id = sh.doc_id
+)
+SELECT doc_id, is_exact_dup, is_minhash_dup, is_simhash_candidate,
+       CAST(CAST(is_exact_dup AS INTEGER) + CAST(is_minhash_dup AS INTEGER)
+            + CAST(is_simhash_candidate AS INTEGER) AS BIGINT) AS n_signals
+FROM p
+"""
+
+
+@_q("dedup_panel_report", _dedup_panel_sql)
+def dedup_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup PANEL: the exact-hash, MinHash-LSH, and
+    SimHash signals side by side with an agreement count — the
+    decision table a curation run actually reviews before choosing
+    drop rules (exact says copy, MinHash says near-dup at J≥0.5,
+    SimHash says candidate at its hamming band; disagreement rows
+    are precisely where thresholds get tuned). Composes the three
+    existing entries' plans unchanged; the panel itself is two
+    dim-sized left joins onto a window-flagged hash pass and costs
+    nothing extra at scale.
+
+    (Callable oracle only to defer building the two heavyweight
+    component SQL strings until the gate runs.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = docs.select("doc_id", F.md5(TX.norm_text("text")).alias("ch"))
+    ex = h.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(W.partitionBy("ch"))).alias(
+            "is_exact_dup"
+        ),
+    )
+    mh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("mh", F.lit(True))
+    )
+    shp = dedup_simhash_pairs(spark, sf_dir)
+    sh = (
+        shp.select(F.col("id_a").alias("doc_id"))
+        .unionAll(shp.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("sh", F.lit(True))
+    )
+    p = (
+        ex.join(mh, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id", "is_exact_dup",
+            F.coalesce("mh", F.lit(False)).alias("is_minhash_dup"),
+            F.coalesce("sh", F.lit(False)).alias("is_simhash_candidate"),
+        )
+    )
+    return p.select(
+        "doc_id", "is_exact_dup", "is_minhash_dup", "is_simhash_candidate",
+        (
+            F.col("is_exact_dup").cast("int")
+            + F.col("is_minhash_dup").cast("int")
+            + F.col("is_simhash_candidate").cast("int")
+        ).cast("bigint").alias("n_signals"),
+    )
