@@ -6129,3 +6129,113 @@ def x_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast("decimal(38,2)").alias("sum_price"),
         F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
     )
+
+
+@_q(
+    "a_survival_km",
+    """
+WITH u AS (
+  SELECT user_id,
+         date_trunc('day', min(ts)) AS first_d,
+         date_trunc('day', max(ts)) AS last_d
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(last_d) AS m FROM u),
+lab AS (
+  SELECT user_id,
+         CAST(epoch_ms(last_d) - epoch_ms(first_d) AS BIGINT) / 86400000 AS t,
+         last_d <= m - INTERVAL 7 DAY AS died
+  FROM u CROSS JOIN mx
+),
+byt AS (
+  SELECT t,
+         CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n_at_t
+  FROM lab GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST((SELECT count(*) FROM lab) AS BIGINT)
+         - CAST(coalesce(sum(n_at_t) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM byt
+),
+lg AS (
+  SELECT t, d, c, n_risk,
+         CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000000) AS BIGINT) AS l
+  FROM risk WHERE d > 0
+),
+s AS (
+  SELECT t, d, c, n_risk,
+         CAST(sum(l) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_l
+  FROM lg
+)
+SELECT t, n_risk, d, c,
+       CAST(floor(exp(CAST(cum_l AS DOUBLE) / 1000000000) * 1000000) AS BIGINT) AS s_micro
+FROM s
+""",
+)
+def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime (first to last
+    active day), with users still active in the final week treated as
+    CENSORED — the retention-curve estimator that, unlike the naive
+    ECDF, does not count a still-alive user as churned (exactly the
+    bias right-censoring exists to fix; the c column shows how many
+    censorings each step absorbed).
+
+    Determinism: death/censor counts and at-risk sets are exact
+    BIGINTs (at-risk via total − running sum of earlier lifetimes,
+    not a per-user scan per step); each hazard factor ln((n−d)/n) is
+    fixed-pointed to nano units BEFORE the cumulative sum, so the
+    survival product is exp of an exact integer — engine-identical.
+
+    Plan: one shuffle to per-user spans, one to the lifetime-grain
+    frame; the running windows and the product run over ≤ |distinct
+    lifetimes| rows."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    mx = u.agg(F.max("last_d").alias("m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        ((F.unix_millis("last_d") - F.unix_millis("first_d")) / 86400000)
+        .cast("bigint")
+        .alias("t"),
+        (F.col("last_d") <= F.col("m") - F.expr("INTERVAL 7 DAY")).alias("died"),
+    )
+    byt = lab.groupBy("t").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("died"), 0).otherwise(1)).cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+    )
+    total = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = byt.crossJoin(F.broadcast(total)).select(
+        "t", "d", "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at_t").over(wprev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    lg = risk.filter(F.col("d") > 0).select(
+        "t", "d", "c", "n_risk",
+        F.floor(
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+            * 1000000000
+        ).cast("bigint").alias("l"),
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = lg.select(
+        "t", "d", "c", "n_risk",
+        F.sum("l").over(wcum).cast("bigint").alias("cum_l"),
+    )
+    return s.select(
+        "t", "n_risk", "d", "c",
+        F.floor(F.exp(F.col("cum_l").cast("double") / 1000000000) * 1000000)
+        .cast("bigint")
+        .alias("s_micro"),
+    )
