@@ -6239,3 +6239,58 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("s_micro"),
     )
+
+
+@_q(
+    "a_weighted_median",
+    """
+WITH wv AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT flag, cents, w,
+         CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS total
+  FROM wv
+)
+SELECT flag, total AS w_total,
+       CAST(min(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT) AS wmedian_cents
+FROM r GROUP BY flag, total
+""",
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity, per return flag) —
+    the inventory-weighted "typical price" that an unweighted median
+    misstates whenever volume correlates with price. No built-in
+    exists in either engine; the SCALABLE formulation aggregates to
+    the VALUE GRAIN first (one shuffle to (flag, cents) weight sums —
+    distinct prices, not line items), then finds the first value
+    whose running weight crosses half the total with an integer
+    cross-multiplication (2·cum ≥ total — no float share). The
+    windows run over the value-grain frame, never the fact table, so
+    a 100 TB flag group costs |distinct values| window rows — the
+    same reason a_quantile_buckets exists for unweighted quantiles.
+    Weights and the lower-weighted-median convention are exact
+    BIGINTs throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    wv = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    wcum = W.partitionBy("flag").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = wv.select(
+        "flag", "cents",
+        F.sum("w").over(wcum).cast("bigint").alias("cum"),
+        F.sum("w").over(W.partitionBy("flag")).cast("bigint").alias("total"),
+    )
+    return r.groupBy("flag", F.col("total").alias("w_total")).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("cents")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+    )
