@@ -17,3 +17,29 @@ def write_csv_report(df: DataFrame, path: str, single_file: bool = True) -> str:
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
     return path
+
+
+def write_xlsx_report(
+    df: DataFrame, path: str, sheet_name: str = "report"
+) -> str:
+    """Excel report sink — the write-side twin of the xlsx SOURCE
+    (sources/xlsx.py), completing the round trip for the workbook
+    format the reference consumes (ETL:88–118 reads user-supplied
+    .xlsx; operations teams want the audit remainders back in the
+    same format). Reports are human-audit artifacts (anti-join
+    remainders, dim-sized by construction), so the rows are collected
+    to the driver and written as ONE workbook via the pure-stdlib
+    writer — the same single-artifact contract as
+    ``write_csv_report(single_file=True)``, with the same caveat:
+    this sink is for REPORT-sized frames, not datasets (large exports
+    stay parquet/CSV-partitioned).
+
+    Values: None → empty cell, bool → native xlsx bool, numerics →
+    numeric cells, everything else inline strings — matching exactly
+    what the source-side parser reads back, asserted by the
+    round-trip test."""
+    from graphql_api_etl_spark.sources.xlsx import write_xlsx
+
+    header = df.columns
+    rows = [[r[c] for c in header] for r in df.collect()]
+    return write_xlsx(path, sheet_name, header, rows)

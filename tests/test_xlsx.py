@@ -123,3 +123,41 @@ def test_read_excel_sheet_distributed(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert df.filter(F.col("unit") == "101").count() == 1
+
+
+def test_xlsx_report_sink_roundtrip_through_source(spark, tmp_path):
+    """DataFrame → xlsx report sink → distributed xlsx SOURCE scan:
+    the full workbook round trip through both of the engine's own
+    codecs (numbers, bools, nulls, and a string that needs XML
+    escaping)."""
+    from pyspark.sql import types as T
+
+    from graphql_api_etl_spark.sinks.reports import write_xlsx_report
+    from graphql_api_etl_spark.sources.registry import read_excel_sheet
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", True, 1.5),
+            (2, 'needs <&"> escaping', False, None),
+            (3, None, None, -2.25),
+        ],
+        "id long, name string, flag boolean, score double",
+    )
+    out = tmp_path / "wb"
+    out.mkdir()
+    write_xlsx_report(df, str(out / "report.xlsx"), sheet_name="r1")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_excel_sheet(spark, str(out), sheet_name="r1", schema=schema)
+    got = {r["id"]: (r["name"], r["flag"], r["score"]) for r in back.collect()}
+    assert got == {
+        1: ("plain", True, 1.5),
+        2: ('needs <&"> escaping', False, None),
+        3: (None, None, -2.25),
+    }
