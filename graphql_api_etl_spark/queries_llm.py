@@ -3911,3 +3911,60 @@ def dedup_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("is_simhash_candidate").cast("int")
         ).cast("bigint").alias("n_signals"),
     )
+
+
+def _split_leakage_sql() -> str:
+    mh = QUERIES["dedup_minhash_lsh"][1]
+    return f"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b
+        FROM documents)
+),
+pairs AS (SELECT id_a, id_b FROM ({mh}))
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sa.split != sb.split AS is_leakage
+FROM pairs
+JOIN sp sa ON sa.doc_id = id_a
+JOIN sp sb ON sb.doc_id = id_b
+GROUP BY sa.split, sb.split
+"""
+
+
+@_q("curate_split_leakage", _split_leakage_sql)
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: MinHash near-dup pairs bucketed by which
+    train/val/test splits their two sides landed in — the
+    eval-contamination check (a near-duplicate of a training document
+    sitting in the test split silently inflates benchmarks; the same
+    failure benchmark decontamination hunts EXTERNALLY, audited here
+    INTERNALLY across the pipeline's own split). Composes the
+    deterministic md5 split (curate_train_split) with the LSH pair
+    set unchanged; cross-split rows carry is_leakage = true, and the
+    fix — split by near-dup CLUSTER id (dedup_cluster_components)
+    instead of raw doc id — is one join away in the same catalog.
+
+    Plan: the pair set's banded plan plus two dim-sized split joins
+    and one rollup — nothing input-sized beyond the existing entry."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    b = D.shingle_hash(F.col("doc_id").cast("string")) % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_a", "split_b", "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+    )
