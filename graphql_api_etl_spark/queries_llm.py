@@ -3968,3 +3968,101 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
         )
     )
+
+
+@_q(
+    "text_jsd_by_lang",
+    r"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY lang, tok),
+en AS (SELECT tok, n AS n_en FROM c WHERE lang = 'en'),
+ent AS (SELECT CAST(sum(n_en) AS BIGINT) AS t_en FROM en),
+oth AS (SELECT lang, tok, n AS n_o FROM c WHERE lang != 'en'),
+ott AS (SELECT lang, CAST(sum(n_o) AS BIGINT) AS t_o FROM oth GROUP BY lang),
+en_x AS (SELECT ott.lang AS lang, tok, n_en FROM en CROSS JOIN ott),
+u AS (
+  SELECT coalesce(en_x.lang, oth.lang) AS lang,
+         coalesce(en_x.tok, oth.tok) AS tok,
+         coalesce(n_en, 0) AS a, coalesce(n_o, 0) AS b
+  FROM en_x FULL OUTER JOIN oth
+    ON en_x.lang = oth.lang AND en_x.tok = oth.tok
+),
+j AS (
+  SELECT u.lang, tok, a, b, t_en, t_o
+  FROM u CROSS JOIN ent JOIN ott ON ott.lang = u.lang
+),
+terms AS (
+  SELECT lang,
+         CASE WHEN a > 0 THEN CAST(floor((CAST(a AS DOUBLE) / t_en) / 2
+              * ln((CAST(a AS DOUBLE) / t_en)
+                   / ((CAST(a AS DOUBLE) / t_en + CAST(b AS DOUBLE) / t_o) / 2))
+              * 1000000000) AS BIGINT) ELSE 0 END AS pa,
+         CASE WHEN b > 0 THEN CAST(floor((CAST(b AS DOUBLE) / t_o) / 2
+              * ln((CAST(b AS DOUBLE) / t_o)
+                   / ((CAST(a AS DOUBLE) / t_en + CAST(b AS DOUBLE) / t_o) / 2))
+              * 1000000000) AS BIGINT) ELSE 0 END AS pb
+  FROM j
+)
+SELECT lang, CAST(sum(pa) + sum(pb) AS BIGINT) AS jsd_nano
+FROM terms GROUP BY lang
+""",
+)
+def text_jsd_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each language's word
+    distribution and English — the domain-shift / distribution-drift
+    measure a data-mixing pipeline tracks (JSD is symmetric and
+    bounded, unlike raw KL, and this same plan compares corpus
+    snapshots over time). Computed term-by-term over the UNION
+    vocabulary per comparison (English-only tokens are replicated
+    per language by a vocab×langs cross join, so a word absent from
+    either side still contributes the other side's term — the CASE
+    guards encode exactly the 0·ln 0 = 0 convention), with each term fixed-pointed to nano
+    units before the exact integer sum: probabilities are ratios of
+    exact BIGINT counts, so both engines evaluate identical double
+    trees and the sum order cannot drift.
+
+    Plan: one shuffle to (lang, token) counts, marginals by partial
+    aggregation, one vocab-grain outer join per comparison — the
+    corpus token stream is read once."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    en = c.filter(F.col("lang") == "en").select("tok", F.col("n").alias("n_en"))
+    t_en = en.agg(F.sum("n_en").cast("bigint").alias("t_en"))
+    oth = c.filter(F.col("lang") != "en").select(
+        "lang", "tok", F.col("n").alias("n_o")
+    )
+    ott = oth.groupBy("lang").agg(F.sum("n_o").cast("bigint").alias("t_o"))
+    en_x = en.crossJoin(F.broadcast(ott.select("lang")))
+    j = (
+        en_x.join(oth, ["lang", "tok"], "full_outer")
+        .crossJoin(F.broadcast(t_en))
+        .join(F.broadcast(ott), "lang")
+        .select(
+            "lang",
+            F.coalesce("n_en", F.lit(0)).alias("a"),
+            F.coalesce("n_o", F.lit(0)).alias("b"),
+            "t_en", "t_o",
+        )
+    )
+    pa_ = F.col("a").cast("double") / F.col("t_en")
+    pb_ = F.col("b").cast("double") / F.col("t_o")
+    m = (pa_ + pb_) / 2
+    pa = F.when(
+        F.col("a") > 0,
+        F.floor(pa_ / 2 * F.log(pa_ / m) * 1000000000).cast("bigint"),
+    ).otherwise(F.lit(0))
+    pb = F.when(
+        F.col("b") > 0,
+        F.floor(pb_ / 2 * F.log(pb_ / m) * 1000000000).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return (
+        j.select("lang", pa.alias("pa"), pb.alias("pb"))
+        .groupBy("lang")
+        .agg((F.sum("pa") + F.sum("pb")).cast("bigint").alias("jsd_nano"))
+    )
