@@ -6294,3 +6294,66 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wmedian_cents"),
     )
+
+
+@_q(
+    "events_cusum_changepoint",
+    """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day, n,
+         CAST(count(*) OVER () AS BIGINT) AS nd,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM d
+),
+s AS (
+  SELECT day, n, nd, total,
+         CAST(sum(nd * n - total) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+  FROM t
+),
+mx AS (SELECT max(abs(cusum_scaled)) AS peak FROM s)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, cusum_scaled,
+       abs(cusum_scaled) = peak AS is_changepoint
+FROM s CROSS JOIN mx
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event volume: the
+    running sum of deviations from the global mean peaks exactly
+    where the series' level shifts (the classic offline CUSUM
+    estimator; z-score anomaly flags POINT outliers, this finds the
+    LEVEL CHANGE). Scaled by the day count so everything is integer:
+    Σ(nd·nᵢ − total) is nd times the usual Σ(nᵢ − mean), the argmax
+    is invariant under the scaling, and the peak test compares exact
+    BIGINTs — no mean is ever computed as a float.
+
+    Plan: one partial-aggregated shuffle to day grain; the running
+    sum and peak run over the day-grain frame."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = d.select(
+        "day", "n",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nd"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = t.select(
+        "day", "n",
+        F.sum(F.col("nd") * F.col("n") - F.col("total"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    mx = s.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n", "cusum_scaled",
+        (F.abs(F.col("cusum_scaled")) == F.col("peak")).alias("is_changepoint"),
+    )
