@@ -6357,3 +6357,75 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "cusum_scaled",
         (F.abs(F.col("cusum_scaled")) == F.col("peak")).alias("is_changepoint"),
     )
+
+
+@_q(
+    "events_sma_crossover",
+    """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+         CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS c5,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20,
+         CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS c20
+  FROM d
+),
+f AS (
+  SELECT day, cents, s5, s20, 4 * s5 > s20 AS fast_above,
+         lag(4 * s5 > s20) OVER (ORDER BY day) AS prev_above
+  FROM w WHERE c20 = 20 AND c5 = 5
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, cents, s5, s20, fast_above,
+       coalesce(fast_above AND NOT prev_above, FALSE) AS golden_cross,
+       coalesce(NOT fast_above AND prev_above, FALSE) AS death_cross
+FROM f
+""",
+)
+def events_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals (SMA-5 vs SMA-20 on daily
+    value, the golden/death-cross trend detector): the comparison
+    s5/5 > s20/20 becomes the exact integer cross-multiplication
+    4·s5 > s20 — with both windows restricted to FULL frames (c5=5,
+    c20=20), the equal-denominator trick holds and no float average
+    is ever formed; cross days come from one boolean lag. Per-row
+    cents fixed-point keeps the frame sums exact under any order.
+
+    Plan: one partial-aggregated shuffle to day grain; both frame
+    windows and the lag share one day-ordered pass over the
+    day-grain frame."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w5 = W.orderBy("day").rowsBetween(-4, 0)
+    w20 = W.orderBy("day").rowsBetween(-19, 0)
+    w = d.select(
+        "day", "cents",
+        F.sum("cents").over(w5).cast("bigint").alias("s5"),
+        F.count(F.lit(1)).over(w5).cast("bigint").alias("c5"),
+        F.sum("cents").over(w20).cast("bigint").alias("s20"),
+        F.count(F.lit(1)).over(w20).cast("bigint").alias("c20"),
+    )
+    fa = 4 * F.col("s5") > F.col("s20")
+    f = (
+        w.filter((F.col("c20") == 20) & (F.col("c5") == 5))
+        .select("day", "cents", "s5", "s20", fa.alias("fast_above"))
+        .withColumn("prev_above", F.lag("fast_above").over(W.orderBy("day")))
+    )
+    return f.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents", "s5", "s20", "fast_above",
+        F.coalesce(F.col("fast_above") & ~F.col("prev_above"), F.lit(False)).alias(
+            "golden_cross"
+        ),
+        F.coalesce(~F.col("fast_above") & F.col("prev_above"), F.lit(False)).alias(
+            "death_cross"
+        ),
+    )
