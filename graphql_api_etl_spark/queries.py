@@ -6429,3 +6429,72 @@ def events_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "death_cross"
         ),
     )
+
+
+@_q(
+    "a_adoption_curve",
+    """
+WITH fp AS (
+  SELECT l_partkey, o_custkey,
+         date_trunc('month', min(o_orderdate)) AS first_m
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, o_custkey
+),
+top3 AS (
+  SELECT l_partkey FROM fp
+  GROUP BY l_partkey
+  ORDER BY count(*) DESC, l_partkey LIMIT 3
+),
+m AS (
+  SELECT fp.l_partkey, first_m, CAST(count(*) AS BIGINT) AS n_new
+  FROM fp JOIN top3 ON fp.l_partkey = top3.l_partkey
+  GROUP BY fp.l_partkey, first_m
+)
+SELECT l_partkey, strftime(first_m, '%Y-%m') AS month, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY l_partkey ORDER BY first_m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_adopters
+FROM m
+""",
+)
+def a_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product adoption curve: per-month NEW adopters and the
+    cumulative adopter count for the three most-adopted parts — the
+    "rolling distinct customers" question answered the scalable way:
+    a rolling COUNT(DISTINCT) is frame-inexpressible (the same wall
+    events_active_users documents), but reducing each (part,
+    customer) to its FIRST purchase month makes adoption a plain
+    count whose running sum IS the distinct cumulative, exactly.
+    All counts and the top-3 cut (buyers DESC, partkey) are exact
+    integers.
+
+    Plan: one shuffle to first-purchase grain (partial-aggregated
+    min), a dim-sized top-k, and a per-part month rollup + running
+    window over the month-grain frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    fp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.date_trunc("month", F.min("o_orderdate")).alias("first_m"))
+    )
+    top3 = (
+        fp.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+        .orderBy(F.desc("n_buyers"), F.asc("l_partkey"))
+        .limit(3)
+        .select("l_partkey")
+    )
+    m = (
+        fp.join(F.broadcast(top3), "l_partkey")
+        .groupBy("l_partkey", "first_m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    wcum = W.partitionBy("l_partkey").orderBy("first_m").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return m.select(
+        "l_partkey",
+        F.date_format("first_m", "yyyy-MM").alias("month"),
+        "n_new",
+        F.sum("n_new").over(wcum).cast("bigint").alias("cum_adopters"),
+    )
