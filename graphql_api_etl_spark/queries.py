@@ -6498,3 +6498,49 @@ def a_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(wcum).cast("bigint").alias("cum_adopters"),
     )
+
+
+@_q(
+    "a_repeat_purchase_rate",
+    """
+WITH pc AS (
+  SELECT c_mktsegment AS segment, o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST((1000000 * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS repeat_rate_micro,
+       CAST((1000000 * sum(n_orders)) // count(*) AS BIGINT) AS orders_per_customer_micro
+FROM pc GROUP BY segment
+""",
+)
+def a_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment (the retention KPI
+    next to a_growth_accounting's user-level view): share of
+    customers with ≥2 orders plus mean orders per customer, both as
+    ×1e6 integer divisions of exact counts. Two partial-aggregated
+    shuffles — (segment, customer) order counts, then the segment
+    rollup — with the dim join broadcast; nothing float, nothing
+    input-sized past the first aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pc = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return pc.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)) div count(*)"
+        ).cast("bigint").alias("repeat_rate_micro"),
+        F.expr("(1000000 * sum(n_orders)) div count(*)")
+        .cast("bigint")
+        .alias("orders_per_customer_micro"),
+    )
