@@ -23,76 +23,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-4 budget (VERDICT r3 ask #2): front-load (a) the 7 TPC-H shapes
-# that landed post-check in r3 and have never seen the driver, (b) the
-# 6 former `no_oracle` entries that now carry real DuckDB oracles, and
-# (c) every entry whose latest green row is r2 or r1 — together all 36
-# entries without an r3 row fit, so after this round every one of the
-# 86 r3-era entries has a green row from r3 or r4. The final 8 slots
-# keep the flagship + highest-risk core under continuous check.
-# Entries not listed follow in registration order (all green in r3,
-# or — for the 100+ entries added during round 4's continuation
-# sessions — green under the local driver-replica gate at sf0.001,
-# sf0.01 AND sf0.1 before each commit (tests/test_oracle_diff.py +
-# tests/oracle_harness.py), pending their r5+ window rotations).
+# Round-5 budget (VERDICT r4 ask #1): 123/212 catalog entries have never
+# been inside the driver's 50-slot CORRECTNESS window. This round's window
+# is 100% never-driver-checked entries: the six heaviest novel-machinery
+# entries the judge named first (merge-upsert sink, training manifest,
+# BM25, SemDeDup, PageRank, Kaplan-Meier), then never-checked entries in
+# registration order. All 89 previously-windowed entries carry a green
+# latest driver row and rotate back in r6/r7 per
+# scripts/rotate_window.py's freshness policy; every entry not in the
+# window stays green on the local driver-replica gate
+# (tests/test_oracle_diff.py) at sf0.001/0.01/0.1 before each commit.
 _PRIORITY = [
-    # (a) registered post-check in r3 — never driver-checked:
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # (b) first-ever real oracles (r3 ask #1) — previously err rows:
-    "mm_extract_features",
-    "mm_thumbnails",
-    "mm_frame_sample",
-    "sim_topk_ivf",
-    "a_approx_count_distinct",
-    "a_approx_percentiles",
-    # (c) latest evidence is r2 (or r1) — rotate back in:
-    "a_distinct_values",
-    "so_union_distinct",
-    "so_except",
-    "so_intersect",
-    "text_wordcount",
-    "v_count_gates",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q3_bucketed",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q18_large_orders",
-    "tpch_q10_returned_items",
-    "tpch_q16_supplier_variety",
-    "tpch_q7_nation_volume",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_or_of_ands",
-    "tpch_q22_idle_rich",
-    "a_rollup_counts",
-    "events_tumbling_window",
-    "events_sessionize",
-    "a_cube_counts",
-    "a_unpivot_measures",
-    "x_posexplode_tokens",
-    "events_json_props",
-    # flagship + highest-risk core stays inside the window:
-    "flagship_reconcile",
-    "j_outer_provenance_counts",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    # final 3 slots: the heaviest round-4 additions get first driver
-    # evidence (the displaced core entries — asof/hierarchy — carry
-    # green r3 rows and rotate back in r5):
-    "dedup_cluster_components",
-    "text_winnowing",
-    "j_salted_skew_join",
+    # heaviest novel machinery first (VERDICT r4):
+    "sink_merge_upsert",
+    "curate_training_manifest",
+    "text_bm25_topk",
+    "dedup_semdedup",
+    "graph_pagerank",
+    "a_survival_km",
+    # never-driver-checked, registration order:
+    "a_two_phase_agg",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "dedup_cluster_keepers",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "curate_stratified_best",
+    "curate_decontaminate",
+    "emb_quantize_int8",
+    "curate_winsorize",
+    "curate_domain_mixture",
+    "curate_token_packing",
+    "dedup_span_exact",
+    "curate_global_shuffle",
+    "curate_bloom_decontaminate",
+    "text_unigram_logprob",
+    "curate_quality_logit",
+    "curate_embedding_outliers",
+    "sim_topk_matmul",
+    "text_hash_embedding",
+    "curate_text_clusters",
+    "curate_mixture_temperature",
+    "dedup_url_canonicalize",
+    "curate_code_filter",
+    "text_tfidf_topterms",
+    "curate_train_split",
+    "text_chunk_windows",
+    "emb_pca_project",
+    "sim_knn_classify",
+    "text_zipf_fit",
+    "curate_weighted_sample",
+    "mm_audio_rms",
+    "mm_image_histogram",
+    "text_lm_score",
+    "sim_rrf_hybrid",
+    "curate_stratified_sample",
+    "sim_topk_hamming",
+    "dedup_containment_pairs",
+    "dedup_lsh_recall_eval",
+    "mm_video_scene_cut",
+    "sim_ann_recall_eval",
+    "sim_matryoshka_recall",
+    "emb_triplet_mining",
+    "curate_vocab_coverage",
 ]
 
 

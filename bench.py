@@ -49,7 +49,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_quality_stats",
-    "sim_topk_bruteforce",
+    # sim_topk_bruteforce retired from the headline (VERDICT r4 ask #2):
+    # it is the deliberate all-pairs |Q|·|C| baseline, kept in the
+    # catalog + floor probes; the scale path (Arrow/BLAS matmul with
+    # per-batch partial top-k) is what a cluster job would run.
     "sim_topk_matmul",
     "dedup_span_exact",
     "curate_bloom_decontaminate",
@@ -161,9 +164,13 @@ def main() -> None:
                 con.execute(oracles[name]).fetchall()
                 duck_samples[name].append(round(time.time() - t0, 3))
         duck = {n: min(v) for n, v in duck_samples.items()}
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — a silent {} would read
+        # as "no DuckDB available"; record what actually broke
         duck = {}
         duck_samples = {}
+        duck_error = repr(exc)
+    else:
+        duck_error = None
 
     marginal = _probe_marginal(spark, sf_dir)
     floors = _probe_floors(spark, sf_dir)
@@ -182,6 +189,8 @@ def main() -> None:
         d_total = sum(duck[n] for n in common)
         out["duckdb_queries"] = duck
         out["ratio_vs_duckdb"] = round(s_total / d_total, 2) if d_total else None
+    if duck_error:
+        out["duckdb_error"] = duck_error
     # All interleaved samples (not just best-of-N): lets a reader
     # separate real round-over-round movement from noisy-neighbor
     # windows — r3's minhash "regression" was sample noise that a

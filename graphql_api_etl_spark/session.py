@@ -60,6 +60,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
     )
+    # Python workers import this package by name (Pandas-UDF closures in
+    # similarity/multimodal); when the driver process was launched from
+    # outside the repo root the workers' sys.path lacks it. Exporting
+    # the package's parent dir on the worker PYTHONPATH makes entry
+    # callables location-independent (cluster equivalent: ship a wheel
+    # via --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in worker_path.split(os.pathsep):
+        worker_path = f"{pkg_root}{os.pathsep}{worker_path}" if worker_path else pkg_root
+    builder = builder.config("spark.executorEnv.PYTHONPATH", worker_path)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
