@@ -297,11 +297,14 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             if b8s > b1s else None,
         }
 
+        from graphql_api_etl_spark.queries_llm import _EC_PLANES
+
         cd, dfd = construct_best(lambda: _emb_cosine_dedup(emb))
         d1 = _noop_best(dfd)
         de = _noop_best(_emb_cosine_dedup(empty))
-        # bucket stage alone (the linear, map-only part of the plan)
-        b1 = _noop_best(S.with_hyperplane_bucket(emb, n_planes=16, dim=64))
+        # bucket stage alone (the linear, map-only part of the plan —
+        # r5: the 48-plane Arrow-vectorized code, same as the query)
+        b1 = _noop_best(S.with_hyperplane_bucket(emb, n_planes=_EC_PLANES, dim=64))
         out["dedup_embedding_cosine"] = {
             "construct_sec": round(cd, 3),
             "sec": round(d1, 3),

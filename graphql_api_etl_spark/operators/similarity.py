@@ -290,26 +290,74 @@ def with_hyperplane_bucket(
     from graphql_api_etl_spark.operators.dedup import repartition_for_cpu
 
     src = repartition_for_cpu(df).withColumn("__v__", as_double(F.col(vec_col)))
-    # The whole n_planes×dim unrolled computation is ONE generated SQL
-    # string → one py4j call. Building it Column-by-Column costs
-    # ~0.17 s/plane of Python↔JVM chatter (the JVM-side parse, analyze
-    # and codegen of the same tree take ~0.2 s total).
-    terms = []
-    for p in range(n_planes):
-        coeffs = _hyperplane(p, dim)
-        # ±1 coefficients → pure add/sub chain, left-associative in SQL,
-        # same sequential summation order as the fold / DuckDB's loop
-        dot_sql = "".join(
-            (("+" if c > 0 else "-") if i else ("" if c > 0 else "-")) + f"element_at(__v__, {i + 1})"
-            for i, c in enumerate(coeffs)
-        )
-        terms.append(f"CASE WHEN ({dot_sql}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-    out = src.withColumn(out_col, F.expr(" + ".join(terms)))
+    if n_planes * dim <= 1024:
+        # Native unrolled path: the whole n_planes×dim computation is
+        # ONE generated SQL string → one py4j call. Building it
+        # Column-by-Column costs ~0.17 s/plane of Python↔JVM chatter
+        # (the JVM-side parse, analyze and codegen of the same tree
+        # take ~0.2 s total). Capped at 1024 leaf terms: whole-stage
+        # codegen binds inputs to local variables, so Spark CANNOT
+        # split a larger expression into sub-64KB methods — janino
+        # rejects the class and every execution pays a multi-second
+        # doomed compile before falling back to interpreted eval
+        # (measured: the 48-plane/64-dim variant ran 2–14 s/run at
+        # sf0.1 vs ~0.4 s for 16-plane).
+        terms = []
+        for p in range(n_planes):
+            coeffs = _hyperplane(p, dim)
+            # ±1 coefficients → pure add/sub chain, left-associative in
+            # SQL, same sequential summation order as DuckDB's loop
+            dot_sql = "".join(
+                (("+" if c > 0 else "-") if i else ("" if c > 0 else "-"))
+                + f"element_at(__v__, {i + 1})"
+                for i, c in enumerate(coeffs)
+            )
+            terms.append(
+                f"CASE WHEN ({dot_sql}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        out = src.withColumn(out_col, F.expr(" + ".join(terms)))
+    else:
+        out = src.withColumn(out_col, _bucket_arrow_udf(n_planes, dim)(F.col("__v__")))
     # vec_out keeps the double-cast vector for callers that score
     # candidates in the same pass (avoids a second cast downstream).
     if vec_out is not None:
         return out.withColumnRenamed("__v__", vec_out)
     return out.drop("__v__")
+
+
+def _bucket_arrow_udf(n_planes: int, dim: int):
+    """Arrow-vectorized sign-LSH bucket for plane counts too large for
+    whole-stage codegen (see with_hyperplane_bucket). One numpy kernel
+    per Arrow batch; BIT-EXACT parity with the native SQL chain and
+    DuckDB's ``list_dot_product`` loop is preserved by accumulating the
+    plane dots SEQUENTIALLY over dimensions in float64 —
+    ``acc_p = ((±v_1 ±v_2) ±v_3)…`` — the identical left-associative
+    IEEE-754 operation order, not numpy's pairwise ``sum`` (whose
+    different rounding could flip the sign of a near-zero dot and
+    desync the candidate set between engines)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array([_hyperplane(p, dim) for p in range(n_planes)], dtype=np.float64)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    def bucket(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(v.to_numpy())  # batch × dim, float64
+        acc = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+        for i in range(dim):
+            # one multiply-add step per dimension: ±1 coefficients
+            # make the product exact, and += keeps left-assoc order
+            acc += V[:, i : i + 1] * signs[None, :, i]
+        return pd.Series((acc >= 0).astype(np.int64) @ weights)
+
+    # explicit annotations (module uses `from __future__ import
+    # annotations`, so inline string hints wouldn't resolve for the
+    # decorator's signature inference)
+    bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(bucket)
 
 
 def topk_matmul(

@@ -683,33 +683,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Multi-probe sign-LSH geometry (shared by the Spark plan and the
+# DuckDB oracle — change them TOGETHER): a 48-bit code split into
+# 6 bands × 8 bits; a pair is a candidate when ≥2 bands agree, where
+# per-band agreement is Hamming distance ≤ 1 (found by joining each
+# vector's 6 "home" band keys against the other side's 6×9 probe keys
+# — the key itself plus each of its 8 one-bit flips).
+_EC_PLANES = 48
+_EC_BAND_BITS = 8
+_EC_N_BANDS = _EC_PLANES // _EC_BAND_BITS
+_EC_MIN_AGREE = 2
+_EC_FLIPS = [0] + [1 << i for i in range(_EC_BAND_BITS)]
+
+
 def _emb_cosine_dedup_sql(threshold: float) -> str:
-    planes = [S._hyperplane(p, 64) for p in range(16)]
+    planes = [S._hyperplane(p, 64) for p in range(_EC_PLANES)]
     bucket = " + ".join(
         "CASE WHEN list_dot_product(v, ["
         + ",".join(f"{float(c)}" for c in planes[p])
         + f"]) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for p in range(16)
+        for p in range(_EC_PLANES)
     )
-    # 4 bands × 4 hyperplane bits, candidate = agreement in ≥2 bands.
-    # With p(s) = (1 - arccos(s)/π)^4 per band and P(≥2 of 4) =
-    # 1-(1-p)^4-4p(1-p)^3: random pairs (s≈0) survive at 2.1% (vs 22.6%
-    # for the round-1 any-band rule — the measured candidate explosion),
-    # recall is 12% at the 0.4 verification floor, 52% at 0.8, 88% at
-    # 0.95 — tuned for the actual near-dup regime; the low floor exists
-    # so the oracle differential is non-trivial on the synthetic corpus
-    # (whose max pairwise cosine is ~0.55).
-    bands = " UNION ALL ".join(
-        f"SELECT vec_id, v, {j} AS band_idx, (bucket >> {j * 4}) & 15 AS band_key FROM b"
-        for j in range(4)
+    nb, bb = _EC_N_BANDS, _EC_BAND_BITS
+    js = ",".join(f"({j})" for j in range(nb))
+    fs = ",".join(f"({f})" for f in _EC_FLIPS)
+
+    def band(src: str, j: int) -> str:
+        return f"(({src} >> {j * bb}) & {(1 << bb) - 1})"
+
+    # HD(band j) ≤ 1  ⇔  x = band_a XOR band_b is 0 or a power of two
+    # ⇔  (x & (x-1)) = 0 — portable to any engine, no popcount needed.
+    def hd_ok(j: int) -> str:
+        x = f"xor({band('a.bucket', j)}, {band('p.bucket', j)})"
+        return f"(({x} & ({x} - 1)) = 0)"
+
+    n_agree = " + ".join(f"CASE WHEN {hd_ok(j)} THEN 1 ELSE 0 END" for j in range(nb))
+    first_band = (
+        "CASE "
+        + " ".join(f"WHEN {hd_ok(j)} THEN {j}" for j in range(nb - 1))
+        + f" ELSE {nb - 1} END"
     )
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
-        f"bands AS ({bands}), "
-        "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-        "FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.vec_id < b.vec_id "
-        "GROUP BY a.vec_id, b.vec_id HAVING count(*) >= 2), "
+        "home AS (SELECT vec_id, bucket, j.j AS band_idx, "
+        f"((bucket >> (j.j * {bb})) & {(1 << bb) - 1}) AS band_key "
+        f"FROM b, (VALUES {js}) j(j)), "
+        "probe AS (SELECT vec_id, bucket, j.j AS band_idx, "
+        f"xor((bucket >> (j.j * {bb})) & {(1 << bb) - 1}, f.f) AS band_key "
+        f"FROM b, (VALUES {js}) j(j), (VALUES {fs}) f(f)), "
+        "cand AS (SELECT a.vec_id AS id_a, p.vec_id AS id_b "
+        "FROM home a JOIN probe p USING (band_idx, band_key) "
+        f"WHERE a.vec_id < p.vec_id AND ({n_agree}) >= {_EC_MIN_AGREE} "
+        f"AND band_idx = ({first_band})), "
         "scored AS (SELECT id_a, id_b, "
         "round(list_dot_product(ea.v, eb.v) / "
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim "
@@ -720,93 +746,127 @@ def _emb_cosine_dedup_sql(threshold: float) -> str:
 
 @_q("dedup_embedding_cosine", _emb_cosine_dedup_sql(0.4))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH banding with ≥2-band
-    agreement (candidate survival: 2.1% of random pairs, recall 88% at
-    cos 0.95 / 52% at 0.8 / 12% at the 0.4 verification floor — see
-    the oracle generator for the math) then exact cosine verification —
-    the vector member of the dedup family. Hyperplanes are md5-derived
+    """Embedding-cosine near-dup pairs via MULTI-PROBE sign-LSH
+    (r5, VERDICT r4 ask #3): a 48-bit hyperplane code in 6 bands of
+    8 bits; per-band agreement is Hamming distance ≤ 1, found without
+    widening the join key space by probing — each vector joins its 6
+    "home" band keys against the other side's 6×9 probe keys (the key
+    plus its 8 one-bit flips), so a pair at band-HD 1 still meets on
+    an equi-join key. Candidate = ≥2 agreeing bands, then exact cosine
+    verification at the 0.4 floor. Hyperplanes are md5-derived
     literals shared with the SQL oracle, so the candidate set matches
-    across engines exactly. Round 1 used any-band agreement, which on
-    clustered/random data admits 22.6% of ALL pairs (measured 461 k
-    candidates at sf0.1, 63× slower than the oracle) — the ≥2 rule is
-    the banded equivalent of requiring a shorter signature hamming
-    distance and prunes 10× harder at the same plane budget.
+    across engines exactly.
 
-    One equi-join, ZERO shuffles past the bucket pass: both join sides
-    carry the full packed 16-bit bucket, so band agreement (≥2 of 4)
-    and dedup (keep the pair only at its FIRST agreeing band) are
-    per-pair predicates evaluated inside the codegen'd join filter —
-    the round-2 groupBy(id_a,id_b) HAVING count>=2 shuffle of the
-    ~500 k raw band matches is gone. Vectors and norms ride along the
-    explode, so verification happens in the same pass (no re-join back
-    to the embedding table: −2 joins, −2 scans). AQE picks the join
-    strategy from runtime stats — broadcast here (5 MB side), shuffled
-    equi-join on band key at cluster scale — so there is no hint to
-    outgrow. Measured decomposition at sf0.1 (r4, BENCH floors probe):
-    ~1.4 s total = ~0.3 s empty-plan floor + ~0.55 s bucket stage
-    (itself ~0.48 s fixed janino-compile/job intercept + ~35 µs/row/
-    core, linear in rows — measured at 1×/8×/64× replication) + the
-    band join over ~514 k raw matches. The earlier "≥1 s on empty
-    inputs" claim was wrong: a 0-row scan prunes every partition so
-    the heavy stages never JIT, understating the fixed cost."""
+    Why multi-probe: the r2–r4 design (16 planes, 4 bands × 4 bits,
+    exact band match) collided heavily on this label-clustered corpus
+    — 4-bit band keys give only 16 buckets/band, so moderate-cosine
+    cluster-mates met constantly (measured sf0.1: 514 k raw band
+    matches, 49.7 k candidate pairs = 2.49% of all pairs, recall 12.9%
+    at the 0.4 floor). Widening bands to 8 bits (256 buckets) prunes
+    the moderate-sim mass, and Hamming-1 probing buys the recall back:
+    measured on the same corpus, 46.7 k candidates (2.34%) with recall
+    24.9% @0.4 — 2× the recall at a slightly SMALLER candidate budget
+    — and analytically (p_band = Σ_{k≤1} C(8,k) q^k (1-q)^{8-k} with
+    q = arccos(s)/π, candidate = ≥2 of 6 bands) 88% @0.8 and 99.9%
+    @0.95 vs the old 52%/88%, with random-pair survival down from
+    2.1% to 1.7%. tests/test_corpus.py asserts the candidate-count
+    ceiling so a regression to all-pairs behavior fails loud.
+
+    Plan shape: the probe side is deliberately SLIM (id + 48-bit code
+    only, 54 rows/vector) — vectors and norms ride the 6-row home side,
+    and the surviving candidates re-join the persisted projection once
+    to fetch the right-hand vector (duplicating a 64-double vector 54×
+    to skip that join would cost 13.5× the shuffle bytes). Band
+    agreement (HD ≤ 1 ⇔ x & (x−1) = 0 on the band XOR), the ≥2-of-6
+    rule, and pair dedup (keep the pair only at its FIRST agreeing
+    band — per agreeing band exactly one of the 9 probe keys can match,
+    so no groupBy is needed) are all codegen'd join-filter predicates.
+    AQE picks broadcast here (slim side, 5 MB) and a shuffled equi-join
+    on (band_idx, band_key) at cluster scale; skewed buckets split via
+    AQE skew-join, and the per-band key space (256 × 6 bands) is wide
+    enough that no single bucket holds a cluster."""
     return _emb_cosine_dedup(_t(spark, sf_dir, "embeddings"))
 
 
 def _emb_cosine_dedup(emb: DataFrame) -> DataFrame:
     """Plan body of dedup_embedding_cosine over an arbitrary embeddings
     frame — parameterized so bench.py can run the IDENTICAL plan on an
-    empty input to measure the fixed job/plan floor (VERDICT r3 ask #4)."""
+    empty input to measure the fixed job/plan floor (VERDICT r3 ask #4),
+    and so tests can count candidates via ``_emb_cosine_candidates``."""
+    e = _emb_cosine_projection(emb)
+    cand = _emb_cosine_candidates(e)
+    scored = cand.join(
+        e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        ),
+        "id_b",
+    ).withColumn("sim", F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6))
+    return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
+
+
+def _emb_cosine_projection(emb: DataFrame) -> DataFrame:
+    """Persisted single projection all three readers share (home side,
+    probe side, right-vector fetch): id, double vector, norm, packed
+    48-bit code — the 48-plane expression must run exactly once."""
     from pyspark.storagelevel import StorageLevel
 
-    # One projection holds everything downstream needs: id, double
-    # vector, norm, packed bucket. Persisted because both sides of the
-    # self-join read it (and the 16-plane expression shouldn't run 2×).
-    e = (
-        S.with_hyperplane_bucket(emb, n_planes=16, dim=64, vec_out="v")
+    return (
+        S.with_hyperplane_bucket(emb, n_planes=_EC_PLANES, dim=64, vec_out="v")
         .select("vec_id", "v", S.norm_fixed("v", 64).alias("n"), "lsh_bucket")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nib = lambda c, j: F.shiftright(F.col(c), j * 4).bitwiseAND(F.lit(15))  # noqa: E731
-    bands = F.array(
-        *[
-            F.struct(F.lit(j).alias("band_idx"), nib("lsh_bucket", j).alias("band_key"))
-            for j in range(4)
-        ]
+
+
+def _emb_cosine_candidates(e: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a, id_b, va, na) from the multi-probe band
+    join — exactly one row per unordered pair with ≥2 bands at
+    Hamming distance ≤ 1 (see dedup_embedding_cosine docstring).
+
+    Built from whole SQL strings, not Column-by-Column: the probe side
+    alone is a 54-struct explode, and composing it through ~200 py4j
+    calls measured ~1 s of construction overhead per run (the JVM-side
+    parse of the same expression takes ~10 ms)."""
+    nb, bits = _EC_N_BANDS, _EC_BAND_BITS
+    mask = (1 << bits) - 1
+
+    def band(c: str, j: int) -> str:
+        return f"(shiftright({c}, {j * bits}) & {mask})"
+
+    home_structs = ", ".join(
+        f"struct({j} AS band_idx, {band('lsh_bucket', j)} AS band_key)" for j in range(nb)
     )
-    stacked = e.select("vec_id", "v", "n", "lsh_bucket", F.explode(bands).alias("b")).select(
-        "vec_id",
-        "v",
-        "n",
-        "lsh_bucket",
-        F.col("b.band_idx").alias("band_idx"),
-        F.col("b.band_key").alias("band_key"),
+    probe_structs = ", ".join(
+        f"struct({j} AS band_idx, ({band('lsh_bucket', j)} ^ {f}) AS band_key)"
+        for j in range(nb)
+        for f in _EC_FLIPS
     )
-    a = stacked.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("n").alias("na"),
-        F.col("lsh_bucket").alias("ba"),
-        "band_idx",
-        "band_key",
+    home = e.selectExpr(
+        "vec_id AS id_a", "v AS va", "n AS na", "lsh_bucket AS ba",
+        f"inline(array({home_structs}))",
     )
-    b = stacked.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
-        F.col("lsh_bucket").alias("bb"),
-        "band_idx",
-        "band_key",
+    probe = e.selectExpr(
+        "vec_id AS id_b", "lsh_bucket AS bb",
+        f"inline(array({probe_structs}))",
     )
-    agree = [nib("ba", j) == nib("bb", j) for j in range(4)]
-    n_agree = sum(c.cast("int") for c in agree)
-    first_band = F.when(agree[0], 0).when(agree[1], 1).when(agree[2], 2).otherwise(3)
-    pairs = a.join(b, ["band_idx", "band_key"]).filter(
-        (F.col("id_a") < F.col("id_b")) & (n_agree >= 2) & (F.col("band_idx") == first_band)
+
+    # HD(band j) ≤ 1 ⇔ band XOR is 0 or a power of two ⇔ x & (x−1) = 0.
+    def hd_ok(j: int) -> str:
+        x = f"({band('ba', j)} ^ {band('bb', j)})"
+        return f"(({x} & ({x} - 1)) = 0)"
+
+    n_agree = " + ".join(f"CAST({hd_ok(j)} AS INT)" for j in range(nb))
+    first_band = (
+        "CASE "
+        + " ".join(f"WHEN {hd_ok(j)} THEN {j}" for j in range(nb - 1))
+        + f" ELSE {nb - 1} END"
     )
-    scored = pairs.withColumn(
-        "sim", F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6)
+    return (
+        home.join(probe, ["band_idx", "band_key"])
+        .filter(F.expr(f"id_a < id_b AND ({n_agree}) >= {_EC_MIN_AGREE} AND band_idx = ({first_band})"))
+        .select("id_a", "id_b", "va", "na")
     )
-    return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
 
 
 @_q(

@@ -246,3 +246,31 @@ def test_bloom_probe_matches_exact_membership_semantics(spark):
     b2 = {r["key"]: r["bloom_hit"] for r in C.bloom_probe(pdf, "key", C.bloom_build(keys)).collect()}
     assert b1 == b2
     assert all(b1[f"m{i}"] for i in range(50))
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine multi-probe candidate generation
+# ---------------------------------------------------------------------------
+
+
+def test_emb_cosine_candidates_subquadratic_and_deduped(spark, sf_oracle_dir):
+    """The multi-probe band join must stay sub-quadratic on the
+    label-clustered corpus (VERDICT r4 ask #3) and emit each unordered
+    pair exactly once. Ceiling = 3% of all pairs — the r2–r4 16-plane
+    design sat at 2.4–2.5% and a regression toward any-band agreement
+    (22.6%) or all-pairs behavior blows straight through it."""
+    from graphql_api_etl_spark.queries_llm import (
+        _emb_cosine_candidates,
+        _emb_cosine_projection,
+    )
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    n = emb.count()
+    cand = _emb_cosine_candidates(_emb_cosine_projection(emb)).select("id_a", "id_b")
+    rows = cand.collect()
+    all_pairs = n * (n - 1) / 2
+    assert len(rows) < 0.03 * all_pairs, (len(rows), all_pairs)
+    # exactly one row per unordered pair (first-agreeing-band dedup)
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+    assert all(r.id_a < r.id_b for r in rows)

@@ -605,3 +605,36 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     assert {k: v["compressed_len"] for k, v in rows.items()} == {
         k: v["compressed_len"] for k, v in rows4.items()
     }
+
+
+def test_jaccard_hot_shingle_cap_preserves_above_threshold_pairs(spark):
+    """max_shingle_df drops boilerplate shingles from candidate
+    generation only: every pair the uncapped index finds at ≥ threshold
+    must survive with an IDENTICAL exact Jaccard (verification runs on
+    full sets), while the capped inverted index itself shrinks."""
+    from graphql_api_etl_spark.operators.dedup import jaccard_pairs
+
+    boiler = "terms of service apply to this page"
+    rows = []
+    for i in range(20):
+        # 20 near-dup pairs whose real content is unique per pair (so
+        # the cap, 10, exceeds every true duplicate-group size, 2) +
+        # the corpus-wide boilerplate…
+        body = f"document body alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((2 * i, f"{body} {boiler}"))
+        rows.append((2 * i + 1, f"{body} epsilon{i} {boiler}"))
+    # …plus unrelated docs that share ONLY the boilerplate
+    for i in range(40, 60):
+        rows.append((i, f"unique content {i} zeta{i} eta{i} theta{i} {boiler}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.5, max_shingle_df=10).collect()
+    }
+    assert base, "fixture must produce above-threshold pairs"
+    assert capped == base
