@@ -19,8 +19,15 @@ def write_csv_report(df: DataFrame, path: str, single_file: bool = True) -> str:
     return path
 
 
+#: write_xlsx_report refuses frames beyond this many rows: "report-sized
+#: only" is a hard contract, not advice (VERDICT r4) — without it a
+#: mis-routed fact table OOMs the driver at cluster scale. 2^20 is also
+#: the xlsx format's own per-sheet row limit.
+XLSX_REPORT_MAX_ROWS = 1_048_576
+
+
 def write_xlsx_report(
-    df: DataFrame, path: str, sheet_name: str = "report"
+    df: DataFrame, path: str, sheet_name: str = "report", max_rows: int | None = None
 ) -> str:
     """Excel report sink — the write-side twin of the xlsx SOURCE
     (sources/xlsx.py), completing the round trip for the workbook
@@ -40,6 +47,17 @@ def write_xlsx_report(
     round-trip test."""
     from graphql_api_etl_spark.sources.xlsx import write_xlsx
 
+    ceiling = XLSX_REPORT_MAX_ROWS if max_rows is None else max_rows
     header = df.columns
-    rows = [[r[c] for c in header] for r in df.collect()]
+    # limit(ceiling+1) bounds what can ever reach the driver — the
+    # overflow check costs one extra row, never a full collect of the
+    # oversized frame it is guarding against.
+    rows = [[r[c] for c in header] for r in df.limit(ceiling + 1).collect()]
+    if len(rows) > ceiling:
+        raise ValueError(
+            f"write_xlsx_report: frame exceeds the report ceiling of "
+            f"{ceiling} rows; this sink is for report-sized frames only "
+            f"— write large exports with write_csv_report(single_file="
+            f"False) or parquet"
+        )
     return write_xlsx(path, sheet_name, header, rows)

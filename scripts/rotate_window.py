@@ -79,5 +79,79 @@ def main() -> None:
     print("]")
 
 
+def load_history(repo_root: str, reg_order: dict[str, int]):
+    """(latest_green, newest_misses, newest_round) from CORRECTNESS_r*.json."""
+    files = sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    latest_green: dict[str, int] = {}
+    newest_misses: list[str] = []
+    newest_round = 0
+    for path in files:
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        newest_round = max(newest_round, rnd)
+        data = json.load(open(path))
+        misses = []
+        for name, row in data.items():
+            if name not in reg_order:
+                continue
+            ok = bool(row.get("rows_match")) and bool(row.get("hash_match") is not False)
+            if ok:
+                latest_green[name] = max(latest_green.get(name, -1), rnd)
+            else:
+                misses.append(name)
+        if path == files[-1]:
+            newest_misses = misses
+    return latest_green, newest_misses, newest_round
+
+
+def check_window(
+    window_names: list[str],
+    all_names: list[str],
+    latest_green: dict[str, int],
+    newest_misses: list[str],
+    newest_round: int,
+    core_allowance: int = 8,
+) -> list[str]:
+    """Freshness invariant (VERDICT r4 ask #7): the driver's 50-slot
+    window must be SPENT where evidence is weakest, every round, or the
+    123-entry never-checked backlog never drains. Violations:
+
+    1. a newest-round MISS left outside the window (fix must be
+       re-checked immediately);
+    2. more than ``core_allowance`` window slots hold already-green
+       entries while never-driver-checked entries wait outside (the
+       allowance keeps flagship/core under continuous check);
+    3. an entry whose latest green is older than ``ceil(N/window)+2``
+       rounds sits outside the window (round-robin starvation).
+    """
+    window = set(window_names)
+    problems: list[str] = []
+    for n in newest_misses:
+        if n not in window:
+            problems.append(f"newest-round miss {n!r} not in the window")
+    never = [n for n in all_names if n not in latest_green and n not in newest_misses]
+    waiting = [n for n in never if n not in window]
+    if waiting:
+        greens_in_window = [n for n in window_names if n in latest_green]
+        if len(greens_in_window) > core_allowance:
+            problems.append(
+                f"{len(greens_in_window)} window slots hold already-green entries "
+                f"(allowance {core_allowance}) while {len(waiting)} never-checked "
+                f"entries wait outside — re-run scripts/rotate_window.py"
+            )
+    if latest_green:
+        import math
+
+        max_age = math.ceil(len(all_names) / max(len(window_names), 1)) + 2
+        for n, rnd in latest_green.items():
+            if newest_round + 1 - rnd > max_age and n not in window:
+                problems.append(
+                    f"{n!r} last green in r{rnd} (> {max_age} rounds stale) and not in the window"
+                )
+    return problems
+
+
 if __name__ == "__main__":
     main()

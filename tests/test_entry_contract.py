@@ -39,3 +39,25 @@ def test_failing_callable_oracle_costs_only_its_entry(monkeypatch):
     oracles = entry.oracle_sql()
     assert name not in oracles
     assert len(oracles) == len(QUERIES) - 1
+
+
+def test_priority_window_spends_slots_where_evidence_is_weakest():
+    """Freshness invariant (VERDICT r4 ask #7): fails when the first-50
+    window burns slots on already-green entries while never-checked
+    entries wait, leaves a fresh miss un-rechecked, or starves a stale
+    entry — so each round's rotation stays mechanical and the backlog
+    provably drains."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import check_window, load_history
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    latest_green, newest_misses, newest_round = load_history(repo, reg_order)
+    problems = check_window(names[:50], names, latest_green, newest_misses, newest_round)
+    assert problems == [], "\n".join(problems)

@@ -161,3 +161,20 @@ def test_xlsx_report_sink_roundtrip_through_source(spark, tmp_path):
         2: ('needs <&"> escaping', False, None),
         3: (None, None, -2.25),
     }
+
+
+def test_xlsx_report_ceiling_raises(spark, tmp_path):
+    """The report sink's "report-sized only" contract is enforced, not
+    advisory: an over-ceiling frame raises instead of collecting."""
+    import pytest
+
+    from graphql_api_etl_spark.sinks.reports import write_xlsx_report
+
+    df = spark.range(50).selectExpr("id", "CAST(id AS STRING) AS s")
+    with pytest.raises(ValueError, match="report ceiling"):
+        write_xlsx_report(df, str(tmp_path / "big.xlsx"), max_rows=10)
+    # under the ceiling still writes
+    out = write_xlsx_report(df.limit(5), str(tmp_path / "ok.xlsx"), max_rows=10)
+    import os
+
+    assert os.path.exists(out)
