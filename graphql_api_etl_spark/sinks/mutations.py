@@ -20,9 +20,9 @@ adapter with the same ``post_batch`` contract — observable behavior of
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 STATUS_SCHEMA = T.StructType(
@@ -132,11 +132,23 @@ class MutationSink:
         batch_size = self.batch_size
         max_retries = self.max_retries
 
-        def run_partition(rows: Iterable[Row]) -> Iterator[tuple[str, bool, str | None]]:
+        def run_partition(batches):
+            # mapInArrow, not df.rdd.mapPartitions (VERDICT r4): the
+            # input stays Arrow end-to-end — no Row pickling — and
+            # RecordBatch.to_pylist() yields native Python values
+            # (int stays int, None stays None; the pandas route would
+            # coerce nullable ints to float64 and numpy scalars into
+            # the mutation payloads).
+            import pyarrow as pa
+
+            arrow_schema = pa.schema(
+                [("record", pa.string()), ("success", pa.bool_()), ("error", pa.string())]
+            )
             client = factory()
             buf: list[dict] = []
+            stat: list[tuple[str, bool, str | None]] = []
 
-            def flush() -> Iterator[tuple[str, bool, str | None]]:
+            def flush() -> None:
                 if not buf:
                     return
                 last_err: Exception | None = None
@@ -144,23 +156,37 @@ class MutationSink:
                     try:
                         results = client.post_batch(operation, list(buf))
                         for rec, ok, err in results:
-                            yield (json.dumps(rec, sort_keys=True, default=str), ok, err)
+                            stat.append((json.dumps(rec, sort_keys=True, default=str), ok, err))
                         buf.clear()
                         return
                     except Exception as exc:  # noqa: BLE001 — timeout tolerance (K4)
                         last_err = exc
                 for rec in buf:
-                    yield (json.dumps(rec, sort_keys=True, default=str), False, str(last_err))
+                    stat.append((json.dumps(rec, sort_keys=True, default=str), False, str(last_err)))
                 buf.clear()
 
-            for row in rows:
-                buf.append(row.asDict(recursive=True))
-                if len(buf) >= batch_size:
-                    yield from flush()
-            yield from flush()
+            def drain() -> Iterator:
+                if stat:
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "record": [s[0] for s in stat],
+                            "success": [s[1] for s in stat],
+                            "error": [s[2] for s in stat],
+                        },
+                        schema=arrow_schema,
+                    )
+                    stat.clear()
 
-        status_rdd = df.rdd.mapPartitions(run_partition)
-        status = spark.createDataFrame(status_rdd, STATUS_SCHEMA)
+            for batch in batches:
+                for rec in batch.to_pylist():
+                    buf.append(rec)
+                    if len(buf) >= batch_size:
+                        flush()
+                yield from drain()  # statuses stream out batch-by-batch
+            flush()
+            yield from drain()
+
+        status = df.mapInArrow(run_partition, STATUS_SCHEMA)
         # Materialize the side-effecting lineage exactly once per
         # ``write()`` call: land the status frame in durable parquet and
         # return a frame READ FROM STORAGE, whose lineage is a plain
