@@ -511,6 +511,86 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVF.topk_ivf(queries, emb, centroids, k=3, nprobe=4, dim=64)
 
 
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of the full PQ/ADC search with the TRAINED
+    codebooks embedded as literals (same discipline as
+    :func:`_ivf_oracle_sql`): training is deterministic
+    (md5-ordered sample, fixed iterations), so
+    :func:`pq.train_pq_local` reproduces the Spark query's codebooks
+    bit-identically from the parquet file. The oracle recomputes each
+    vector's 8 subspace codes (argmin of ``cn² − 2·v̂ₘ·c`` over the
+    literal centroids, ties by centroid id), then scores every
+    (query, corpus) pair with the SAME left-associative 8-term ADC sum
+    the Spark UDF accumulates — each term a ``list_dot_product`` over
+    one subspace slice — fixed-point floored BEFORE ranking so the
+    selection order is engine-exact. Built lazily (callable oracle)
+    because it reads the comparison scale's embeddings
+    ($SPARK_GRAFT_ORACLE_SF_DIR, default the driver's sf0.01)."""
+    import os
+
+    from graphql_api_etl_spark.operators.pq import codebook_norms, train_pq_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cb = train_pq_local(f"{sf_dir}/embeddings.parquet", m=8, k=16, iters=2)
+    cn2 = codebook_norms(cb)
+    dsub = 8
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{','.join(repr(x) for x in cb[j][c])}], {cn2[j][c]!r})"
+        for j in range(8)
+        for c in range(len(cb[j]))  # tiny corpora may train < k centroids
+    )
+    ms = ",".join(f"({j})" for j in range(8))
+    adc = " + ".join(
+        f"list_dot_product(list_slice(qh, {j * dsub + 1}, {(j + 1) * dsub}), cb{j}.cv)"
+        for j in range(8)
+    )
+    cb_joins = " ".join(f"JOIN cb cb{j} ON cb{j}.m = {j} AND cb{j}.cid = cw.c{j}" for j in range(8))
+    cw_cols = ", ".join(f"max(CASE WHEN m = {j} THEN cid END) AS c{j}" for j in range(8))
+    return (
+        f"WITH cb AS (SELECT * FROM (VALUES {cb_rows}) t(m, cid, cv, cn2)), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), "
+        "nh AS (SELECT vec_id, "
+        "list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS vh FROM en), "
+        f"sub AS (SELECT vec_id, mm.m AS m, list_slice(vh, mm.m * {dsub} + 1, (mm.m + 1) * {dsub}) AS vs "
+        f"FROM nh CROSS JOIN (VALUES {ms}) mm(m)), "
+        "asgn AS (SELECT vec_id, m, cid, cn2 - 2.0 * list_dot_product(vs, cv) AS d "
+        "FROM sub JOIN cb USING (m)), "
+        "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, "
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM asgn) WHERE rn = 1), "
+        f"cw AS (SELECT vec_id, {cw_cols} FROM codes GROUP BY vec_id), "
+        "q AS (SELECT vec_id AS query_id, vh AS qh FROM nh WHERE vec_id < 50), "
+        "scored AS (SELECT query_id, cw.vec_id AS neighbor_id, "
+        f"CAST(floor(({adc}) * 1000000) AS BIGINT) AS sim_micro "
+        f"FROM q CROSS JOIN cw {cb_joins} WHERE query_id != cw.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim_micro, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rank "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, sim_micro, rank FROM ranked WHERE rank <= 5"
+    )
+
+
+@_q("sim_topk_pq", _pq_oracle_sql)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-5 (operators/pq.py): 8 subspaces ×
+    16 centroids → one 32-bit code per vector (64× smaller than the
+    float32 vector — at 100 TB the scoring pass reads codes, not
+    vectors), deterministic driver-side codebook training on a bounded
+    md5-ordered sample, Arrow encode (map-only), and LUT-gather ADC
+    scoring with per-batch partial top-k. Completes the ANN family's
+    scale ladder: brute force (baseline) → matmul (exact, vectorized)
+    → LSH/IVF (prune WHO is scored) → PQ (shrink WHAT is scored).
+    Quantization quality (ADC-vs-exact recall) is asserted in
+    tests/test_operators.py; the DuckDB oracle replays encode + search
+    over literal trained codebooks."""
+    from graphql_api_etl_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = PQ.train_pq(emb, m=8, k=16, iters=2, dim=64)
+    codes = PQ.encode_pq(emb, cb, dim=64)
+    return PQ.topk_pq(emb.filter(F.col("vec_id") < 50), codes, cb, k=5, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------
