@@ -591,6 +591,103 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.topk_pq(emb.filter(F.col("vec_id") < 50), codes, cb, k=5, dim=64)
 
 
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB replay of the composed IVF-PQ search: literal trained
+    coarse centroids (ivf.train_kmeans_local) AND literal PQ codebooks
+    (pq.train_pq_local) — both trainers are bit-identical twins of the
+    Spark query's. Replays coarse assignment + nprobe probing (the
+    _ivf_oracle_sql machinery), per-subspace codes, and the SAME
+    left-associative 8-term ADC sum over the candidates, fixed-point
+    floored before ranking. Lazily built against
+    $SPARK_GRAFT_ORACLE_SF_DIR."""
+    import os
+
+    from graphql_api_etl_spark.operators.ivf import train_kmeans_local
+    from graphql_api_etl_spark.operators.pq import codebook_norms, train_pq_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    cent = train_kmeans_local(path, k=16, iters=2)
+    ccn2 = [sum(x * x for x in c) for c in cent]
+    cb = train_pq_local(path, m=8, k=16, iters=2)
+    cn2 = codebook_norms(cb)
+    dsub = 8
+    cent_rows = ", ".join(
+        f"({j}, [{','.join(repr(x) for x in cent[j])}], {ccn2[j]!r})" for j in range(len(cent))
+    )
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{','.join(repr(x) for x in cb[j][c])}], {cn2[j][c]!r})"
+        for j in range(8)
+        for c in range(len(cb[j]))
+    )
+    ms = ",".join(f"({j})" for j in range(8))
+    adc = " + ".join(
+        f"list_dot_product(list_slice(qh, {j * dsub + 1}, {(j + 1) * dsub}), cb{j}.cv)"
+        for j in range(8)
+    )
+    cb_joins = " ".join(f"JOIN cb cb{j} ON cb{j}.m = {j} AND cb{j}.cid = cw.c{j}" for j in range(8))
+    cw_cols = ", ".join(f"max(CASE WHEN m = {j} THEN cid END) AS c{j}" for j in range(8))
+    return (
+        f"WITH cent AS (SELECT * FROM (VALUES {cent_rows}) t(bid, bv, bn2)), "
+        f"cb AS (SELECT * FROM (VALUES {cb_rows}) t(m, cid, cv, cn2)), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), "
+        "nh AS (SELECT vec_id, "
+        "list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS vh FROM en), "
+        # coarse assignment / probing (same form as _ivf_oracle_sql)
+        "dist AS (SELECT vec_id, bid, "
+        "bn2 - 2.0 * (list_dot_product(v, bv) / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS d "
+        "FROM en CROSS JOIN cent), "
+        "ra AS (SELECT vec_id, bid, row_number() OVER (PARTITION BY vec_id ORDER BY d, bid) AS rn "
+        "FROM dist), "
+        "corpus_b AS (SELECT vec_id AS neighbor_id, bid AS bucket FROM ra WHERE rn = 1), "
+        "probes AS (SELECT vec_id AS query_id, bid AS bucket FROM ra WHERE vec_id < 50 AND rn <= 4), "
+        # PQ codes (same form as _pq_oracle_sql)
+        f"sub AS (SELECT vec_id, mm.m AS m, list_slice(vh, mm.m * {dsub} + 1, (mm.m + 1) * {dsub}) AS vs "
+        f"FROM nh CROSS JOIN (VALUES {ms}) mm(m)), "
+        "asgn AS (SELECT vec_id, m, cid, cn2 - 2.0 * list_dot_product(vs, cv) AS d "
+        "FROM sub JOIN cb USING (m)), "
+        "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, "
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM asgn) WHERE rn = 1), "
+        f"cw AS (SELECT vec_id, {cw_cols} FROM codes GROUP BY vec_id), "
+        "q AS (SELECT vec_id AS query_id, vh AS qh FROM nh WHERE vec_id < 50), "
+        # candidates = probe×bucket equi-join; ADC over candidates only
+        "cand AS (SELECT DISTINCT p.query_id, c.neighbor_id "
+        "FROM probes p JOIN corpus_b c USING (bucket) WHERE p.query_id != c.neighbor_id), "
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        f"CAST(floor(({adc}) * 1000000) AS BIGINT) AS sim_micro "
+        "FROM cand JOIN q ON q.query_id = cand.query_id "
+        f"JOIN cw ON cw.vec_id = cand.neighbor_id {cb_joins}), "
+        "ranked AS (SELECT query_id, neighbor_id, sim_micro, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rank "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, sim_micro, rank FROM ranked WHERE rank <= 5"
+    )
+
+
+@_q("sim_topk_ivfpq", _ivfpq_oracle_sql)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.topk_ivfpq): coarse quantizer
+    prunes WHO is scored (nprobe=4 of 16 buckets), PQ codes shrink
+    WHAT is scored (32-bit codes, no vector math in the search join).
+    The search is pure Catalyst — per-query ADC lookup tables become 8
+    broadcast-joined frames and the score is one native left-assoc
+    8-term sum — so the hot path whole-stage-codegens end-to-end; the
+    only Python is the two map-only Arrow index passes, which a real
+    deployment runs once at ingest. Both trainers have Spark-free
+    bit-identical twins; the oracle replays the entire index + search
+    over their literal outputs."""
+    from graphql_api_etl_spark.operators import ivf as IVF
+    from graphql_api_etl_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = IVF.train_kmeans(emb, k=16, iters=2, dim=64)
+    cb = PQ.train_pq(emb, m=8, k=16, iters=2, dim=64)
+    return PQ.topk_ivfpq(
+        emb.filter(F.col("vec_id") < 50), emb, cent, cb, k=5, nprobe=4, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -708,3 +708,35 @@ def test_pq_trainers_bit_identical(sf_oracle_dir):
     a = PQ.train_pq(emb, m=8, k=16, iters=2, dim=64)
     b = PQ.train_pq_local(f"{sf_oracle_dir}/embeddings.parquet", m=8, k=16, iters=2)
     assert a == b
+
+
+def test_ivfpq_scores_match_pq_and_search_is_native(spark, sf_oracle_dir):
+    """(a) For pairs both paths rank, the broadcast-LUT-join score must
+    equal the numpy-gather ADC score EXACTLY (same codebooks, same
+    sequential sums — any drift means the two formulations diverged);
+    (b) the search join itself is pure Catalyst: the only Python
+    stages in the plan are the two map-only index passes."""
+    from graphql_api_etl_spark.operators import ivf as IVF
+    from graphql_api_etl_spark.operators import pq as PQ
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    cent = IVF.train_kmeans(emb, k=16, iters=2, dim=64)
+    cb = PQ.train_pq(emb, m=8, k=16, iters=2, dim=64)
+    queries = emb.filter("vec_id < 20")
+
+    ivfpq = PQ.topk_ivfpq(queries, emb, cent, cb, k=5, nprobe=4, dim=64)
+    full = PQ.topk_pq(queries, PQ.encode_pq(emb, cb, dim=64), cb, k=200, dim=64)
+    a = {(r.query_id, r.neighbor_id): r.sim_micro for r in ivfpq.collect()}
+    b = {(r.query_id, r.neighbor_id): r.sim_micro for r in full.collect()}
+    shared = set(a) & set(b)
+    assert shared, "no overlapping pairs — probe path found nothing"
+    assert all(a[p] == b[p] for p in shared)
+
+    plan = ivfpq._jdf.queryExecution().executedPlan().toString()
+    # 8 LUT joins + probe/bucket + code-fetch are all JVM broadcast
+    # hash joins; Python appears only as Arrow eval (assign/encode
+    # index passes), never as row-at-a-time BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.count("BroadcastHashJoin") >= 10
