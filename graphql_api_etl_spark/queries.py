@@ -4760,6 +4760,10 @@ def a_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # themselves on import, same bottom-import pattern as queries_llm.
 from graphql_api_etl_spark import queries_graph  # noqa: E402,F401
 
+# Structured-Streaming entries (availableNow micro-batch runs under the
+# same differential gate), same bottom-import pattern.
+from graphql_api_etl_spark import queries_stream  # noqa: E402,F401
+
 
 @_q(
     "a_heavy_hitters_cms",

@@ -1,0 +1,144 @@
+"""Structured-Streaming catalog entries under the SAME oracle gate as
+the batch catalog (registered via the bottom-import pattern like
+queries_llm / queries_graph).
+
+The reference's weekly job is a batch full-reload (ETL:20–22); this
+engine's streaming evolution (streaming/*) was previously evidenced
+only by pytest. These entries put the STREAMING execution path itself
+— file-stream source, stateful aggregation / dedup state store,
+micro-batch scheduler — inside the driver's Spark-vs-DuckDB
+differential: each runs a real ``readStream`` → ``writeStream`` query
+with ``trigger(availableNow=True)`` into a memory sink, waits for
+termination, and returns the sink table as the result DataFrame. The
+oracle is plain batch SQL over the same parquet — so a green row
+means the streaming pipeline computed exactly what the batch engine
+would have.
+
+Determinism notes:
+- ``complete`` output mode for the windowed aggregate: append mode
+  only emits windows the watermark has CLOSED, so the stream's final
+  open windows would be missing vs the batch oracle. Complete mode
+  re-emits the full state at the last trigger — total, deterministic.
+- the dedup entry outputs ONLY its key columns: within a micro-batch
+  ``dropDuplicates`` keeps an arbitrary row per key (partition race),
+  but the key SET is deterministic.
+- events.parquet is TIMESTAMP(MICROS, isAdjustedToUTC=false): with
+  NTZ inference pinned off (same pin as sources/registry.load_table)
+  the declared TimestampType reads as UTC LTZ, so both engines see
+  identical timestamps.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphql_api_etl_spark.queries import _q
+
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet is TIMESTAMP(MICROS, isAdjustedToUTC=false); with
+    # NTZ inference pinned off the declared TimestampType reads as UTC
+    # LTZ — identical values to the batch loader and the DuckDB oracle
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # FileStreamSource requires a DIRECTORY, but the testdata dir holds
+    # ALL tables' parquet side by side — stream a temp dir holding a
+    # symlink to the events file (zero copy; a real deployment streams
+    # a dedicated landing directory to begin with).
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src_dir)
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming frame to completion (availableNow) into a
+    memory sink and return the sink table. The memory sink is
+    driver-resident and REPORT-sized by contract (aggregates / key
+    sets); unbounded streams land in parquet/kafka sinks instead."""
+    name = f"stream_gate_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+@_q(
+    "stream_hourly_counts",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate, end-to-end through the
+    micro-batch engine (file-stream source → watermarked stateful agg
+    → memory sink, availableNow) — the streaming twin of
+    events_tumbling_window, checked against the identical batch SQL.
+    Watermark bounds state on a live stream; complete mode makes the
+    final emission total (see module docstring). At scale the same
+    query writes append-mode to parquet with the watermark closing
+    windows — the memory/complete shape is the gate harness, not the
+    deployment shape."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+
+
+@_q(
+    "stream_distinct_user_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup through the state store: dropDuplicates
+    over the (user_id, event_type) key stream — the operator a
+    continuous ingestion pipeline runs to emit each key once. Output
+    is the key set only (the kept ROW per key is a partition race
+    inside a micro-batch; the key SET is deterministic), differential-
+    checked against batch DISTINCT. On a live stream this wants
+    dropDuplicatesWithinWatermark to bound state; availableNow over a
+    finite source is the bounded-gate harness."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_to_memory(dedup, "append")
