@@ -142,3 +142,54 @@ def stream_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
     )
     return _run_to_memory(dedup, "append")
+
+
+@_q(
+    "stream_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 30 * 60 * 1000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` streaming aggregate — THE merging-window
+    stateful operator (session assignment can only be decided as
+    events arrive; batch engines need gaps-and-islands window tricks
+    to express it). Runs through the real micro-batch session-merge
+    state store; the oracle is the lag/cumsum batch formulation with
+    the boundary matched to Spark's semantics: an event at EXACTLY
+    start+gap falls outside ``[start, last+gap)`` and opens a new
+    session, so the oracle's new-session predicate is ``>= gap``
+    (the batch ``events_sessionize`` entry uses ``> gap`` — a
+    different, also-valid contract; the differential pins each).
+    Session identity is (user_id, session start); per-session ordinal
+    numbering is emitted by neither side since the two engines count
+    sessions in different orders."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
+    )
