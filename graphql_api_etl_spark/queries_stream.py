@@ -145,6 +145,75 @@ def stream_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_latest_state_upsert",
+    """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+FROM (SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def stream_latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch latest-state materialization — streaming CDC
+    compaction: each micro-batch outer-merges into a versioned parquet
+    state dir, keeping per key the row with the greatest
+    (ts, event_id). The merge is union-then-reduce, so it is
+    ASSOCIATIVE and order-independent: the result is identical no
+    matter how the scheduler splits files into batches (unlike
+    last-batch-wins cursor semantics, which is the right policy for
+    the GraphQL reconciler but not for event-time state). Versioned
+    state dirs give idempotent retries — a replayed batch re-reads the
+    version written BEFORE it, exactly like
+    streaming/reconcile.IncrementalReconciler."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    state_dir = tempfile.mkdtemp(prefix="stream_upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    cols = ["user_id", "ts", "event_id", "value"]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+    def versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v"))
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        red = latest(batch.select(*cols))
+        prior = [v for v in versions() if v < batch_id]
+        if prior:
+            state = batch.sparkSession.read.parquet(os.path.join(state_dir, f"v{prior[-1]}"))
+            red = latest(state.unionByName(red))
+        red.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .select(*cols)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    final = spark.read.parquet(os.path.join(state_dir, f"v{versions()[-1]}"))
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_q(
     "stream_session_windows",
     """
 WITH flagged AS (
