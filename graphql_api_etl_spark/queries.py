@@ -1782,6 +1782,40 @@ def a_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a_grouping_sets",
+    """
+SELECT coalesce(n_name, '<all>') AS nation,
+       coalesce(c_mktsegment, '<all>') AS segment,
+       count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+""",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the slices ROLLUP/CUBE can't express
+    (here: per-nation, per-segment, and grand total WITHOUT the
+    (nation, segment) cross cells that CUBE would add). One shuffle
+    computes all three groupings via the same Expand operator the
+    rollup/cube entries use — the row stream is replicated once per
+    grouping set map-side, then a single exchange aggregates, so at
+    scale the cost is (#sets)× the map output of one GROUP BY, never
+    one job per slice."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupingSets([["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # E. Event streams: windows, sessions, JSON props
 # ---------------------------------------------------------------------------
@@ -2265,6 +2299,39 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 2).alias("avg_k"),
+    )
+
+
+@_q(
+    "events_json_variant",
+    """
+SELECT event_type,
+       CAST(count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS BIGINT) AS n_with_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type —
+    parse_json once into the binary-encoded open type, then typed
+    path extraction with try_variant_get. At 100 TB this is the
+    modern plan for ragged payloads: VARIANT parses the JSON text
+    ONCE at ingest into a shreddable binary encoding, and every
+    downstream path access is a cheap binary probe instead of a
+    per-query string parse (get_json_object re-parses the full text
+    per call; three extractions = three parses). Aggregates are
+    integer-exact so the differential is ulp-free; DuckDB replays via
+    its native JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
     )
 
 
