@@ -2714,6 +2714,76 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sink_scd2_history",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN prev_type IS NULL OR prev_type != event_type THEN 1 ELSE 0 END AS chg,
+         event_id
+  FROM ordered
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+), intervals AS (
+  SELECT user_id, event_type, run_id,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+FROM intervals
+""",
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: per key,
+    consecutive runs of an attribute value collapse into validity
+    intervals [valid_from, valid_to) with the open interval flagged
+    current — the standard warehouse dimension-versioning sink,
+    derived here from the event stream (user_id's event_type as the
+    tracked attribute). Three window passes over ONE partitioning
+    (user_id, ordered by ts/event_id — change flags, run ids, then
+    interval chaining via lead), so the whole build is a single
+    shuffle on the key plus per-partition sorts; at scale that is the
+    minimum for any order-dependent history reconstruction. Ties at
+    equal ts break on event_id in both engines, making run boundaries
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w_ord).isNull()
+            | (F.lag("event_type").over(w_ord) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_iv = W.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )
+
+
+@_q(
     "x_datetime_functions",
     """
 SELECT o_orderkey,
