@@ -473,3 +473,112 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("n_common"), F.asc("a"), F.asc("c"))
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — synchronous, deterministic community detection
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+_LPA_EDGES_SQL = """
+li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und)"""
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA as chained CTEs: per round, each node
+    takes the most frequent label among its neighbours (ties → the
+    SMALLEST label) — integer counts + a total ordering, so the
+    fixed-round result is engine-exact like the PageRank oracle."""
+    parts = ["WITH " + _LPA_EDGES_SQL]
+    parts.append(", l0 AS (SELECT node, node AS label FROM nodes)")
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM und e JOIN l{i - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "".join(parts)
+        + f""" SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l{LPA_ITERS}
+GROUP BY label"""
+    )
+
+
+@_q("graph_label_propagation", _lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    co-purchase part graph — the classic near-linear community
+    algorithm (Raghavan et al. 2007), made DETERMINISTIC the same way
+    graph_pagerank is: synchronous rounds (labels_i built only from
+    labels_{i-1}), integer neighbour-label counts, and total-order
+    tie-breaks (count DESC, label ASC) — so the fixed-round result is
+    bit-identical across engines, partitionings, and retries, where
+    textbook asynchronous LPA is run-order dependent.
+
+    Each round is ONE join (labels onto the undirected edge list,
+    shuffled on the node key) + one count aggregate + one per-node
+    window argmax — all key-partitioned, nothing on the driver;
+    lineage is truncated per round (localCheckpoint) like the other
+    iterative operators. Output is community-level (label, size,
+    representative) so the differential is stable while per-node
+    assignments stay queryable upstream."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        counts = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(und.dst.alias("node2"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_node"),
+    ).select(F.col("label").cast("bigint").alias("community"), "n_members", "min_node")
