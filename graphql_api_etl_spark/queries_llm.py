@@ -4303,3 +4303,98 @@ def text_jsd_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg((F.sum("pa") + F.sum("pb")).cast("bigint").alias("jsd_nano"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ["the", "a", "and", "of", "to"]
+
+_RAKE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t[u.i] AS w, u.i AS pos,
+         CASE WHEN list_contains(['the','a','and','of','to'], t[u.i]) THEN 1 ELSE 0 END AS stop
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), flagged AS (
+  SELECT doc_id, w, pos, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM pos
+), runs AS (
+  SELECT doc_id, w, pos, run_id FROM flagged WHERE stop = 0
+), pw AS (
+  SELECT doc_id, run_id, w, pos,
+         count(*) OVER (PARTITION BY doc_id, run_id) AS phrase_len
+  FROM runs
+), phrases AS (
+  SELECT doc_id, run_id, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM pw GROUP BY doc_id, run_id
+), ws AS (
+  SELECT doc_id, w,
+         CAST(floor(1000000.0 * sum(phrase_len) / count(*)) AS BIGINT) AS w_score
+  FROM pw GROUP BY doc_id, w
+), scored AS (
+  SELECT pw.doc_id, pw.run_id, CAST(sum(ws.w_score) AS BIGINT) AS score_scaled
+  FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.w = ws.w
+  GROUP BY pw.doc_id, pw.run_id
+), ranked AS (
+  SELECT p.doc_id, p.phrase, s.score_scaled, p.n_words,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY s.score_scaled DESC, p.phrase) AS rn
+  FROM phrases p JOIN scored s ON p.doc_id = s.doc_id AND p.run_id = s.run_id
+)
+SELECT doc_id, phrase AS top_phrase, score_scaled, n_words FROM ranked WHERE rn = 1
+"""
+
+
+@_q("text_rake_keyphrases", _RAKE_SQL)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it) and
+    a phrase scores the sum of its words' scores. Top phrase per doc.
+
+    Determinism discipline: the per-word score is floor-scaled to an
+    INTEGER (floor(1e6·degree/freq) — one identical IEEE op in both
+    engines) BEFORE the per-phrase sum, so phrase scores are integer
+    sums — order-independent — where the textbook float formulation
+    would expose partial-aggregation order at rank boundaries. Run
+    segmentation is a per-doc window cumsum over token positions
+    (stopwords increment the run id and are dropped); everything is
+    one doc-partitioned shuffle + two doc-local aggregates, no UDFs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w"),
+    ).withColumn("stop", F.col("w").isin(_RAKE_STOPS).cast("int"))
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = pos.withColumn("run_id", F.sum("stop").over(w_run)).filter(F.col("stop") == 0)
+    pw = runs.withColumn("phrase_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "run_id")))
+    phrases = pw.groupBy("doc_id", "run_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s.w),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    ws = pw.groupBy("doc_id", "w").agg(
+        F.floor(1_000_000.0 * F.sum("phrase_len") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("w_score")
+    )
+    scored = (
+        pw.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "run_id")
+        .agg(F.sum("w_score").cast("bigint").alias("score_scaled"))
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("phrase"))
+    return (
+        phrases.join(scored, ["doc_id", "run_id"])
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("phrase").alias("top_phrase"), "score_scaled", "n_words")
+    )
