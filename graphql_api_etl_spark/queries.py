@@ -2281,6 +2281,55 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       round(p.n / t.row_total, 4) AS p_transition
+FROM pairs p JOIN tot t USING (from_type)
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioural-modelling primitive under churn
+    prediction, next-action recommendation, and anomaly scoring
+    (improbable transition chains). One window pass builds the
+    (state, next-state) pair stream (lead over the per-user ordering,
+    ties broken by event_id so pairing is engine-exact), then two
+    integer aggregates; the row-normalized probability divides two
+    exact integers once at output, so the only float op is shared and
+    identical across engines. Scales as one shuffle on user_id plus
+    one on the (25-ish)-cell state-pair key."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 4).alias("p_transition"),
+    )
+
+
+@_q(
     "events_json_props",
     """
 SELECT event_type,
