@@ -4398,3 +4398,89 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("phrase").alias("top_phrase"), "score_scaled", "n_words")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t[u.i] AS w, t[u.i + 1] AS nxt
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cw FROM pos GROUP BY w
+), bi AS (
+  SELECT w AS w1, nxt AS w2, CAST(count(*) AS BIGINT) AS cb
+  FROM pos WHERE nxt IS NOT NULL GROUP BY w, nxt
+), n AS (
+  SELECT sum(cb) AS total FROM bi
+), scored AS (
+  SELECT b.w1, b.w2, b.cb,
+         round(ln((CAST(b.cb AS DOUBLE) * CAST(n.total AS DOUBLE)) / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 4) AS pmi
+  FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, n
+  WHERE b.cb >= 5
+)
+SELECT w1, w2, cb, pmi,
+       CAST(row_number() OVER (ORDER BY cb DESC, w1, w2) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 25
+"""
+
+
+@_q("text_pmi_collocations", _PMI_SQL)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations — the corpus
+    statistic under phrase mining and tokenizer-merge candidates
+    (high-PMI adjacent pairs are what BPE merges first). Adjacency
+    pairs come from one positional self-zip of the token array (array
+    index arithmetic, zero join), then two integer aggregates; PMI's
+    single float expression is computed identically in both engines
+    and is an OUTPUT, never an ordering key — ranking is by the exact
+    integer pair count with lexicographic tie-breaks, so top-k
+    membership can't flip on ulp noise. min-count 5 is the standard
+    sparse-PMI guard (one-off pairs otherwise dominate the top)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    pairs = toks.select(
+        F.posexplode("t").alias("i", "w1"),
+        F.col("t"),
+    ).select("w1", F.expr("get(t, i + 1)").alias("w2"))  # NULL past the end
+    uni = (
+        pairs.groupBy(F.col("w1").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    bi_all = (
+        pairs.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    # normalizer is the FULL bigram mass — computed before the
+    # min-count guard trims the sparse tail
+    total = bi_all.agg(F.sum("cb").alias("total"))
+    bi = bi_all.filter(F.col("cb") >= 5)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "cb",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") * F.col("total").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 25)
+        .select("w1", "w2", "cb", "pmi", "rk")
+    )
