@@ -6734,3 +6734,115 @@ def a_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("orders_per_customer_micro"),
     )
+
+
+@_q(
+    "a_kmv_distinct_sketch",
+    """
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k_eff, CAST(max(h) AS BIGINT) AS kth_hash
+  FROM sk GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+),
+mr AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sk)
+),
+uper AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_eff, CAST(max(h) AS BIGINT) AS kth_hash
+  FROM mr WHERE rn <= 64
+),
+uex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT event_type, n_exact, k_eff, kth_hash,
+       CAST(CASE WHEN k_eff < 64 THEN k_eff
+                 ELSE (CAST(63 AS BIGINT) * 268435456) // kth_hash END AS BIGINT) AS est_distinct
+FROM per JOIN ex USING (event_type)
+UNION ALL
+SELECT '__union__' AS event_type, uex.n_exact, uper.k_eff, uper.kth_hash,
+       CAST(CASE WHEN uper.k_eff < 64 THEN uper.k_eff
+                 ELSE (CAST(63 AS BIGINT) * 268435456) // uper.kth_hash END AS BIGINT) AS est_distinct
+FROM uper CROSS JOIN uex
+""",
+)
+def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    PLUS the merged union sketch — the mergeable-cardinality primitive
+    behind theta sketches: keep only the k smallest hash values of a
+    key; the k-th smallest normalized hash estimates density, so
+    distinct ≈ (k−1)/h_(k). Because min-of-mins composes, the union of
+    per-segment sketches IS the sketch of the union — the '__union__'
+    row is derived from the per-segment sketch ROWS alone, never a
+    second pass over the input, which is what makes sketch rollups
+    (per-hour → per-day → per-month distincts) O(k) per cell at 100 TB
+    where exact COUNT(DISTINCT) re-shuffles the world each time.
+
+    Determinism: the md5-prefix 28-bit hash is the engine-portable
+    uniform every sampler entry uses; the estimate
+    (k−1)·2²⁸ // h_(k) is a BIGINT division of exact integers, and
+    small groups (k_eff < k) degrade to the exact count (the sketch
+    holds every value). Exact n_exact per group is kept alongside so
+    the error is visible in the output.
+
+    Plan: one distinct shuffle to (type, hash) grain, a per-type
+    window over DISTINCT-HASH grain (value grain, not input grain —
+    at cluster scale swap for a partial top-k aggregate, the same
+    two-phase shape a_two_phase_agg demonstrates), then dim-sized
+    aggregates; the union sketch reads the ≤ k·|types| sketch rows."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+    )
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    sk = (
+        dh.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "h")
+    )
+    per = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = (
+        F.when(F.col("k_eff") < 64, F.col("k_eff"))
+        .otherwise(F.expr("(CAST(63 AS BIGINT) * 268435456) div kth_hash"))
+        .cast("bigint")
+        .alias("est_distinct")
+    )
+    seg = per.join(ex, "event_type").select(
+        "event_type", "n_exact", "k_eff", "kth_hash", est
+    )
+    uper = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") <= 64)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+            F.max("h").cast("bigint").alias("kth_hash"),
+        )
+    )
+    uex = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    union_row = uper.crossJoin(uex).select(
+        F.lit("__union__").alias("event_type"), "n_exact", "k_eff", "kth_hash", est
+    )
+    return seg.unionByName(union_row)
