@@ -6846,3 +6846,104 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__union__").alias("event_type"), "n_exact", "k_eff", "kth_hash", est
     )
     return seg.unionByName(union_row)
+
+
+@_q(
+    "a_hll_registers",
+    """
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM events
+),
+b AS (
+  SELECT event_type, h // 1048576 AS bucket, h % 1048576 AS w FROM dh
+),
+r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS m
+  FROM b GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << (21 - m)) AS BIGINT) AS z_present,
+         CAST(max(m) AS BIGINT) AS max_register
+  FROM r GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       CAST(256 - n_present AS BIGINT) AS n_zero_registers,
+       max_register,
+       CAST(z_present + (256 - n_present) * 2097152 AS BIGINT) AS z_scaled,
+       CAST((CAST(718273 AS BIGINT) * 65536 * 2097152)
+            // ((z_present + (256 - n_present) * 2097152) * 1000000)
+            AS BIGINT) AS est_raw
+FROM agg JOIN ex USING (event_type)
+""",
+)
+def a_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register construction per event type, computed
+    engine-portably and INTEGER-EXACT end to end: the 28-bit
+    md5-prefix hash splits into an 8-bit bucket (m = 256 registers)
+    and a 20-bit tail whose leading-zero rank ρ = 21 − bit_length(w)
+    (bin() is the engine-portable bit_length: both engines render
+    integers without leading zeros); each register keeps max ρ. The
+    harmonic denominator Σ 2^−M_j is held as the exact BIGINT
+    Σ 2^(21−M_j) (absent registers contribute 2²¹), and the raw
+    estimate α₂₅₆·m²/Z uses α₂₅₆ ≈ 0.718273 as a ×1e6 integer so the
+    division is a BIGINT // BIGINT both engines agree on to the last
+    digit. n_exact sits alongside to make the error visible; the
+    linear-counting small-range correction (m·ln(m/V) when zeros
+    remain) is deliberately omitted — it would put a transcendental
+    float between the engines — and the inputs it needs
+    (n_zero_registers) are in the output.
+
+    Where KMV (a_kmv_distinct_sketch) keeps k values, HLL keeps 256
+    six-bit registers — the fixed-width mergeable sketch used for
+    billions of distinct keys; registers merge by elementwise max, so
+    the same rollup algebra applies. Plan: one distinct shuffle to
+    (type, hash) grain, partial-aggregated max per (type, bucket) —
+    never a window — then a 256-row-per-type rollup."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+    )
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    b = dh.select(
+        "event_type",
+        F.expr("h div 1048576").alias("bucket"),
+        (F.col("h") % 1048576).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(21)).otherwise(
+        F.lit(21) - F.length(F.bin(F.col("w")))
+    )
+    r = b.groupBy("event_type", "bucket").agg(F.max(rho).alias("m"))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 21 - m)"))
+        .cast("bigint")
+        .alias("z_present"),
+        F.max("m").cast("bigint").alias("max_register"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    z_scaled = (F.col("z_present") + (256 - F.col("n_present")) * 2097152).cast("bigint")
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        (256 - F.col("n_present")).cast("bigint").alias("n_zero_registers"),
+        "max_register",
+        z_scaled.alias("z_scaled"),
+        F.expr(
+            "(CAST(718273 AS BIGINT) * 65536 * 2097152)"
+            " div ((z_present + (256 - n_present) * 2097152) * 1000000)"
+        )
+        .cast("bigint")
+        .alias("est_raw"),
+    )
