@@ -6947,3 +6947,115 @@ def a_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_raw"),
     )
+
+
+@_q(
+    "a_mannwhitney_u",
+    """
+WITH v AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS arm,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS (
+  SELECT cents,
+         CAST(count(*) FILTER (WHERE arm = 'A') AS BIGINT) AS na_c,
+         CAST(count(*) AS BIGINT) AS t
+  FROM v GROUP BY cents
+),
+r AS (
+  SELECT na_c, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(na_c) AS BIGINT) AS n_a,
+         CAST(sum(t - na_c) AS BIGINT) AS n_b,
+         CAST(sum(na_c * (2 * cumb + t + 1)) AS BIGINT) AS r2_a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes
+  FROM r
+)
+SELECT n_a, n_b,
+       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       tie_cubes,
+       CAST(floor((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+            / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+               * ((n_a + n_b + 1)
+                  - CAST(tie_cubes AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))))
+            * 10000) AS BIGINT) AS z_tenthousandths
+FROM s
+""",
+)
+def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on order value between two market
+    segments — the NONPARAMETRIC two-sample test next to
+    a_ab_test_ztest's Welch z: it compares distributions by rank, so
+    heavy tails and outliers (which order totals have) can't swamp
+    it. Everything rank-related is exact: grouping to the VALUE GRAIN
+    first (one shuffle to distinct cents with per-arm counts) makes
+    tied ranks a per-group constant, and doubling the average-rank
+    identity (2·rank̄ = 2·cum_before + t + 1) keeps the rank sum, U
+    statistic (u2_a = 2·U_A), and the tie-correction term Σ(t³−t)
+    BIGINTs that both engines agree on exactly. Only the final
+    normal-approximation z touches doubles — one identical
+    expression tree over exact integers, fixed-pointed on output
+    (the a_ab_test_ztest convention).
+
+    Plan: broadcast dim join, one partial-aggregated shuffle to cents
+    grain, one running window over the value-grain frame (range-
+    partition the cum-sum at cluster scale), then a scalar reduce."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    v = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", "A").otherwise("B").alias("arm"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("na_c"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    wb = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "na_c", "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("bigint").alias("cumb"),
+    )
+    s = r.agg(
+        F.sum("na_c").cast("bigint").alias("n_a"),
+        F.sum(F.col("t") - F.col("na_c")).cast("bigint").alias("n_b"),
+        F.sum(F.col("na_c") * (2 * F.col("cumb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    u2_a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    zval = (
+        u2_a.cast("double") - F.col("n_a").cast("double") * F.col("n_b")
+    ) / (
+        2.0
+        * F.sqrt(
+            F.col("n_a").cast("double") * F.col("n_b") / 12.0
+            * (
+                (F.col("n_a") + F.col("n_b") + 1)
+                - F.col("tie_cubes").cast("double")
+                / (
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    * (F.col("n_a") + F.col("n_b") - 1)
+                )
+            )
+        )
+    )
+    return s.select(
+        "n_a", "n_b",
+        u2_a.cast("bigint").alias("u2_a"),
+        "tie_cubes",
+        F.floor(zval * 10000).cast("bigint").alias("z_tenthousandths"),
+    )
