@@ -7059,3 +7059,105 @@ def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_cubes",
         F.floor(zval * 10000).cast("bigint").alias("z_tenthousandths"),
     )
+
+
+@_q(
+    "a_gini_concentration",
+    """
+WITH rev AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS dollars
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+idx AS (
+  SELECT segment, dollars,
+         CAST(row_number() OVER (PARTITION BY segment
+              ORDER BY dollars, o_custkey) AS BIGINT) AS i
+  FROM rev
+),
+s AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dollars) AS BIGINT) AS total,
+         CAST(sum(i * dollars) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN i > n2.n - n2.n // 10 THEN dollars ELSE 0 END) AS BIGINT) AS top10
+  FROM idx JOIN (SELECT segment AS seg2, CAST(count(*) AS BIGINT) AS n
+                 FROM rev GROUP BY segment) n2
+    ON idx.segment = n2.seg2
+  GROUP BY segment
+)
+SELECT segment, n AS n_customers, total AS total_dollars,
+       CAST(floor(1000000.0 * (2.0 * s1 - (CAST(n AS DOUBLE) + 1) * total)
+            / (CAST(n AS DOUBLE) * total)) AS BIGINT) AS gini_micro,
+       CAST((1000000 * top10) // total AS BIGINT) AS top10_share_micro
+FROM s
+""",
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile per market segment: the Gini
+    coefficient from the sorted-index identity
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) plus the top-decile revenue
+    share — the inequality KPIs behind a_abc_pareto's class bands.
+    Customers reduce to (segment, customer) revenue first (one
+    partial-aggregated shuffle), so the ranking window runs over
+    CUSTOMER grain, never orders; the rank index is pinned by the
+    total order (dollars, custkey), making Σ i·xᵢ a deterministic
+    exact BIGINT on any partitioning. The final ratios divide exact
+    integers small enough to be double-exact (< 2⁵³) with one
+    identical expression tree per engine — the (2·S1 − (n+1)·S)
+    numerator stays integral until the last division, and the decile
+    share is a pure BIGINT division. Whole dollars, not cents, keep
+    Σ i·xᵢ comfortably in BIGINT range at any plausible segment size.
+
+    Plan: broadcast dim join, revenue rollup shuffle, per-segment
+    window + count join (broadcast at segment-dim size), one final
+    partial-aggregated rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    idx = rev.withColumn(
+        "i",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("dollars", "o_custkey"))
+        .cast("bigint"),
+    )
+    n2 = rev.groupBy(F.col("segment").alias("seg2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = (
+        idx.join(F.broadcast(n2), F.col("segment") == F.col("seg2"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dollars").cast("bigint").alias("total"),
+            F.sum(F.col("i") * F.col("dollars")).cast("bigint").alias("s1"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("n div 10"), F.col("dollars")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top10"),
+        )
+    )
+    gini = F.floor(
+        1000000.0
+        * (2.0 * F.col("s1") - (F.col("n").cast("double") + 1) * F.col("total"))
+        / (F.col("n").cast("double") * F.col("total"))
+    ).cast("bigint")
+    return s.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_dollars"),
+        gini.alias("gini_micro"),
+        F.expr("(1000000 * top10) div total").cast("bigint").alias("top10_share_micro"),
+    )
