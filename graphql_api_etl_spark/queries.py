@@ -7161,3 +7161,99 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini.alias("gini_micro"),
         F.expr("(1000000 * top10) div total").cast("bigint").alias("top10_share_micro"),
     )
+
+
+@_q(
+    "dq_functional_deps",
+    """
+WITH cands AS (
+  SELECT 'customer.c_custkey->c_mktsegment' AS fd, c_custkey AS x,
+         c_mktsegment AS y FROM customer
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority', CAST(o_custkey AS BIGINT),
+         o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->l_returnflag', CAST(l_orderkey AS BIGINT),
+         l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'events.user_id->event_type', CAST(user_id AS BIGINT),
+         event_type FROM events
+),
+per_key AS (
+  SELECT fd, x, CAST(count(DISTINCT y) AS BIGINT) AS d
+  FROM cands GROUP BY fd, x
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(d) AS BIGINT) AS max_rhs,
+       sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+       CAST((1000000 * sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS violation_micro
+FROM per_key GROUP BY fd
+""",
+)
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (X → Y candidate checks) — the
+    schema-discovery companion to dq_expectations: for each declared
+    candidate it reports how many left-hand keys exist, how many
+    VIOLATE the dependency (more than one distinct Y), the worst
+    fan-out, and the violation rate as a ×1e6 integer. One candidate
+    is a true key dependency (customer), the rest quantify real
+    fan-outs — exactly the report a pipeline uses to pick join keys,
+    validate dimensional conformance, and catch silent grain drift
+    after an upstream change.
+
+    Shape: all candidates stack into ONE tall (fd, x, y) relation so
+    a single groupBy pipeline profiles them together — adding a
+    candidate is a row constructor, not a new plan; per-candidate
+    scans stay column-pruned (each SELECT reads two columns). Two
+    partial-aggregated shuffles: (fd, x) distinct-Y counts, then the
+    per-fd rollup. Exact integers throughout."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    cands = (
+        c.select(
+            F.lit("customer.c_custkey->c_mktsegment").alias("fd"),
+            F.col("c_custkey").cast("bigint").alias("x"),
+            F.col("c_mktsegment").alias("y"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("orders.o_custkey->o_orderpriority").alias("fd"),
+                F.col("o_custkey").cast("bigint").alias("x"),
+                F.col("o_orderpriority").alias("y"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.l_orderkey->l_returnflag").alias("fd"),
+                F.col("l_orderkey").cast("bigint").alias("x"),
+                F.col("l_returnflag").alias("y"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events.user_id->event_type").alias("fd"),
+                F.col("user_id").cast("bigint").alias("x"),
+                F.col("event_type").alias("y"),
+            )
+        )
+    )
+    per_key = cands.groupBy("fd", "x").agg(
+        F.countDistinct("y").cast("bigint").alias("d")
+    )
+    viol = F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+    return per_key.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        viol.cast("bigint").alias("n_violating"),
+        F.max("d").cast("bigint").alias("max_rhs"),
+        (viol == 0).alias("holds"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)) div count(*)"
+        )
+        .cast("bigint")
+        .alias("violation_micro"),
+    )
