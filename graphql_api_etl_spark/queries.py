@@ -7257,3 +7257,135 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("violation_micro"),
     )
+
+
+@_q(
+    "a_poisson_bootstrap_ci",
+    """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+drawn AS (
+  SELECT b, cents,
+         CAST('0x' || substr(md5(CAST(okey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7)
+              AS BIGINT) AS u
+  FROM base CROSS JOIN (SELECT unnest(range(40)) AS b)
+),
+w AS (
+  SELECT b, cents,
+         CASE WHEN u < 98751885 THEN 0 WHEN u < 197503771 THEN 1
+              WHEN u < 246879713 THEN 2 WHEN u < 263338361 THEN 3
+              WHEN u < 267453023 THEN 4 WHEN u < 268275955 THEN 5
+              WHEN u < 268413111 THEN 6 ELSE 7 END AS k
+  FROM drawn
+),
+rep AS (
+  SELECT b, CAST(sum(k) AS BIGINT) AS n_b, CAST(sum(k * cents) AS BIGINT) AS s_b
+  FROM w GROUP BY b
+),
+rr AS (
+  SELECT CAST(s_b AS DOUBLE) / n_b AS mean_b,
+         row_number() OVER (ORDER BY CAST(s_b AS DOUBLE) / n_b) AS rk
+  FROM rep
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS s FROM base
+)
+SELECT 40 AS n_replicates, n_rows,
+       CAST(floor(CAST(s AS DOUBLE) / n_rows) AS BIGINT) AS mean_cents,
+       CAST(floor(max(CASE WHEN rk = 2 THEN mean_b END)) AS BIGINT) AS ci_lo_cents,
+       CAST(floor(max(CASE WHEN rk = 39 THEN mean_b END)) AS BIGINT) AS ci_hi_cents
+FROM rr CROSS JOIN pt
+GROUP BY n_rows, s
+""",
+)
+def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value
+    — THE bootstrap that works on a cluster: classical resampling
+    needs n draws from a dataset no worker holds, but Poisson(1)
+    draw-counts per (row, replicate) are independent, so each row
+    computes its own 40 replicate weights in a single streaming pass
+    (no global state, no sampling shuffle) and the replicate means
+    drop out of one partial-aggregated groupBy. Draw counts come from
+    the md5 uniform pushed through the Poisson(1) inverse CDF as
+    PRECOMPUTED integer thresholds on the 28-bit hash — the CDF is
+    frozen into the query text, so both engines make the IDENTICAL
+    draws (no rand(), no seed drift) and every weighted sum is an
+    exact BIGINT. The 95% interval takes the 2nd/39th ordered
+    replicate means; doubles appear only in that final per-replicate
+    division, identical expression tree both engines.
+
+    Plan: map-only weight expansion (40× rows, but k·cents folds into
+    the partial aggregate immediately — no materialized blowup), one
+    40-row shuffle, a 40-row window, a scalar point estimate."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    drawn = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
+        F.col("okey"),
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("okey"), F.col("b"))), 1, 7
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    k = (
+        F.when(F.col("u") < 98751885, 0)
+        .when(F.col("u") < 197503771, 1)
+        .when(F.col("u") < 246879713, 2)
+        .when(F.col("u") < 263338361, 3)
+        .when(F.col("u") < 267453023, 4)
+        .when(F.col("u") < 268275955, 5)
+        .when(F.col("u") < 268413111, 6)
+        .otherwise(7)
+    )
+    rep = (
+        drawn.select("b", "cents", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_b"),
+            F.sum(F.col("k") * F.col("cents")).cast("bigint").alias("s_b"),
+        )
+    )
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    rr = rep.select(mean_b.alias("mean_b")).withColumn(
+        "rk", F.row_number().over(W.orderBy("mean_b"))
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    return (
+        rr.crossJoin(pt)
+        .groupBy("n_rows", "s")
+        .agg(
+            F.floor(F.max(F.when(F.col("rk") == 2, F.col("mean_b"))))
+            .cast("bigint")
+            .alias("ci_lo_cents"),
+            F.floor(F.max(F.when(F.col("rk") == 39, F.col("mean_b"))))
+            .cast("bigint")
+            .alias("ci_hi_cents"),
+        )
+        .select(
+            F.lit(40).alias("n_replicates"),
+            "n_rows",
+            F.floor(F.col("s").cast("double") / F.col("n_rows"))
+            .cast("bigint")
+            .alias("mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
