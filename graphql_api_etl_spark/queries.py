@@ -7389,3 +7389,126 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@_q(
+    "dq_psi_drift",
+    """
+WITH e AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT min(es) AS mn_es, max(es) AS mx_es,
+         min(cents) AS mn_c, max(cents) AS mx_c
+  FROM e
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN 2 * es < mn_es + mx_es THEN 'ref' ELSE 'cur' END AS half,
+         CAST(least(9, ((cents - mn_c) * 10) // (mx_c - mn_c + 1)) AS BIGINT) AS bin
+  FROM e CROSS JOIN g
+),
+cnt AS (
+  SELECT event_type, bin,
+         CAST(count(*) FILTER (WHERE half = 'ref') AS BIGINT) AS r_n,
+         CAST(count(*) FILTER (WHERE half = 'cur') AS BIGINT) AS c_n
+  FROM b GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(r_n) AS BIGINT) AS r_tot, CAST(sum(c_n) AS BIGINT) AS c_tot
+  FROM cnt GROUP BY event_type
+),
+term AS (
+  SELECT cnt.event_type, r_tot, c_tot,
+         CAST(floor(1000000.0
+           * ((CAST(r_n + 1 AS DOUBLE) / (r_tot + 10))
+              - (CAST(c_n + 1 AS DOUBLE) / (c_tot + 10)))
+           * ln((CAST(r_n + 1 AS DOUBLE) / (r_tot + 10))
+                / (CAST(c_n + 1 AS DOUBLE) / (c_tot + 10)))) AS BIGINT) AS psi_term
+  FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+)
+SELECT event_type, r_tot AS n_reference, c_tot AS n_current,
+       CAST(sum(psi_term) AS BIGINT) AS psi_micro,
+       sum(psi_term) >= 100000 AS drifted
+FROM term GROUP BY event_type, r_tot, c_tot
+""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the earlier
+    and later half of the event stream — the standard production
+    drift monitor for a feature/metric distribution (PSI ≥ 0.1 =
+    "investigate", frozen here as the ×1e6 integer gate ≥ 100000).
+    Values bin into ten equal-width buckets over the GLOBAL range
+    (integer arithmetic, so bin edges are identical on any engine and
+    any partitioning — reference-decile edges would drag percentile
+    interpolation differences in), halves split on the integer epoch
+    midpoint, and bins are Laplace-smoothed (+1/+10) so empty cells
+    can't produce ln(0). Following the BM25 convention, each BIN's
+    PSI term is fixed-pointed to micro units BEFORE the per-type sum
+    — the reported PSI is an exact BIGINT sum, immune to float
+    summation order; ln() ulps would need a term within ~1e-9 of an
+    integer boundary to flip a floor.
+
+    Plan: one scan, a broadcast 1-row stats frame, one
+    partial-aggregated shuffle to (type, bin) with FILTER pivots for
+    the two halves, then bin-grain arithmetic. At 100 TB this is the
+    shape you run hourly over every (metric, segment) pair at once —
+    the tall-relation trick dq_functional_deps uses composes here."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = e.agg(
+        F.min("es").alias("mn_es"), F.max("es").alias("mx_es"),
+        F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c"),
+    )
+    b = e.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.when(2 * F.col("es") < F.col("mn_es") + F.col("mx_es"), "ref")
+        .otherwise("cur")
+        .alias("half"),
+        F.least(
+            F.lit(9),
+            F.expr("((cents - mn_c) * 10) div (mx_c - mn_c + 1)"),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cnt = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_n"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_n"),
+    )
+    tot = cnt.groupBy(F.col("event_type").alias("et2")).agg(
+        F.sum("r_n").cast("bigint").alias("r_tot"),
+        F.sum("c_n").cast("bigint").alias("c_tot"),
+    )
+    p = (F.col("r_n") + 1).cast("double") / (F.col("r_tot") + 10)
+    q = (F.col("c_n") + 1).cast("double") / (F.col("c_tot") + 10)
+    term = (
+        cnt.join(F.broadcast(tot), F.col("event_type") == F.col("et2"))
+        .select(
+            "event_type", "r_tot", "c_tot",
+            F.floor(1000000.0 * (p - q) * F.log(p / q))
+            .cast("bigint")
+            .alias("psi_term"),
+        )
+    )
+    return term.groupBy("event_type", "r_tot", "c_tot").agg(
+        F.sum("psi_term").cast("bigint").alias("psi_micro"),
+        (F.sum("psi_term") >= 100000).alias("drifted"),
+    ).select(
+        "event_type",
+        F.col("r_tot").alias("n_reference"),
+        F.col("c_tot").alias("n_current"),
+        "psi_micro",
+        "drifted",
+    )
