@@ -582,3 +582,109 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("node").cast("bigint").alias("min_node"),
     ).select(F.col("label").cast("bigint").alias("community"), "n_members", "min_node")
+
+
+_ASSORT_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+p AS (
+  SELECT du.d AS j, dv.d AS k
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(j) AS BIGINT) AS sj,
+         CAST(sum(j * j) AS BIGINT) AS sj2,
+         CAST(sum(j * k) AS BIGINT) AS sjk
+  FROM p
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges, sj, sj2, sjk,
+       CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+            / (CAST(n AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj)) AS BIGINT)
+         AS assortativity_micro
+FROM s
+"""
+
+
+@_q("graph_degree_assortativity", _ASSORT_SQL)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the urgent co-purchase part graph
+    (graph_triangle_count's edge set): the Pearson correlation of
+    endpoint degrees, answering "do hubs connect to hubs?" — the
+    shape statistic that decides whether skew mitigation (salting,
+    two-phase aggs) will be needed on downstream graph joins.
+    Listing every edge in BOTH orientations makes Σj = Σk and
+    Σj² = Σk², which collapses Newman's formula to the sqrt-free
+    rational (n·Σjk − Σj²ᵗᵒᵗ)/(n·Σj² − Σj²ᵗᵒᵗ): all four moments are
+    exact BIGINTs (< 2⁵³, so the one double division at the end is
+    computed from exactly represented integers on both engines).
+
+    Plan: the degree frame is node-dim sized and broadcast onto the
+    edge list twice; moments partial-aggregate map-side; nothing
+    larger than 2|E| rows is ever shuffled."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dj"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dk"))
+    joined = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    p = joined.select(F.col("dj").alias("j"), F.col("dk").alias("k")).unionAll(
+        joined.select(F.col("dk").alias("j"), F.col("dj").alias("k"))
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sj2"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+    )
+    r = (
+        F.col("n").cast("double") * F.col("sjk")
+        - F.col("sj").cast("double") * F.col("sj")
+    ) / (
+        F.col("n").cast("double") * F.col("sj2")
+        - F.col("sj").cast("double") * F.col("sj")
+    )
+    return s.select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        "sj", "sj2", "sjk",
+        F.floor(1000000.0 * r).cast("bigint").alias("assortativity_micro"),
+    )
