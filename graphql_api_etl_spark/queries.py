@@ -7512,3 +7512,89 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_micro",
         "drifted",
     )
+
+
+@_q(
+    "a_ks_two_sample",
+    """
+WITH v AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS arm,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+g AS (
+  SELECT cents,
+         CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS a_n,
+         CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS b_n
+  FROM v GROUP BY cents
+),
+c AS (
+  SELECT CAST(sum(a_n) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(b_n) OVER w AS BIGINT) AS cum_b,
+         CAST(sum(a_n) OVER () AS BIGINT) AS n_a,
+         CAST(sum(b_n) OVER () AS BIGINT) AS n_b
+  FROM g
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT n_a, n_b,
+         CAST(max(abs(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num
+  FROM c GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, d_num,
+       CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT) AS d_micro,
+       CAST(d_num AS DOUBLE)
+         > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) * n_a * n_b) AS significant
+FROM s
+""",
+)
+def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on order value between
+    urgent and low-priority orders — the distribution-SHAPE test that
+    completes the stats family (a_ab_test_ztest: means;
+    a_mannwhitney_u: stochastic dominance; KS: any difference
+    anywhere in the CDF). The statistic is EXACT, no approximation at
+    all: on the merged value grain, sup|F̂_a − F̂_b| cross-multiplies
+    to max|n_b·cumA − n_a·cumB| — a BIGINT over value-grain running
+    sums, so d_micro is engine-identical by construction. The only
+    double is the α=0.05 threshold c·√((n_a+n_b)·n_a·n_b) (c=1.358),
+    computed from exact integers < 2⁵³ by one identical expression.
+
+    Plan: one partial-aggregated shuffle to cents grain with FILTER
+    pivots, one running window over the value-grain frame
+    (range-partitionable at scale), then a scalar max — the same
+    value-grain discipline as a_weighted_median: the fact table is
+    never windowed."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("arm"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("bigint").alias("a_n"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("bigint").alias("b_n"),
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = g.select(
+        F.sum("a_n").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("b_n").over(wc).cast("bigint").alias("cum_b"),
+        F.sum("a_n").over(wall).cast("bigint").alias("n_a"),
+        F.sum("b_n").over(wall).cast("bigint").alias("n_b"),
+    )
+    s = c.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b"))
+        )
+        .cast("bigint")
+        .alias("d_num")
+    )
+    return s.select(
+        "n_a", "n_b", "d_num",
+        F.expr("(1000000 * d_num) div (n_a * n_b)").cast("bigint").alias("d_micro"),
+        (
+            F.col("d_num").cast("double")
+            > 1.358
+            * F.sqrt((F.col("n_a") + F.col("n_b")).cast("double") * F.col("n_a") * F.col("n_b"))
+        ).alias("significant"),
+    )
