@@ -7598,3 +7598,79 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt((F.col("n_a") + F.col("n_b")).cast("double") * F.col("n_a") * F.col("n_b"))
         ).alias("significant"),
     )
+
+
+@_q(
+    "events_theilsen_trend",
+    """
+WITH d AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(floor(1000000.0 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS slope_micro,
+         a.x AS xi, b.x AS xj
+  FROM d a JOIN d b ON a.x < b.x
+),
+r AS (
+  SELECT slope_micro,
+         row_number() OVER (ORDER BY slope_micro, xi, xj) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS np
+  FROM p
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       CAST(max(np) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN rk = (np + 1) // 2 THEN slope_micro END) AS BIGINT)
+         AS ts_slope_micro
+FROM r
+""",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the median of
+    all pairwise day-to-day slopes — the trend estimator that
+    tolerates up to ~29% arbitrarily corrupted days, where the OLS
+    slope (a_group_ols) is dragged by a single outage or backfill
+    spike. Day gaps use true epoch-day distance, not row index.
+
+    Slopes are fixed-pointed by flooring an exactly-representable
+    double ratio (1e6·Δy < 2⁵³) — deliberately NOT integer division,
+    whose semantics diverge between engines on NEGATIVE numerators
+    (DuckDB // floors, Spark div truncates toward zero); floor() is
+    the one form both agree on for either sign. The median picks the
+    lower-median rank under a pinned total order (slope, xi, xj).
+
+    Plan: one partial-aggregated shuffle to DAY grain (the O(n²)
+    pair join runs over ~730 day rows, never events — ~266 k pairs
+    at any corpus size, constant in event volume), one sort-rank
+    window over the pair frame, one scalar reduce."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 86400").alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.floor(
+            1000000.0
+            * (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = p.select(
+        "slope_micro",
+        F.row_number().over(W.orderBy("slope_micro", "xi", "xj")).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("np"),
+    )
+    n_days = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med = r.agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"), F.col("slope_micro")))
+        .cast("bigint")
+        .alias("ts_slope_micro"),
+    )
+    return n_days.crossJoin(med).select("n_days", "n_pairs", "ts_slope_micro")
