@@ -4484,3 +4484,92 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .select("w1", "w2", "cb", "pmi", "rk")
     )
+
+
+@_q(
+    "text_word_burstiness",
+    r"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+wc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+w AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM wc GROUP BY tok
+),
+s AS (
+  SELECT tok, df, total,
+         CAST(floor(1000000.0 * (CAST(n_docs AS DOUBLE) * sumsq - CAST(total AS DOUBLE) * total)
+              / (CAST(n_docs AS DOUBLE) * total)) AS BIGINT) AS vmr_micro
+  FROM w CROSS JOIN nd
+  WHERE total >= 50
+)
+SELECT tok, df, total, vmr_micro,
+       row_number() OVER (ORDER BY vmr_micro DESC, tok) AS rk
+FROM s
+ORDER BY vmr_micro DESC, tok
+LIMIT 20
+""",
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: the variance-to-mean ratio (index of
+    dispersion) of each word's per-document count, top-20 among words
+    with corpus frequency ≥ 50 — the statistic that separates TOPICAL
+    words (bursty: absent from most documents, dense in a few) from
+    FUNCTION words (VMR ≈ uniform), which is the principled way to
+    build stopword lists and topical-keyword pools where raw
+    frequency (text_wordcount) and tf-idf conflate the two. Zero
+    cells never materialize: VMR = (N·Σc² − (Σc)²)/(N·Σc) needs only
+    per-PRESENT-document counts, so the moments come straight off the
+    (doc, word) count grain as exact BIGINTs; the single double
+    division is floored to micro units (both operands < 2⁵³).
+
+    Plan: explode → one partial-aggregated shuffle to (doc, word)
+    grain, one to word grain, a broadcast scalar N, then
+    TakeOrderedAndProject top-20 under the pinned (vmr, word) order
+    — the same two-shuffle skeleton as text_tfidf_topterms, no
+    window over anything larger than the surviving vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wc = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = wc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    s = (
+        w.crossJoin(F.broadcast(nd))
+        .filter(F.col("total") >= 50)
+        .select(
+            "tok", "df", "total",
+            F.floor(
+                1000000.0
+                * (
+                    F.col("n_docs").cast("double") * F.col("sumsq")
+                    - F.col("total").cast("double") * F.col("total")
+                )
+                / (F.col("n_docs").cast("double") * F.col("total"))
+            )
+            .cast("bigint")
+            .alias("vmr_micro"),
+        )
+    )
+    return (
+        s.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("vmr_micro"), F.asc("tok")))
+        )
+        .orderBy(F.desc("vmr_micro"), F.asc("tok"))
+        .limit(20)
+    )
