@@ -7674,3 +7674,95 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ts_slope_micro"),
     )
     return n_days.crossJoin(med).select("n_days", "n_pairs", "ts_slope_micro")
+
+
+@_q(
+    "events_attribution_credit",
+    """
+WITH conv AS (
+  SELECT event_id AS cid, user_id, CAST(epoch(ts) AS BIGINT) AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS tid, user_id, event_type AS channel,
+         CAST(epoch(ts) AS BIGINT) AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pair AS (
+  SELECT c.cid, t.channel, t.tts, t.tid
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND c.cts - t.tts BETWEEN 0 AND 604800
+),
+ranked AS (
+  SELECT cid, channel,
+         row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn_first,
+         row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn_last,
+         CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+  FROM pair
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touch_events,
+       CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+       CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+       CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_micro
+FROM ranked GROUP BY channel
+""",
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream:
+    view/click touches within a 7-day lookback of each purchase earn
+    credit under the three standard models at once — first-touch,
+    last-touch, and linear — per channel. Position models are window
+    ranks under pinned total orders ((ts, id) asc / desc, so
+    same-second touches break ties identically on any engine or
+    partitioning); linear credit is 10⁶ // n_touches per pair —
+    integer division of positives, summed as exact BIGINTs, which is
+    how the three models stay hash-identical while a float 1/n would
+    drift with summation order. Conversions with no touch in the
+    window simply contribute no pairs (orphan conversions are
+    events_funnel's concern).
+
+    Plan: both filtered scans prune to three columns; the user-key
+    join carries the 7-day predicate in the join condition so the
+    pair stream is lookback-bounded (per-user fan-out is
+    touches×conversions WITHIN A WEEK, not all history); windows run
+    per-conversion (small frames); one partial-aggregated rollup to
+    channel grain. Per-user skew is the one watch item at 100 TB —
+    the j_salted_skew_join treatment applies unchanged if a bot user
+    dominates."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_timestamp("ts").cast("bigint").alias("tts"),
+    )
+    pair = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("cts") - F.col("tts") >= 0)
+        & (F.col("cts") - F.col("tts") <= 604800),
+    ).select("cid", "channel", "tts", "tid")
+    wc = W.partitionBy("cid")
+    ranked = pair.select(
+        "cid", "channel",
+        F.row_number().over(wc.orderBy(F.asc("tts"), F.asc("tid"))).alias("rn_first"),
+        F.row_number().over(wc.orderBy(F.desc("tts"), F.desc("tid"))).alias("rn_last"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touch_events"),
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last_touch"),
+        F.sum(F.expr("1000000 div n")).cast("bigint").alias("linear_credit_micro"),
+    )
