@@ -4573,3 +4573,63 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr_micro"), F.asc("tok"))
         .limit(20)
     )
+
+
+def _langid_eval_sql() -> str:
+    """Confusion-matrix oracle sharing text_lang_id's exact scoring
+    text (same marker lists, same strictly-greater argmax fold), with
+    the gold ``lang`` column carried through the token CTE."""
+    profiles = list(TX.DEFAULT_LANG_PROFILES.items())
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + f"], x))) AS score_{name}"
+        for name, markers in profiles
+    )
+    guess, best = f"'{profiles[0][0]}'", f"score_{profiles[0][0]}"
+    for name, _ in profiles[1:]:
+        guess = f"CASE WHEN score_{name} > {best} THEN '{name}' ELSE {guess} END"
+        best = f"CASE WHEN score_{name} > {best} THEN score_{name} ELSE {best} END"
+    return (
+        r"WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t"
+        " FROM documents), "
+        f"scored AS (SELECT doc_id, lang, {score_cols} FROM toks), "
+        f"pred AS (SELECT lang AS gold, {guess} AS pred FROM scored) "
+        "SELECT gold, pred, CAST(count(*) AS BIGINT) AS n, "
+        "       CAST((1000000 * count(*)) // sum(count(*)) OVER (PARTITION BY gold)"
+        "            AS BIGINT) AS gold_share_micro, "
+        "       gold = pred AS correct "
+        "FROM pred GROUP BY gold, pred"
+    )
+
+
+@_q("text_langid_eval", _langid_eval_sql())
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality adjudication AS A QUERY (the
+    lsh_recall_eval / ann_recall_eval pattern applied to the text
+    family): the confusion matrix of text_lang_id's marker-argmax
+    guess against the corpus's gold ``lang`` label, with each cell's
+    within-gold share as a ×1e6 integer — per-class recall sits on
+    the diagonal, and every off-diagonal cell says exactly which
+    language pair the heuristic confuses and how often. This is the
+    eval a pipeline runs before trusting a classifier gate to filter
+    100 TB: the gate's error structure, measured on the same engine
+    and data as the gate itself.
+
+    Plan: one scan (the scoring is the same map-only expression tree
+    as text_lang_id), one partial-aggregated shuffle to the
+    |langs|² confusion grain, a window over that dim-sized frame."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = TX.with_lang_guess(docs).select(
+        F.col("lang").alias("gold"), F.col("lang_guess").alias("pred")
+    )
+    cell = pred.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cell.select(
+        "gold", "pred", "n",
+        F.expr("(1000000 * n) div sum(n) OVER (PARTITION BY gold)")
+        .cast("bigint")
+        .alias("gold_share_micro"),
+        (F.col("gold") == F.col("pred")).alias("correct"),
+    )
