@@ -7766,3 +7766,147 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_last_touch"),
         F.sum(F.expr("1000000 div n")).cast("bigint").alias("linear_credit_micro"),
     )
+
+
+@_q(
+    "a_ab_cuped_adjust",
+    """
+WITH e AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT min(es) AS mn_es, max(es) AS mx_es FROM e),
+u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN 2 * es < mn_es + mx_es THEN cents ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN 2 * es >= mn_es + mx_es THEN cents ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM e CROSS JOIN g
+  GROUP BY user_id, mn_es, mx_es
+),
+m AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         max(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+         max(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+         max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         max(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+         max(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+         CAST(sum(n) AS BIGINT) AS n_t,
+         CAST(sum(sx) AS BIGINT) AS sx_t, CAST(sum(sy) AS BIGINT) AS sy_t,
+         CAST(sum(sxx) AS BIGINT) AS sxx_t, CAST(sum(syy) AS BIGINT) AS syy_t,
+         CAST(sum(sxy) AS BIGINT) AS sxy_t
+  FROM m
+),
+d AS (
+  SELECT n_a, n_b,
+         CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a AS diff_raw,
+         CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a AS dx,
+         (CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * sy_t / n_t)
+           / (CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * sx_t / n_t) AS theta,
+         (CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * sy_t / n_t)
+           * (CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * sy_t / n_t)
+           / ((CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * sx_t / n_t)
+              * (CAST(syy_t AS DOUBLE) - CAST(sy_t AS DOUBLE) * sy_t / n_t)) AS rho2
+  FROM w
+)
+SELECT n_a, n_b,
+       CAST(floor(diff_raw * 100) AS BIGINT) AS diff_raw_centicents,
+       CAST(floor((diff_raw - theta * dx) * 100) AS BIGINT) AS diff_cuped_centicents,
+       CAST(floor(theta * 1000000) AS BIGINT) AS theta_micro,
+       CAST(floor(rho2 * 1000000) AS BIGINT) AS var_reduction_micro
+FROM d
+""",
+)
+def a_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B read-out — the modern
+    experimentation workhorse a_ab_test_ztest feeds into: the
+    pre-period covariate X (each user's first-half spend) absorbs
+    between-user variance from the post-period metric Y via
+    Y − θ(X − X̄), θ = cov(X,Y)/var(X) POOLED across arms, cutting
+    required sample size by ρ² (reported as var_reduction_micro).
+    Assignment is the deterministic md5(user) % 2 arm split; halves
+    split on the integer epoch midpoint (the dq_psi_drift
+    convention), and users reduce to ONE (x, y) row each before any
+    moment is taken, so the six pooled moments (n, ΣX, ΣY, ΣX²,
+    ΣY², ΣXY) are exact BIGINTs on any partitioning. θ, the adjusted
+    diff, and ρ² are identical double expression trees over those
+    integers, fixed-pointed on output.
+
+    Plan: one scan with a broadcast scalar epoch frame, one
+    partial-aggregated shuffle to user grain, one to the 2-row arm
+    frame, the usual max-CASE pivot — constant-size tail. At 100 TB
+    the same plan scores every (metric, experiment) pair from one
+    user-grain pass, which is the entire point of CUPED."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = e.agg(F.min("es").alias("mn_es"), F.max("es").alias("mx_es"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    u = (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("user_id", "mn_es", "mx_es")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("es") < F.col("mn_es") + F.col("mx_es"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(2 * F.col("es") >= F.col("mn_es") + F.col("mx_es"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select("user_id", "x", "y", arm.alias("arm"))
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("A", "n").alias("n_a"), pick("A", "sx").alias("sx_a"), pick("A", "sy").alias("sy_a"),
+        pick("B", "n").alias("n_b"), pick("B", "sx").alias("sx_b"), pick("B", "sy").alias("sy_b"),
+        F.sum("n").cast("bigint").alias("n_t"),
+        F.sum("sx").cast("bigint").alias("sx_t"),
+        F.sum("sy").cast("bigint").alias("sy_t"),
+        F.sum("sxx").cast("bigint").alias("sxx_t"),
+        F.sum("syy").cast("bigint").alias("syy_t"),
+        F.sum("sxy").cast("bigint").alias("sxy_t"),
+    )
+    diff_raw = F.col("sy_b").cast("double") / F.col("n_b") - F.col("sy_a").cast("double") / F.col("n_a")
+    dx = F.col("sx_b").cast("double") / F.col("n_b") - F.col("sx_a").cast("double") / F.col("n_a")
+    cov = F.col("sxy_t").cast("double") - F.col("sx_t").cast("double") * F.col("sy_t") / F.col("n_t")
+    varx = F.col("sxx_t").cast("double") - F.col("sx_t").cast("double") * F.col("sx_t") / F.col("n_t")
+    vary = F.col("syy_t").cast("double") - F.col("sy_t").cast("double") * F.col("sy_t") / F.col("n_t")
+    theta = cov / varx
+    rho2 = cov * cov / (varx * vary)
+    return w.select(
+        "n_a", "n_b",
+        F.floor(diff_raw * 100).cast("bigint").alias("diff_raw_centicents"),
+        F.floor((diff_raw - theta * dx) * 100).cast("bigint").alias("diff_cuped_centicents"),
+        F.floor(theta * 1000000).cast("bigint").alias("theta_micro"),
+        F.floor(rho2 * 1000000).cast("bigint").alias("var_reduction_micro"),
+    )
