@@ -7910,3 +7910,73 @@ def a_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(theta * 1000000).cast("bigint").alias("theta_micro"),
         F.floor(rho2 * 1000000).cast("bigint").alias("var_reduction_micro"),
     )
+
+
+@_q(
+    "a_ab_power_analysis",
+    """
+WITH u AS (
+  SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM u
+),
+d AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+  FROM m
+)
+SELECT n AS n_users,
+       CAST(floor(mean) AS BIGINT) AS mean_cents,
+       CAST(floor(var) AS BIGINT) AS var_cents2,
+       CAST(ceil(15.6800 * var / (mean * 0.01 * (mean * 0.01))) AS BIGINT) AS n_per_arm_mde1,
+       CAST(ceil(15.6800 * var / (mean * 0.02 * (mean * 0.02))) AS BIGINT) AS n_per_arm_mde2,
+       CAST(ceil(15.6800 * var / (mean * 0.05 * (mean * 0.05))) AS BIGINT) AS n_per_arm_mde5
+FROM d
+""",
+)
+def a_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from measured variance — the
+    question asked BEFORE a_ab_test_ztest is run: how many users per
+    arm detect a 1%/2%/5% lift at α=0.05, power=0.80? The two-sample
+    formula n = 2(z_{α/2}+z_β)²·σ²/δ² with the z constants FROZEN
+    into the query text as 2·(1.96+0.84)² = 15.68 (no normal-inverse
+    between engines), σ² from the exact per-user (n, Σx, Σx²)
+    BIGINT moments, δ as the given fraction of the measured mean.
+    ceil() of an identical double tree both engines share; the three
+    MDE columns show the quadratic cost of precision directly.
+
+    Plan: one partial-aggregated shuffle to user grain, one to a
+    scalar moment row — the same two-shuffle stack as the metric
+    pipeline it gates, so it runs at metric cost on any corpus."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    def n_req(frac: float):
+        delta = mean * frac
+        return F.ceil(15.6800 * var / (delta * delta)).cast("bigint")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.floor(mean).cast("bigint").alias("mean_cents"),
+        F.floor(var).cast("bigint").alias("var_cents2"),
+        n_req(0.01).alias("n_per_arm_mde1"),
+        n_req(0.02).alias("n_per_arm_mde2"),
+        n_req(0.05).alias("n_per_arm_mde5"),
+    )
