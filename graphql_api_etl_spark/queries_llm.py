@@ -4633,3 +4633,120 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gold_share_micro"),
         (F.col("gold") == F.col("pred")).alias("correct"),
     )
+
+
+@_q(
+    "curate_gate_ablation",
+    r"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text), 4) AS digit_ratio,
+         CASE WHEN len(t) >= 2
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM toks
+),
+flags AS (
+  SELECT CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0 ELSE 1 END AS f_len,
+         CASE WHEN stopword_ratio >= 0.01 THEN 0 ELSE 1 END AS f_stop,
+         CASE WHEN digit_ratio <= 0.30 THEN 0 ELSE 1 END AS f_digit,
+         CASE WHEN dup_2gram_frac <= 0.20 THEN 0 ELSE 1 END AS f_rep
+  FROM f
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(f_len) AS BIGINT) AS nf_len,
+         CAST(sum(f_stop) AS BIGINT) AS nf_stop,
+         CAST(sum(f_digit) AS BIGINT) AS nf_digit,
+         CAST(sum(f_rep) AS BIGINT) AS nf_rep,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep = f_len AND f_len = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep = f_stop AND f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep = f_digit AND f_digit = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_digit,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep = f_rep AND f_rep = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_rep,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep >= 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_any,
+         CAST(sum(CASE WHEN f_len + f_stop + f_digit + f_rep = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exactly_one
+  FROM flags
+)
+SELECT 'length' AS gate, n_docs, nf_len AS n_fail, only_len AS n_fail_only,
+       CAST((1000000 * nf_len) // n_docs AS BIGINT) AS fail_micro FROM s
+UNION ALL
+SELECT 'stopword', n_docs, nf_stop, only_stop, CAST((1000000 * nf_stop) // n_docs AS BIGINT) FROM s
+UNION ALL
+SELECT 'digit', n_docs, nf_digit, only_digit, CAST((1000000 * nf_digit) // n_docs AS BIGINT) FROM s
+UNION ALL
+SELECT 'repetition', n_docs, nf_rep, only_rep, CAST((1000000 * nf_rep) // n_docs AS BIGINT) FROM s
+UNION ALL
+SELECT '__any__', n_docs, n_any, n_exactly_one, CAST((1000000 * n_any) // n_docs AS BIGINT) FROM s
+""",
+)
+def curate_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ablation report — the question a curation run
+    answers before committing a filter stack to 100 TB: what does
+    EACH gate reject, and what does it reject that NO OTHER gate
+    would catch (n_fail_only — a gate whose unique contribution is
+    ~0 is redundant; one that uniquely drops 5% deserves review
+    before it deletes a petabyte). Four standard gates (length
+    bounds, stopword floor, digit ceiling, duplicate-2-gram ceiling)
+    over the SAME rounded feature definitions as
+    curate_quality_logit, so the ablation describes exactly the
+    features the scoring model sees. The '__any__' row carries the
+    stack's total rejection and the exactly-one-gate count.
+
+    Plan: one scan computes all four flags map-only, one
+    partial-aggregated reduce to a single moment row, and the
+    five-row report is literal projections of that row — adding a
+    gate is one flag column, not a new pass."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = TX.with_repetition_stats(TX.with_quality_score(TX.with_text_stats(docs)))
+    f_len = F.when(F.col("n_tokens").between(20, 10000), 0).otherwise(1)
+    f_stop = F.when(F.col("stopword_ratio") >= 0.01, 0).otherwise(1)
+    f_digit = F.when(F.col("digit_ratio") <= 0.30, 0).otherwise(1)
+    f_rep = F.when(F.col("dup_2gram_frac") <= 0.20, 0).otherwise(1)
+    flags = feats.select(
+        f_len.alias("f_len"), f_stop.alias("f_stop"),
+        f_digit.alias("f_digit"), f_rep.alias("f_rep"),
+    ).withColumn("nf", F.col("f_len") + F.col("f_stop") + F.col("f_digit") + F.col("f_rep"))
+    def only(g: str):
+        return F.sum(
+            F.when((F.col("nf") == F.col(g)) & (F.col(g) == 1), 1).otherwise(0)
+        ).cast("bigint")
+    s = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_len").cast("bigint").alias("nf_len"),
+        F.sum("f_stop").cast("bigint").alias("nf_stop"),
+        F.sum("f_digit").cast("bigint").alias("nf_digit"),
+        F.sum("f_rep").cast("bigint").alias("nf_rep"),
+        only("f_len").alias("only_len"),
+        only("f_stop").alias("only_stop"),
+        only("f_digit").alias("only_digit"),
+        only("f_rep").alias("only_rep"),
+        F.sum(F.when(F.col("nf") >= 1, 1).otherwise(0)).cast("bigint").alias("n_any"),
+        F.sum(F.when(F.col("nf") == 1, 1).otherwise(0)).cast("bigint").alias("n_exactly_one"),
+    )
+    def row(gate: str, fail: str, fail_only: str):
+        return s.select(
+            F.lit(gate).alias("gate"),
+            "n_docs",
+            F.col(fail).alias("n_fail"),
+            F.col(fail_only).alias("n_fail_only"),
+            F.expr(f"(1000000 * {fail}) div n_docs").cast("bigint").alias("fail_micro"),
+        )
+    return (
+        row("length", "nf_len", "only_len")
+        .unionByName(row("stopword", "nf_stop", "only_stop"))
+        .unionByName(row("digit", "nf_digit", "only_digit"))
+        .unionByName(row("repetition", "nf_rep", "only_rep"))
+        .unionByName(row("__any__", "n_any", "n_exactly_one"))
+    )
