@@ -4750,3 +4750,79 @@ def curate_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("repetition", "nf_rep", "only_rep"))
         .unionByName(row("__any__", "n_any", "n_exactly_one"))
     )
+
+
+@_q(
+    "curate_ccnet_buckets",
+    r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+tot AS (SELECT sum(c) AS total FROM v),
+lp AS (SELECT word, ln(c / total) AS lp FROM v, tot),
+scored AS (
+  SELECT doc_id, round(avg(lp), 3) AS avg_logprob
+  FROM w JOIN lp USING (word) GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, s.avg_logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS tercile
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(avg_logprob) AS best_logprob,
+       min(avg_logprob) AS worst_logprob
+FROM ranked GROUP BY lang, tercile
+""",
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing: per language,
+    documents rank by their unigram-LM typicality
+    (text_unigram_logprob's score) and split into terciles — the
+    published CommonCrawl curation recipe where 'head' feeds
+    training directly, 'middle' gets a second look, and 'tail' is
+    dropped or mined for diversity. Ranking runs WITHIN language so
+    low-resource languages are never crowded out by English
+    typicality norms — the property that makes per-lang bucketing
+    the standard over one global threshold. ntile under the pinned
+    (score DESC, doc_id) order is engine-identical; scores enter
+    ranking ROUNDED (3 decimals), the same stabilization the base
+    entry uses. Bucket boundary scores are in the output, so the
+    thresholds this run would freeze for STREAMING application to
+    new crawl shards are visible and auditable.
+
+    Plan: the LM scoring plan of text_unigram_logprob unchanged
+    (vocab shuffle + broadcast-back), a broadcast dim join for lang,
+    one per-lang window over doc grain, one rollup to 3·|langs|
+    rows."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = C.unigram_logprob(docs.select("doc_id", "text")).select(
+        "doc_id", "avg_logprob"
+    )
+    ranked = scored.join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    ).withColumn(
+        "tercile",
+        F.ntile(3).over(
+            W.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs", "best_logprob", "worst_logprob",
+        )
+    )
