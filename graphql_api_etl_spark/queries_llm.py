@@ -4826,3 +4826,86 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "best_logprob", "worst_logprob",
         )
     )
+
+
+def _class_sep_oracle_sql() -> str:
+    """Fisher-style class-separation SQL generated over the 64 dims in
+    a FIXED term order (the curate_embedding_outliers convention)."""
+    cent = ", ".join(f"avg(v[{i}]) AS c{i}" for i in range(1, _EMB_DIM + 1))
+    sumsq = " + ".join(f"v[{i}] * v[{i}]" for i in range(1, _EMB_DIM + 1))
+    cnorm2 = " + ".join(f"c.c{i} * c.c{i}" for i in range(1, _EMB_DIM + 1))
+    gm = ", ".join(f"sum(n * c{i}) / sum(n) AS g{i}" for i in range(1, _EMB_DIM + 1))
+    bdist2 = " + ".join(f"(c.c{i} - g.g{i}) * (c.c{i} - g.g{i})" for i in range(1, _EMB_DIM + 1))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ss AS (SELECT label, CAST(count(*) AS BIGINT) AS n, sum({sumsq}) AS s2 FROM e GROUP BY label),
+c AS (SELECT label, {cent} FROM e GROUP BY label),
+g AS (SELECT {gm} FROM c JOIN ss USING (label)),
+per AS (
+  SELECT c.label, ss.n,
+         round(sqrt(ss.s2 / ss.n - ({cnorm2})), 4) AS within_rms,
+         round(sqrt({bdist2}), 4) AS centroid_shift
+  FROM c JOIN ss ON c.label = ss.label CROSS JOIN g
+)
+SELECT label, n, within_rms, centroid_shift,
+       round(centroid_shift / within_rms, 4) AS separation_ratio
+FROM per
+"""
+
+
+@_q("emb_class_separation", _class_sep_oracle_sql())
+def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding-space separation report: each label's
+    within-class RMS radius (√(E‖x‖² − ‖μ_l‖²), the moment identity
+    — no second pass over residuals) against its centroid's distance
+    to the GLOBAL mean, and their Fisher-style ratio — the eval that
+    says whether labels are actually separable in this embedding
+    space before anyone trains a classifier head or trusts
+    SemDeDup's cluster blocking on it. A label with ratio ≪ its
+    peers is noise or duplicated-label territory; computed per
+    class, it localizes the problem where one global silhouette
+    number can't.
+
+    Plan: two partial-aggregated shuffles to label grain (moment
+    sums and 64 centroid avgs — map side reduces to |labels|·64
+    doubles, never an explode), the global mean DERIVED from the
+    label-grain rows (count-weighted — never a second corpus pass),
+    and label-dim arithmetic in fixed term order with rounded
+    outputs (the curate_embedding_outliers float convention)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
+    sumsq = None
+    for i in range(1, _EMB_DIM + 1):
+        t = F.element_at("v", i) * F.element_at("v", i)
+        sumsq = t if sumsq is None else sumsq + t
+    ss = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum(sumsq).alias("s2")
+    )
+    cent = e.groupBy("label").agg(
+        *[F.avg(F.element_at("v", i)).alias(f"c{i}") for i in range(1, _EMB_DIM + 1)]
+    )
+    joined = cent.join(ss, "label")
+    g = joined.agg(
+        *[
+            (F.sum(F.col("n") * F.col(f"c{i}")) / F.sum("n")).alias(f"g{i}")
+            for i in range(1, _EMB_DIM + 1)
+        ]
+    )
+    cnorm2 = None
+    bdist2 = None
+    for i in range(1, _EMB_DIM + 1):
+        ct = F.col(f"c{i}") * F.col(f"c{i}")
+        bt = (F.col(f"c{i}") - F.col(f"g{i}")) * (F.col(f"c{i}") - F.col(f"g{i}"))
+        cnorm2 = ct if cnorm2 is None else cnorm2 + ct
+        bdist2 = bt if bdist2 is None else bdist2 + bt
+    per = joined.crossJoin(F.broadcast(g)).select(
+        "label", "n",
+        F.round(F.sqrt(F.col("s2") / F.col("n") - cnorm2), 4).alias("within_rms"),
+        F.round(F.sqrt(bdist2), 4).alias("centroid_shift"),
+    )
+    return per.select(
+        "label", "n", "within_rms", "centroid_shift",
+        F.round(F.col("centroid_shift") / F.col("within_rms"), 4).alias(
+            "separation_ratio"
+        ),
+    )
