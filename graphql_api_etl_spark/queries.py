@@ -7980,3 +7980,83 @@ def a_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req(0.02).alias("n_per_arm_mde2"),
         n_req(0.05).alias("n_per_arm_mde5"),
     )
+
+
+@_q(
+    "a_order_to_ship_latency",
+    """
+WITH lat AS (
+  SELECT o_orderpriority AS priority,
+         (CAST(epoch(min(l_shipdate)) AS BIGINT)
+          - CAST(epoch(o_orderdate) AS BIGINT)) // 86400 AS days
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+),
+g AS (
+  SELECT priority, days, CAST(count(*) AS BIGINT) AS n
+  FROM lat GROUP BY priority, days
+),
+c AS (
+  SELECT priority, days, n,
+         CAST(sum(n) OVER (PARTITION BY priority ORDER BY days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS total
+  FROM g
+)
+SELECT priority, total AS n_orders,
+       CAST(min(CASE WHEN 2 * cum >= total THEN days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN 10 * cum >= 9 * total THEN days END) AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN 100 * cum >= 99 * total THEN days END) AS BIGINT) AS p99_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM c GROUP BY priority, total
+""",
+)
+def a_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency SLA report per order priority:
+    p50/p90/p99/max of the integer day gap between order placement
+    and the order's EARLIEST line shipment — the fulfilment KPI that
+    checks whether '1-URGENT' actually ships faster. Percentiles are
+    EXACT (type-7 lower-crossing), found by integer cross-
+    multiplication (k·cum ≥ p·total) over the DAY-VALUE GRAIN, the
+    a_weighted_median discipline: after the per-order min, rows
+    collapse to (priority, days) counts — a few hundred cells — so
+    the windows never see the fact table and no percentile
+    interpolation (the thing engines disagree on) ever runs.
+
+    Plan: one shuffle for the order-grain min (partial-aggregated),
+    one to day-value grain, dim-sized windows, one rollup."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "priority",
+            F.expr(
+                "(CAST(unix_timestamp(first_ship) AS BIGINT)"
+                " - CAST(unix_timestamp(o_orderdate) AS BIGINT)) div 86400"
+            ).alias("days"),
+        )
+    )
+    g = lat.groupBy("priority", "days").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wc = W.partitionBy("priority").orderBy("days").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = g.select(
+        "priority", "days", "n",
+        F.sum("n").over(wc).cast("bigint").alias("cum"),
+        F.sum("n").over(W.partitionBy("priority")).cast("bigint").alias("total"),
+    )
+    return c.groupBy("priority", F.col("total").alias("n_orders")).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("days")))
+        .cast("bigint")
+        .alias("p50_days"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("days")))
+        .cast("bigint")
+        .alias("p90_days"),
+        F.min(F.when(100 * F.col("cum") >= 99 * F.col("total"), F.col("days")))
+        .cast("bigint")
+        .alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
