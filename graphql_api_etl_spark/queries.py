@@ -8060,3 +8060,89 @@ def a_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@_q(
+    "sink_snapshot_diff",
+    """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+  FROM orders
+),
+v1 AS (SELECT k, cents FROM base WHERE h % 10 != 9),
+v2 AS (
+  SELECT k, cents + CASE WHEN h % 7 = 0 THEN 1000 ELSE 0 END AS cents
+  FROM base WHERE h % 7 != 3
+),
+d AS (
+  SELECT coalesce(v1.k, v2.k) AS k,
+         CASE WHEN v1.k IS NULL THEN 'added'
+              WHEN v2.k IS NULL THEN 'removed'
+              WHEN v1.cents != v2.cents THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+              THEN abs(v2.cents - v1.cents) ELSE 0 END AS delta
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(delta) AS BIGINT) AS sum_abs_delta_cents,
+       CAST(min(k) AS BIGINT) AS sample_key
+FROM d GROUP BY status
+""",
+)
+def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation diff — the audit that runs after every
+    sink_merge_upsert / sink_scd2_history load: a full-outer join of
+    two table versions on the business key classifying every row
+    added / removed / changed / unchanged, with the absolute value
+    drift summed per class and a deterministic sample key (min) for
+    drill-down. The two versions are SYNTHESIZED deterministically
+    from one scan (md5-keyed drops and +1000-cent bumps), so the
+    expected class counts are reproducible on any engine — the same
+    presence-flag full-outer machinery as flagship_reconcile
+    (ETL:391–425's J1/J2), pointed at the change-data-capture
+    question instead of the file-vs-API one.
+
+    Plan: one scan feeds both version frames (Catalyst collapses the
+    shared subtree into one parquet read), a key-partitioned
+    SortMergeJoin — at 100 TB this is THE bucketed-join candidate:
+    bucket both snapshots by key and the diff is shuffle-free — and
+    a 4-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    v1 = base.filter(F.col("h") % 10 != 9).select("k", "cents")
+    v2 = base.filter(F.col("h") % 7 != 3).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("h") % 7 == 0, 1000).otherwise(0)
+        ).alias("cents"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.cents") != F.col("b.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.when(
+            F.col("a.k").isNotNull() & F.col("b.k").isNotNull(),
+            F.abs(F.col("b.cents") - F.col("a.cents")),
+        )
+        .otherwise(0)
+        .alias("delta"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("delta").cast("bigint").alias("sum_abs_delta_cents"),
+        F.min("k").cast("bigint").alias("sample_key"),
+    )
