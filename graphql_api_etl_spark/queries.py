@@ -8146,3 +8146,87 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").cast("bigint").alias("sum_abs_delta_cents"),
         F.min("k").cast("bigint").alias("sample_key"),
     )
+
+
+@_q(
+    "x_largest_remainder_alloc",
+    """
+WITH rev AS (
+  SELECT c_mktsegment AS segment,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+),
+q AS (
+  SELECT segment, cents,
+         CAST(sum(cents) OVER () AS BIGINT) AS total,
+         CAST((10000 * cents) // sum(cents) OVER () AS BIGINT) AS floor_bp,
+         CAST((10000 * cents) % sum(cents) OVER () AS BIGINT) AS rem
+  FROM rev
+),
+r AS (
+  SELECT segment, cents, floor_bp, rem,
+         CAST(10000 - sum(floor_bp) OVER () AS BIGINT) AS leftover,
+         CAST(row_number() OVER (ORDER BY rem DESC, segment) AS BIGINT) AS rk
+  FROM q
+)
+SELECT segment, cents AS revenue_cents, floor_bp, rem AS remainder,
+       CAST(floor_bp + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_bp
+FROM r
+""",
+)
+def x_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) integer allocation: distribute
+    10,000 basis points across market segments proportional to
+    revenue so the shares SUM EXACTLY to 100.00% — the finance-ETL
+    rounding problem naive round() gets wrong (rounded shares sum to
+    9,999 or 10,001 bp and the books don't close). Floor quotas and
+    remainders are pure positive-integer div/mod (identical
+    semantics both engines — negatives never arise from revenue
+    sums); the Σfloor shortfall goes +1 each to the largest
+    remainders under the pinned (remainder DESC, segment) order, so
+    the allocation is deterministic even on remainder ties.
+    Σ alloc_bp = 10000 by construction.
+
+    Plan: one partial-aggregated shuffle to segment grain with a
+    broadcast dim join, then windows over the segment-dim frame —
+    allocation is O(|segments|) after the rollup at any fact
+    scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    q = rev.select(
+        "segment", "cents",
+        F.sum("cents").over(wall).cast("bigint").alias("total"),
+    ).select(
+        "segment", "cents",
+        F.expr("(10000 * cents) div total").cast("bigint").alias("floor_bp"),
+        ((10000 * F.col("cents")) % F.col("total")).cast("bigint").alias("rem"),
+    )
+    r = q.select(
+        "segment", "cents", "floor_bp", "rem",
+        (10000 - F.sum("floor_bp").over(wall)).cast("bigint").alias("leftover"),
+        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("segment"))).cast("bigint").alias("rk"),
+    )
+    return r.select(
+        "segment",
+        F.col("cents").alias("revenue_cents"),
+        "floor_bp",
+        F.col("rem").alias("remainder"),
+        (
+            F.col("floor_bp")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_bp"),
+    )
