@@ -8230,3 +8230,128 @@ def x_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_bp"),
     )
+
+
+@_q(
+    "a_spearman_corr",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price,
+         CAST(cnt AS BIGINT) AS nli
+  FROM orders JOIN (
+    SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+  ) li ON o_orderkey = l_orderkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+gx AS (
+  SELECT price, CAST(count(*) AS BIGINT) AS t,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM base GROUP BY price
+),
+gy AS (
+  SELECT nli, CAST(count(*) AS BIGINT) AS t,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY nli
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM base GROUP BY nli
+),
+cr AS (
+  SELECT b.k,
+         CAST(2 * gx.cumb + gx.t + 1 - (n.n + 1) AS BIGINT) AS cx,
+         CAST(2 * gy.cumb + gy.t + 1 - (n.n + 1) AS BIGINT) AS cy
+  FROM base b JOIN gx ON b.price = gx.price
+              JOIN gy ON b.nli = gy.nli
+              CROSS JOIN n
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cx * cy) AS BIGINT) AS sxy,
+         CAST(sum(cx * cx) AS BIGINT) AS sxx,
+         CAST(sum(cy * cy) AS BIGINT) AS syy
+  FROM cr
+)
+SELECT n, sxy, sxx, syy,
+       CAST(floor(1000000.0 * sxy / sqrt(CAST(sxx AS DOUBLE) * syy)) AS BIGINT)
+         AS spearman_micro
+FROM m
+""",
+)
+def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and line-item
+    count — the monotone-association measure that completes
+    a_corr_covar's Pearson: outlier-proof and invariant to any
+    monotone transform of either metric. Tied ranks use the exact
+    2·rank̄ = 2·cum_before + t + 1 identity (a_mannwhitney_u), then
+    ranks are CENTERED by the integer 2·rank̄ − (n+1): centered
+    doubled ranks live in [−n, n], so every moment (Σcx·cy, Σcx²,
+    Σcy²) is an exact BIGINT below 2⁵³ even at hundreds of millions
+    of rows — the uncentered moments would overflow first — and the
+    means vanish identically (Σcx = 0), leaving ρ = Σcxcy/√(Σcx²Σcy²)
+    as one double expression over exact integers.
+
+    Plan: rank maps are built at VALUE GRAIN (two windowed frames
+    over distinct prices / distinct counts), then joined back onto
+    the order-grain stream — the fact table is never windowed — and
+    one partial-aggregated reduce yields the moments."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nli"))
+    )
+    base = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price"),
+        "nli",
+    )
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wb_price = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    gx = (
+        base.groupBy("price")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .select(
+            "price", "t",
+            F.coalesce(F.sum("t").over(wb_price), F.lit(0)).cast("bigint").alias("cumb"),
+        )
+    )
+    wb_nli = W.orderBy("nli").rowsBetween(W.unboundedPreceding, -1)
+    gy = (
+        base.groupBy("nli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .select(
+            "nli", "t",
+            F.coalesce(F.sum("t").over(wb_nli), F.lit(0)).cast("bigint").alias("cumb"),
+        )
+    )
+    gx2 = gx.select("price", F.col("t").alias("tx"), F.col("cumb").alias("cbx"))
+    gy2 = gy.select("nli", F.col("t").alias("ty"), F.col("cumb").alias("cby"))
+    cr = (
+        base.join(gx2, "price")
+        .join(F.broadcast(gy2), "nli")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (2 * F.col("cbx") + F.col("tx") + 1 - (F.col("n") + 1))
+            .cast("bigint")
+            .alias("cx"),
+            (2 * F.col("cby") + F.col("ty") + 1 - (F.col("n") + 1))
+            .cast("bigint")
+            .alias("cy"),
+        )
+    )
+    m = cr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "n", "sxy", "sxx", "syy",
+        F.floor(
+            1000000.0
+            * F.col("sxy")
+            / F.sqrt(F.col("sxx").cast("double") * F.col("syy"))
+        )
+        .cast("bigint")
+        .alias("spearman_micro"),
+    )
