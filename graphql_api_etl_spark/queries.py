@@ -8284,11 +8284,14 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone transform of either metric. Tied ranks use the exact
     2·rank̄ = 2·cum_before + t + 1 identity (a_mannwhitney_u), then
     ranks are CENTERED by the integer 2·rank̄ − (n+1): centered
-    doubled ranks live in [−n, n], so every moment (Σcx·cy, Σcx²,
-    Σcy²) is an exact BIGINT below 2⁵³ even at hundreds of millions
-    of rows — the uncentered moments would overflow first — and the
-    means vanish identically (Σcx = 0), leaving ρ = Σcxcy/√(Σcx²Σcy²)
-    as one double expression over exact integers.
+    doubled ranks live in [−n, n], the moments (Σcx·cy, Σcx², Σcy²)
+    grow as n³/3 — exact BIGINTs to n ≈ 3M rows and ~8× later than
+    the uncentered form — and the means vanish identically (Σcx = 0),
+    leaving ρ = Σcxcy/√(Σcx²Σcy²) as one double expression over
+    exact integers. Past that n, bucket values to a coarser rank
+    grid (ρ on quantile-bucketed data is still Spearman) or lift the
+    three moments to DECIMAL(38,0); the identical-trees contract is
+    unchanged either way.
 
     Plan: rank maps are built at VALUE GRAIN (two windowed frames
     over distinct prices / distinct counts), then joined back onto
