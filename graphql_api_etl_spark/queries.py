@@ -8358,3 +8358,98 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("spearman_micro"),
     )
+
+
+@_q(
+    "a_runs_test",
+    """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT day, n,
+         CASE WHEN n > lag(n) OVER (ORDER BY day) THEN 1
+              WHEN n < lag(n) OVER (ORDER BY day) THEN -1
+              ELSE 0 END AS sgn
+  FROM d
+),
+nz AS (SELECT day, sgn FROM s WHERE sgn != 0),
+r AS (
+  SELECT sgn,
+         CASE WHEN sgn != lag(sgn) OVER (ORDER BY day) OR
+                   lag(sgn) OVER (ORDER BY day) IS NULL THEN 1 ELSE 0 END AS is_new_run
+  FROM nz
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(sum(is_new_run) AS BIGINT) AS n_runs
+  FROM r
+)
+SELECT n_up, n_down, n_runs,
+       CAST(floor((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+            / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                   / ((CAST(n_up + n_down AS DOUBLE)) * (n_up + n_down)
+                      * (n_up + n_down - 1)))
+            * 10000) AS BIGINT) AS z_tenthousandths
+FROM m
+""",
+)
+def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily volume's up/down moves —
+    the randomness check that closes the time-series diagnostics:
+    a_autocorr_lag measures LINEAR serial dependence, CUSUM finds a
+    LEVEL shift; the runs test catches any sign-pattern structure
+    (momentum: too few runs; oscillation: too many) with no
+    distributional assumption at all. Flat days drop out (the
+    standard two-valued reduction), runs are counted by the
+    lag-inequality flag, and n_up/n_down/n_runs are exact integers;
+    only the closing normal approximation touches doubles — one
+    identical expression tree, fixed-pointed (the a_ab_test_ztest
+    convention).
+
+    Plan: one partial-aggregated shuffle to day grain; every window
+    runs over the day-grain frame (range-partition at scale); the
+    moment row is scalar."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wd = W.orderBy("day")
+    s = d.select(
+        "day", "n",
+        F.when(F.col("n") > F.lag("n").over(wd), 1)
+        .when(F.col("n") < F.lag("n").over(wd), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    nz = s.filter(F.col("sgn") != 0)
+    r = nz.select(
+        "sgn",
+        F.when(
+            (F.col("sgn") != F.lag("sgn").over(wd))
+            | F.lag("sgn").over(wd).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    m = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("bigint").alias("n_down"),
+        F.sum("is_new_run").cast("bigint").alias("n_runs"),
+    )
+    nu, nd, nr = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    mu = 2.0 * nu * nd / (nu + nd) + 1
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - nu - nd)
+        / ((nu + nd).cast("double") * (nu + nd) * (nu + nd - 1))
+    )
+    return m.select(
+        "n_up", "n_down", "n_runs",
+        F.floor((nr.cast("double") - mu) / F.sqrt(var) * 10000)
+        .cast("bigint")
+        .alias("z_tenthousandths"),
+    )
