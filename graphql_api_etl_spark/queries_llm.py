@@ -4909,3 +4909,121 @@ def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "separation_ratio"
         ),
     )
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled 5-round MMR CTE chain (graph_pagerank's fixed-
+    iteration oracle pattern). Scores are built from the same
+    loop-order dot products the Spark fold computes (bit-identical —
+    the sim_topk precedent), so argmax picks agree without rounding;
+    only the reported score is rounded."""
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    rounds = []
+    for k in range(2, 6):
+        prev = f"s{k - 1}"
+        rounds.append(f"""
+c{k} AS (
+  SELECT c.vec_id, c.rel,
+         0.7 * c.rel - 0.3 * max(p.sim) AS score
+  FROM cand c
+  JOIN p ON p.a = c.vec_id AND p.b IN (SELECT vec_id FROM {prev})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel
+),
+pick{k} AS (
+  SELECT {k} AS rank, vec_id, score FROM c{k}
+  ORDER BY score DESC, vec_id LIMIT 1
+),
+s{k} AS (SELECT vec_id FROM s{k - 1} UNION ALL SELECT vec_id FROM pick{k})""")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "scored AS (SELECT vec_id, v, "
+        + cos.format(a="qv", b="v")
+        + " AS rel FROM e CROSS JOIN q WHERE vec_id != 0), "
+        "cand AS (SELECT vec_id, v, rel FROM scored ORDER BY rel DESC, vec_id LIMIT 16), "
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        + cos.format(a="a.v", b="b.v")
+        + " AS sim FROM cand a JOIN cand b ON a.vec_id != b.vec_id), "
+        "pick1 AS (SELECT 1 AS rank, vec_id, 0.7 * rel AS score FROM cand "
+        "ORDER BY rel DESC, vec_id LIMIT 1), "
+        "s1 AS (SELECT vec_id FROM pick1),"
+        + ",".join(rounds)
+        + " SELECT rank, vec_id, round(score, 6) AS score FROM ("
+        "SELECT * FROM pick1 UNION ALL SELECT * FROM pick2 UNION ALL "
+        "SELECT * FROM pick3 UNION ALL SELECT * FROM pick4 UNION ALL "
+        "SELECT * FROM pick5)"
+    )
+
+
+@_q("sim_mmr_rerank", _mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking — the diversity stage of
+    a retrieval stack (RAG context assembly, dedup'd search results):
+    from the query's top-16 cosine candidates, greedily pick 5 where
+    each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
+    already-picked (λ = 0.7 frozen) — pure relevance top-k returns
+    five near-copies when the corpus has duplicates; MMR provably
+    trades that redundancy for coverage. Greedy selection is
+    SEQUENTIAL by nature, so it runs as 5 unrolled plan rounds over
+    the 16-row candidate frame (the graph_pagerank fixed-iteration
+    treatment): anti-join the picked set, fold max-sim from the
+    16×16 pairwise frame, argmax under the pinned (score, id) order.
+    All cosines come from the fold/loop dot products both engines
+    compute bit-identically (the sim_topk precedent), so every
+    argmax agrees without rounding tricks.
+
+    Scale shape: the expensive part is the RELEVANCE scan (broadcast
+    query × corpus, zero shuffle — topk_matmul's plan); everything
+    after operates on k²=256 pairwise rows regardless of corpus
+    size. That candidates-then-rerank split is exactly how
+    production retrieval runs MMR at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", S.cosine(F.col("qv"), F.col("v")).alias("rel"))
+    )
+    cand = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(16).localCheckpoint(eager=True)
+    a = cand.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    p = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", S.cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    pick = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.lit(1).alias("rank"), "vec_id", (0.7 * F.col("rel")).alias("score"))
+    )
+    picks = [pick]
+    sel = pick.select("vec_id")
+    for k in range(2, 6):
+        remaining = cand.join(sel, "vec_id", "left_anti")
+        ms = (
+            remaining.join(p, remaining["vec_id"] == p["a"])
+            .join(sel.select(F.col("vec_id").alias("b_sel")), F.col("b") == F.col("b_sel"))
+            .groupBy(remaining["vec_id"], "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pk = (
+            ms.select(
+                F.lit(k).alias("rank"),
+                "vec_id",
+                (0.7 * F.col("rel") - 0.3 * F.col("ms")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        picks.append(pk)
+        sel = sel.unionByName(pk.select("vec_id")).localCheckpoint(eager=True)
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.select("rank", "vec_id", F.round("score", 6).alias("score"))
