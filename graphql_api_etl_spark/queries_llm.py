@@ -5027,3 +5027,114 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pk in picks[1:]:
         out = out.unionByName(pk)
     return out.select("rank", "vec_id", F.round("score", 6).alias("score"))
+
+
+@_q(
+    "curate_dsir_weights",
+    r"""
+WITH w AS (
+  SELECT d.doc_id, d.lang,
+         CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents) d
+),
+db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY doc_id, b),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM w GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM w WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         CAST((SELECT sum(ct) FROM tgt) AS BIGINT) AS nt
+  FROM raw
+),
+term AS (
+  SELECT raw.b,
+         CAST(floor(1000000000.0 * ln(
+           ((coalesce(ct, 0) + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256))
+         )) AS BIGINT) AS t_nano
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+),
+score AS (
+  SELECT db.doc_id,
+         CAST(sum(db.c) AS BIGINT) AS n_tokens,
+         CAST(sum(db.c * term.t_nano) AS BIGINT) AS dsir_nano
+  FROM db JOIN term ON db.b = term.b
+  GROUP BY db.doc_id
+)
+SELECT doc_id, n_tokens, dsir_nano,
+       row_number() OVER (ORDER BY dsir_nano DESC, doc_id) AS rk
+FROM score
+ORDER BY dsir_nano DESC, doc_id
+LIMIT 20
+""",
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling): score every document by how much more likely its
+    HASHED token-bucket bag is under the target distribution (here:
+    the 'en' slice) than under the raw corpus — the published recipe
+    for tilting a web-scale crawl toward a target domain without
+    training a classifier. Token features hash into 256 buckets (the
+    md5-prefix portable hash), both distributions are
+    Laplace-smoothed, and each bucket's log-ratio is fixed-pointed
+    to an integer NANO term BEFORE the per-document Σ count·term —
+    the BM25 convention again, so document scores are exact BIGINTs
+    and the top-20 ranking key (dsir_nano DESC, doc_id) is
+    integer-only.
+
+    Plan: one explode feeds three partial-aggregated groupBys
+    ((doc, bucket), raw buckets, target buckets); the 256-row term
+    table broadcasts back onto the (doc, bucket) grain; top-20 is
+    TakeOrderedAndProject. The corpus token stream shuffles once, by
+    (doc, bucket) — at 100 TB that's the same shape as
+    text_hash_embedding's featurizer, which is the point: DSIR costs
+    one featurizer pass."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = docs.select(
+        "doc_id", "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id", "lang",
+        (D.shingle_hash(F.col("tok")) % 256).alias("b"),
+    )
+    db = w.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    raw = w.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        w.filter(F.col("lang") == "en")
+        .groupBy(F.col("b").alias("bt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").cast("bigint").alias("nr")).crossJoin(
+        tgt.agg(F.sum("ct").cast("bigint").alias("nt"))
+    )
+    term = (
+        raw.join(F.broadcast(tgt), F.col("b") == F.col("bt"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                1000000000.0
+                * F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + 256))
+                    / ((F.col("cr") + 1.0) / (F.col("nr") + 256))
+                )
+            )
+            .cast("bigint")
+            .alias("t_nano"),
+        )
+    )
+    score = (
+        db.join(F.broadcast(term), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("t_nano")).cast("bigint").alias("dsir_nano"),
+        )
+    )
+    return (
+        score.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("dsir_nano"), F.asc("doc_id")))
+        )
+        .orderBy(F.desc("dsir_nano"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_tokens", "dsir_nano", "rk")
+    )
