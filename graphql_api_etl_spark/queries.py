@@ -8453,3 +8453,117 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_tenthousandths"),
     )
+
+
+@_q(
+    "events_haar_energy",
+    """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+x0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, n
+  FROM d ORDER BY day LIMIT 16
+),
+l1 AS (
+  SELECT (i + 1) // 2 AS i,
+         CAST(sum(n) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN i % 2 = 1 THEN n ELSE -n END) AS BIGINT) AS dd
+  FROM x0 GROUP BY (i + 1) // 2
+),
+l2 AS (
+  SELECT (i + 1) // 2 AS i,
+         CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN i % 2 = 1 THEN a ELSE -a END) AS BIGINT) AS dd
+  FROM l1 GROUP BY (i + 1) // 2
+),
+l3 AS (
+  SELECT (i + 1) // 2 AS i,
+         CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN i % 2 = 1 THEN a ELSE -a END) AS BIGINT) AS dd
+  FROM l2 GROUP BY (i + 1) // 2
+),
+l4 AS (
+  SELECT (i + 1) // 2 AS i,
+         CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN i % 2 = 1 THEN a ELSE -a END) AS BIGINT) AS dd
+  FROM l3 GROUP BY (i + 1) // 2
+)
+SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+       CAST(sum(dd * dd) AS BIGINT) AS detail_energy,
+       CAST(NULL AS BIGINT) AS approx_energy FROM l1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(dd * dd) AS BIGINT),
+       CAST(NULL AS BIGINT) FROM l2
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(dd * dd) AS BIGINT),
+       CAST(NULL AS BIGINT) FROM l3
+UNION ALL
+SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(dd * dd) AS BIGINT),
+       CAST(sum(a * a) AS BIGINT) FROM l4
+""",
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the daily volume (first
+    16 days): per-level detail energies separate fast jitter
+    (level 1: day-to-day), weekly-ish structure (level 3: 8-day
+    blocks), and the DC trend (level-4 approximation) — the
+    multi-resolution "where does the variance live" question that
+    single-lag autocorrelation can't answer, and the front-end of
+    wavelet-compressed series storage. UNNORMALIZED integer Haar
+    (a = x₁+x₂, d = x₁−x₂, no √2) keeps every coefficient and every
+    energy an exact BIGINT — normalization only rescales each level
+    by a known 2^l, so the diagnostic content is identical and the
+    cross-engine hash is trivially stable.
+
+    Plan: one partial-aggregated shuffle to day grain, one tiny
+    window for the day index, then four cascaded 2:1 groupBys over
+    8/4/2/1-row frames. Per entity (add user_id to every key) this
+    is the same plan at any fan-out — the transform never sees the
+    fact table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    x = (
+        d.select(
+            F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"), "n"
+        )
+        .filter(F.col("i") <= 16)
+        .select("i", F.col("n").alias("a"))
+    )
+    levels = []
+    cur = x
+    for lvl in range(1, 5):
+        nxt = cur.groupBy(F.expr("(i + 1) div 2").alias("i")).agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("i") % 2 == 1, F.col("a")).otherwise(-F.col("a"))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+        levels.append((lvl, nxt))
+        cur = nxt.select("i", "a")
+    outs = []
+    for lvl, frame in levels:
+        agg = frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("detail_energy"),
+            F.sum(F.col("a") * F.col("a")).cast("bigint").alias("a_energy"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(lvl).alias("level"),
+                "n_coeffs",
+                "detail_energy",
+                (F.col("a_energy") if lvl == 4 else F.lit(None).cast("bigint")).alias(
+                    "approx_energy"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
