@@ -262,3 +262,63 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
     )
+
+
+@_q(
+    "stream_static_enrich_join",
+    """
+SELECT c_mktsegment AS segment, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through the micro-batch engine —
+    the remaining core streaming join shape after the windowed-agg /
+    dedup-state / session-window / foreachBatch entries: each
+    micro-batch of the event stream joins the STATIC customer
+    dimension (broadcast; re-resolvable per batch, which is how
+    slowly-refreshed dims piggyback on a running stream) and feeds a
+    stateful grouped aggregate, emitted complete-mode at the final
+    availableNow trigger. Stateless per-batch join + bounded
+    |segments|·|types| state — the canonical "enrich then
+    aggregate" continuous pipeline, differential-checked against
+    the identical batch join SQL.
+
+    At deployment scale the same query runs append-mode with a
+    watermark on a windowed key; the dim side stays broadcast-sized
+    by definition (it's a dimension)."""
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = _events_stream(spark, sf_dir).join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    # exact COUNT(DISTINCT) is unsupported as streaming aggregate
+    # state, so n_users comes from a second streaming pass: exact
+    # dedup state over (segment, event_type, user_id) then a grouped
+    # count — the standard streaming decomposition of distinct.
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), "event_type", "user_id")
+        .dropDuplicates(["segment", "event_type", "user_id"])
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    users = _run_to_memory(dedup, "complete")
+    return (
+        out.select("segment", "event_type", "n_events", "total_value")
+        .join(users, ["segment", "event_type"])
+        .select("segment", "event_type", "n_events", "n_users", "total_value")
+    )
