@@ -8567,3 +8567,83 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@_q(
+    "a_laspeyres_price_index",
+    """
+WITH pm AS (
+  SELECT l_partkey AS part, date_trunc('month', l_shipdate) AS m,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (SELECT min(m) AS base_m FROM pm),
+base AS (
+  SELECT part, cents AS cents_b, qty AS qty_b
+  FROM pm CROSS JOIN b WHERE m = base_m
+),
+t AS (
+  SELECT pm.m, pm.part,
+         CAST(floor(1000000.0 * pm.cents * base.qty_b / pm.qty) AS BIGINT) AS num_term,
+         base.cents_b
+  FROM pm JOIN base ON pm.part = base.part
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_common_parts,
+       CAST(sum(num_term) // sum(cents_b) AS BIGINT) AS laspeyres_micro
+FROM t GROUP BY m
+""",
+)
+def a_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship month: what this month's unit
+    prices would cost applied to the BASE month's basket,
+    Σp_t·q₀ / Σp₀·q₀ over parts traded in both — the fixed-basket
+    inflation measure that isolates PRICE movement from mix shift
+    (raw revenue-per-unit confounds the two). Unit prices come from
+    (part, month) cents/qty rollups; the denominator collapses
+    exactly (p₀·q₀ = that month's cents — no division at all), and
+    each numerator term is fixed-pointed to micro units BEFORE the
+    per-month sum (the BM25 convention), so the index is a BIGINT
+    division of exact sums on both engines.
+
+    Plan: one partial-aggregated shuffle to (part, month) grain, the
+    base-month basket broadcast back (dim-sized: one row per traded
+    part), one rollup to month grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    b = pm.agg(F.min("m").alias("base_m"))
+    base = (
+        pm.crossJoin(F.broadcast(b))
+        .filter(F.col("m") == F.col("base_m"))
+        .select(
+            F.col("part").alias("bpart"),
+            F.col("cents").alias("cents_b"),
+            F.col("qty").alias("qty_b"),
+        )
+    )
+    t = pm.join(F.broadcast(base), F.col("part") == F.col("bpart")).select(
+        "m",
+        F.floor(
+            1000000.0 * F.col("cents") * F.col("qty_b") / F.col("qty")
+        )
+        .cast("bigint")
+        .alias("num_term"),
+        "cents_b",
+    )
+    return t.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.expr("sum(num_term) div sum(cents_b)").cast("bigint").alias("laspeyres_micro"),
+    ).select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "n_common_parts",
+        "laspeyres_micro",
+    )
