@@ -8647,3 +8647,72 @@ def a_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common_parts",
         "laspeyres_micro",
     )
+
+
+@_q(
+    "a_skyline_pareto_2d",
+    """
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price,
+         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+  FROM orders
+),
+pg AS (
+  SELECT price, CAST(min(day) AS BIGINT) AS md
+  FROM pts GROUP BY price
+),
+m AS (
+  SELECT price, md,
+         CAST(min(md) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS m_lower
+  FROM pg
+)
+SELECT p.k AS o_orderkey, p.price AS price_cents, p.day AS order_day
+FROM pts p JOIN m ON p.price = m.price
+WHERE p.day = m.md AND (m.m_lower IS NULL OR p.day < m.m_lower)
+""",
+)
+def a_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over orders minimizing (price,
+    order day): every order no other order beats on BOTH axes — the
+    classic preference-query operator (Börzsönyi et al.'s SKYLINE OF)
+    neither engine ships natively. The naive formulation is an O(n²)
+    NOT EXISTS self-join; this is the sort-scan identity at VALUE
+    GRAIN: collapse to per-price min-day md(p) (one shuffle), take
+    the running min M(p) over strictly-lower prices (one window over
+    the price-grain frame), and a point survives iff it attains its
+    price's min day AND beats every cheaper point's best day
+    (day < M(p) — strict, so an equal-day-cheaper point correctly
+    dominates). Equal (price, day) duplicates co-survive, the
+    standard skyline semantics. Everything is integer (cents, epoch
+    days); no float ever orders anything.
+
+    Plan: shuffle to price grain, value-grain window
+    (range-partitionable), hash join back — n log n work where the
+    textbook nested-exists does n². The same decomposition extends
+    per-group (add a partition key to all three steps)."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price"),
+        F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").alias("day"),
+    )
+    pg = pts.groupBy("price").agg(F.min("day").cast("bigint").alias("md"))
+    wb = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    m = pg.select(
+        F.col("price").alias("mprice"), "md",
+        F.min("md").over(wb).cast("bigint").alias("m_lower"),
+    )
+    return (
+        pts.join(m, F.col("price") == F.col("mprice"))
+        .filter(
+            (F.col("day") == F.col("md"))
+            & (F.col("m_lower").isNull() | (F.col("day") < F.col("m_lower")))
+        )
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("price").alias("price_cents"),
+            F.col("day").alias("order_day"),
+        )
+    )
