@@ -8716,3 +8716,88 @@ def a_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("order_day"),
         )
     )
+
+
+@_q(
+    "dq_referential_integrity",
+    """
+WITH checks AS (
+  SELECT 'orders.o_custkey->customer' AS fk,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_orphans,
+         CAST(min(CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT)
+           AS sample_orphan_key
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+         CAST(min(CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS BIGINT)
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT),
+         CAST(min(CASE WHEN p_partkey IS NULL THEN l_partkey END) AS BIGINT)
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT),
+         CAST(min(CASE WHEN n_nationkey IS NULL THEN c_nationkey END) AS BIGINT)
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT fk, n_child, n_orphans, sample_orphan_key, n_orphans = 0 AS intact
+FROM checks
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four FK
+    edges: child row counts, ORPHAN counts (child keys with no
+    parent), a deterministic sample orphan key for drill-down, and
+    the pass flag — the load-gate run after every ingest, and the
+    complement of dq_functional_deps (FDs check key DETERMINISM,
+    this checks key EXISTENCE; sinks/gates.py raises on row-count
+    gates, this localizes which edge broke). Spark has no FK
+    constraints — this query IS the constraint, as code.
+
+    Plan: each check is a LEFT join probing only the parent's key
+    column (column-pruned to one side); dim parents broadcast,
+    fact-fact (lineitem→orders) goes sort-merge on the join key.
+    Counts partial-aggregate; the report is four rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def check(fk, child, ckey, parent, pkey, broadcast_parent=True):
+        par = parent.select(pkey)
+        if broadcast_parent:
+            par = F.broadcast(par)
+        j = child.select(ckey).join(par, F.col(ckey) == F.col(pkey), "left")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.min(F.when(F.col(pkey).isNull(), F.col(ckey)))
+            .cast("bigint")
+            .alias("sample_orphan_key"),
+        )
+    checks = (
+        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey",
+                  broadcast_parent=False)
+        )
+        .unionByName(check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
+    return checks.select(
+        "fk", "n_child", "n_orphans", "sample_orphan_key",
+        (F.col("n_orphans") == 0).alias("intact"),
+    )
