@@ -8801,3 +8801,99 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fk", "n_child", "n_orphans", "sample_orphan_key",
         (F.col("n_orphans") == 0).alias("intact"),
     )
+
+
+@_q(
+    "a_wasserstein_1d",
+    """
+WITH v AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS arm,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+g AS (
+  SELECT cents,
+         CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS a_n,
+         CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS b_n
+  FROM v GROUP BY cents
+),
+c AS (
+  SELECT cents,
+         CAST(sum(a_n) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(b_n) OVER w AS BIGINT) AS cum_b,
+         CAST(sum(a_n) OVER () AS BIGINT) AS n_a,
+         CAST(sum(b_n) OVER () AS BIGINT) AS n_b,
+         CAST(lead(cents) OVER (ORDER BY cents) AS BIGINT) AS next_cents
+  FROM g
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT n_a, n_b,
+         CAST(sum(abs(n_b * cum_a - n_a * cum_b) * (next_cents - cents)) AS BIGINT)
+           AS transport
+  FROM c WHERE next_cents IS NOT NULL
+  GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, transport,
+       CAST(floor(CAST(transport AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT)
+         AS w1_cents
+FROM s
+""",
+)
+def a_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the urgent
+    and low-priority order-value distributions — the TRANSPORT
+    complement of a_ks_two_sample: KS reports the worst single CDF
+    gap, W₁ = ∫|F̂_a − F̂_b|dx integrates every gap weighted by how
+    far value must move, in the metric's own units (cents), which is
+    what makes it the standard distribution-shift COST measure for
+    monitoring (dq_psi_drift tells you IF; this tells you HOW MUCH,
+    in money). On the merged value grain the integral is a closed
+    sum: |n_b·cumA − n_a·cumB|·Δx per consecutive value pair — every
+    term an exact BIGINT (the KS cross-multiplication plus a lead()
+    gap), so `transport` is engine-identical by construction and the
+    one double division at the end normalizes to cents.
+
+    Plan: identical shape to a_ks_two_sample — one value-grain
+    shuffle, one running window plus a lead over the same frame, one
+    scalar reduce; nothing fact-sized is ever windowed."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("arm"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("bigint").alias("a_n"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("bigint").alias("b_n"),
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = g.select(
+        "cents",
+        F.sum("a_n").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("b_n").over(wc).cast("bigint").alias("cum_b"),
+        F.sum("a_n").over(wall).cast("bigint").alias("n_a"),
+        F.sum("b_n").over(wall).cast("bigint").alias("n_b"),
+        F.lead("cents").over(W.orderBy("cents")).cast("bigint").alias("next_cents"),
+    )
+    s = (
+        c.filter(F.col("next_cents").isNotNull())
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b"))
+                * (F.col("next_cents") - F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("transport")
+        )
+    )
+    return s.select(
+        "n_a", "n_b", "transport",
+        F.floor(
+            F.col("transport").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        .cast("bigint")
+        .alias("w1_cents"),
+    )
