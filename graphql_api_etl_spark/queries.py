@@ -8897,3 +8897,115 @@ def a_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w1_cents"),
     )
+
+
+@_q(
+    "a_did_estimate",
+    """
+WITH e AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT min(es) AS mn_es, max(es) AS mx_es FROM e),
+cells AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN 2 * es < mn_es + mx_es THEN 'pre' ELSE 'post' END AS period,
+         cents
+  FROM e CROSS JOIN g
+),
+m AS (
+  SELECT arm, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM cells GROUP BY arm, period
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' AND period = 'pre' THEN CAST(s1 AS DOUBLE) / n END) AS m_a0,
+         max(CASE WHEN arm = 'A' AND period = 'post' THEN CAST(s1 AS DOUBLE) / n END) AS m_a1,
+         max(CASE WHEN arm = 'B' AND period = 'pre' THEN CAST(s1 AS DOUBLE) / n END) AS m_b0,
+         max(CASE WHEN arm = 'B' AND period = 'post' THEN CAST(s1 AS DOUBLE) / n END) AS m_b1,
+         max(CASE WHEN arm = 'A' AND period = 'pre'
+                  THEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / n END) AS v_a0,
+         max(CASE WHEN arm = 'A' AND period = 'post'
+                  THEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / n END) AS v_a1,
+         max(CASE WHEN arm = 'B' AND period = 'pre'
+                  THEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / n END) AS v_b0,
+         max(CASE WHEN arm = 'B' AND period = 'post'
+                  THEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / n END) AS v_b1,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM m
+)
+SELECT n_total,
+       CAST(floor((m_b1 - m_b0) - (m_a1 - m_a0)) AS BIGINT) AS did_cents,
+       CAST(floor(((m_b1 - m_b0) - (m_a1 - m_a0))
+            / sqrt(v_a0 + v_a1 + v_b0 + v_b1) * 10000) AS BIGINT) AS z_tenthousandths,
+       abs(((m_b1 - m_b0) - (m_a1 - m_a0)) / sqrt(v_a0 + v_a1 + v_b0 + v_b1)) > 1.96
+         AS significant
+FROM w
+""",
+)
+def a_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treated arm's pre→post change
+    minus the control arm's — the quasi-experimental estimator that
+    nets out the secular time trend a naive before/after read-out
+    absorbs as fake lift, and the last panel of the experimentation
+    family (power → assign → z-test → CUPED → DiD). Cells are the
+    deterministic md5 arm × integer-epoch-midpoint period split (the
+    a_ab_cuped_adjust conventions); each cell reduces to exact
+    BIGINT moments (n, Σx, Σx²); the estimate, its SE (√Σ of the
+    four cell mean-variances), and the z are one identical double
+    tree over those integers, fixed-pointed on output.
+
+    Plan: one scan with the broadcast epoch frame, one
+    partial-aggregated shuffle to FOUR cell rows, the max-CASE
+    pivot, constant tail — DiD at any scale costs one metric pass."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = e.agg(F.min("es").alias("mn_es"), F.max("es").alias("mx_es"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    period = F.when(
+        2 * F.col("es") < F.col("mn_es") + F.col("mx_es"), "pre"
+    ).otherwise("post")
+    m = (
+        e.crossJoin(F.broadcast(g))
+        .select(arm.alias("arm"), period.alias("period"), "cents")
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    mvar = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    ) / F.col("n")
+    def pick(a, p, expr):
+        return F.max(F.when((F.col("arm") == a) & (F.col("period") == p), expr))
+    w = m.agg(
+        pick("A", "pre", mean).alias("m_a0"), pick("A", "post", mean).alias("m_a1"),
+        pick("B", "pre", mean).alias("m_b0"), pick("B", "post", mean).alias("m_b1"),
+        pick("A", "pre", mvar).alias("v_a0"), pick("A", "post", mvar).alias("v_a1"),
+        pick("B", "pre", mvar).alias("v_b0"), pick("B", "post", mvar).alias("v_b1"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    did = (F.col("m_b1") - F.col("m_b0")) - (F.col("m_a1") - F.col("m_a0"))
+    se = F.sqrt(F.col("v_a0") + F.col("v_a1") + F.col("v_b0") + F.col("v_b1"))
+    return w.select(
+        "n_total",
+        F.floor(did).cast("bigint").alias("did_cents"),
+        F.floor(did / se * 10000).cast("bigint").alias("z_tenthousandths"),
+        (F.abs(did / se) > 1.96).alias("significant"),
+    )
