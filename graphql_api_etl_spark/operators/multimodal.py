@@ -529,3 +529,47 @@ def image_histogram(media: DataFrame, bins: int = 4) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, HIST_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id bigint, n_bytes bigint, ahash bigint"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash perceptual fingerprint over DECODED pixels: the
+    full BMP decode runs, then the stored byte stream is reconstructed
+    (bottom-up rows, BGR order — the canonical stream a replay oracle
+    can address by index) and bit i of the hash is set iff stream
+    byte i exceeds the image's mean byte value (integer
+    cross-multiplication b·n > Σ, no float mean). 63 bits (indices
+    0..62) so the hash stays a positive int64. Identical images hash
+    identically regardless of partitioning; near-identical images
+    differ in few bits — the Hamming-join machinery
+    (sim_topk_hamming) applies downstream unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_nb, out_h = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, rows = decode_bmp_pixels(bytes(payload))
+                stream = bytearray()
+                for row in reversed(rows):
+                    for r, g, b in row:
+                        stream += bytes((b, g, r))
+                n = len(stream)
+                tot = sum(stream)
+                hv = 0
+                for i in range(min(63, n)):
+                    if stream[i] * n > tot:
+                        hv |= 1 << i
+                out_id.append(mid)
+                out_nb.append(n)
+                out_h.append(hv)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "n_bytes": pd.Series(out_nb, dtype="int64"),
+                    "ahash": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)

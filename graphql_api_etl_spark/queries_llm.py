@@ -5138,3 +5138,76 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_tokens", "dsir_nano", "rk")
     )
+
+
+@_q(
+    "mm_image_ahash_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 AS s,
+         24 * (4 + (doc_id % 50) % 3) AS nb
+  FROM documents
+),
+i AS (SELECT doc_id, s, nb, unnest(generate_series(0, nb - 1)) AS i FROM d),
+v AS (
+  SELECT doc_id, nb, i,
+         ((((s * 13 + i * 29) * 2654435761) % 4294967296) // 16777216) AS b
+  FROM i
+),
+t AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS tot FROM v GROUP BY doc_id),
+bits AS (
+  SELECT v.doc_id,
+         CAST(sum(CASE WHEN v.i < 63 AND v.b * v.nb > t.tot
+                       THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS ahash
+  FROM v JOIN t ON v.doc_id = t.doc_id
+  GROUP BY v.doc_id
+)
+SELECT ahash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM bits GROUP BY ahash
+""",
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual average-hash on REAL decoded pixels:
+    payloads are synthesized with a 50-way repeated seed (doc_id % 50
+    — the corpus genuinely contains duplicate images), each runs the
+    full stdlib BMP decode, and the 63-bit aHash groups exact visual
+    duplicates with min-id keepers — dedup_exact_groups' hash-groupBy
+    shape applied to the MULTIMODAL column, which is how image-heavy
+    training sets drop repeated crawl assets without comparing bytes
+    pairwise. The DuckDB side replays every pixel byte closed-form
+    (the mm_image_histogram convention) INCLUDING the bit positions,
+    so a decode bug in row order, channel unpacking, or the
+    mean-threshold comparison breaks the hash match — this is the
+    ORDER-SENSITIVE pixel check the order-insensitive histogram
+    can't express.
+
+    Plan: map-only synthesize + Arrow decode/hash, one
+    partial-aggregated shuffle on the 63-bit hash — near-dup images
+    would bucket by Hamming bands next (sim_topk_hamming's
+    machinery), same as text SimHash."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                s = i % 50
+                h = 4 + s % 3
+                return MM.synthesize_bmp_bytes(
+                    8, h, MM.closed_form_pixel_bytes(s, 24 * h)
+                )
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    hashed = MM.image_ahash(media)
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("media_id").cast("bigint").alias("keeper_id"),
+    )
