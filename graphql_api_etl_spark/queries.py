@@ -8303,10 +8303,17 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nli"))
     )
-    base = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        F.col("o_orderkey").alias("k"),
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price"),
-        "nli",
+    base = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("price"),
+            "nli",
+        )
+        # consumed 4× (count, both rank maps, the centered-rank join):
+        # materialize the order-grain frame once instead of re-scanning
+        # orders⋈lineitem per consumer (13 scans → 2 without this)
+        .localCheckpoint(eager=True)
     )
     n = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     wb_price = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
