@@ -5096,12 +5096,21 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         (D.shingle_hash(F.col("tok")) % 256).alias("b"),
     )
-    db = w.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    raw = w.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    # ONE pass over the exploded token stream: the (doc, lang, bucket)
+    # rollup is the only corpus-sized aggregation; raw and target
+    # bucket distributions derive from it (≤ |docs|·256 rows), so the
+    # featurizer explode is never re-scanned per distribution.
+    dlb = (
+        w.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    db = dlb.select("doc_id", "b", "c")
+    raw = dlb.groupBy("b").agg(F.sum("c").cast("bigint").alias("cr"))
     tgt = (
-        w.filter(F.col("lang") == "en")
+        dlb.filter(F.col("lang") == "en")
         .groupBy(F.col("b").alias("bt"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .agg(F.sum("c").cast("bigint").alias("ct"))
     )
     tot = raw.agg(F.sum("cr").cast("bigint").alias("nr")).crossJoin(
         tgt.agg(F.sum("ct").cast("bigint").alias("nt"))
