@@ -5220,3 +5220,95 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         F.min("media_id").cast("bigint").alias("keeper_id"),
     )
+
+
+@_q(
+    "mm_audio_silence_segments",
+    """
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 5) * 100 AS n FROM documents
+),
+i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d),
+s AS (
+  SELECT doc_id, i // 200 AS window_idx,
+         CASE WHEN (i // 200) % 3 = 2
+              THEN (((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768) // 64
+              ELSE ((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768
+         END AS v
+  FROM i
+),
+w AS (
+  SELECT doc_id, window_idx,
+         CAST(floor(sqrt(sum(v * v) / count(*)) * 10000) AS BIGINT) AS rms_micro
+  FROM s GROUP BY doc_id, window_idx
+),
+sil AS (
+  SELECT doc_id, window_idx,
+         window_idx - row_number() OVER (PARTITION BY doc_id ORDER BY window_idx) AS grp
+  FROM w WHERE rms_micro < 10000000
+),
+seg AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+  FROM sil GROUP BY doc_id, grp
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(run) AS BIGINT) AS n_silent_windows,
+       CAST(max(run) AS BIGINT) AS longest_run
+FROM seg GROUP BY doc_id
+""",
+)
+def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection over REAL decoded audio: the synthesized
+    waveforms carry a closed-form amplitude ENVELOPE (every third
+    200-sample window attenuated 64×), the Arrow stage decodes PCM
+    and computes windowed RMS (mm_audio_rms's DSP), and silent
+    windows (< 1e7 micro ≈ −36 dB vs the loud floor) merge into
+    segments by the gaps-and-islands identity (idx − row_number) —
+    per clip: segment count, total silent windows, longest run. This
+    is the pre-processing cut every speech pipeline makes (strip
+    silence before feature extraction / transcription), and the
+    first mm entry whose oracle must reproduce STRUCTURE (runs),
+    not just per-window values: the envelope, the decode, the RMS,
+    the threshold, and the island grouping all have to agree.
+
+    Plan: map-only synthesize + Arrow DSP, one shuffle to (clip,
+    window) grain, per-clip windows over ≤5-row frames, two tiny
+    rollups."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                base = MM.closed_form_samples(i, 600 + i % 5 * 100)
+                shaped = [
+                    v // 64 if (j // 200) % 3 == 2 else v
+                    for j, v in enumerate(base)
+                ]
+                return MM.synthesize_wav_samples(shaped)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    w = MM.audio_rms_windows(media, window=200)
+    sil = w.filter(F.col("rms_micro") < 10000000).select(
+        "media_id", "window_idx",
+        (
+            F.col("window_idx")
+            - F.row_number().over(W.partitionBy("media_id").orderBy("window_idx"))
+        ).alias("grp"),
+    )
+    seg = sil.groupBy("media_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run")
+    )
+    return seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("run").cast("bigint").alias("n_silent_windows"),
+        F.max("run").cast("bigint").alias("longest_run"),
+    )
