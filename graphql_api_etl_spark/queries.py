@@ -7395,7 +7395,7 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_psi_drift",
     """
 WITH e AS (
-  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS es,
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
 ),
@@ -7680,12 +7680,12 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_attribution_credit",
     """
 WITH conv AS (
-  SELECT event_id AS cid, user_id, CAST(epoch(ts) AS BIGINT) AS cts
+  SELECT event_id AS cid, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cts
   FROM events WHERE event_type = 'purchase'
 ),
 touch AS (
   SELECT event_id AS tid, user_id, event_type AS channel,
-         CAST(epoch(ts) AS BIGINT) AS tts
+         CAST(floor(epoch(ts)) AS BIGINT) AS tts
   FROM events WHERE event_type IN ('view', 'click')
 ),
 pair AS (
@@ -7772,7 +7772,7 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_ab_cuped_adjust",
     """
 WITH e AS (
-  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es,
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
 ),
@@ -8910,7 +8910,7 @@ def a_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_did_estimate",
     """
 WITH e AS (
-  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS es,
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
 ),
@@ -9015,4 +9015,106 @@ def a_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(did).cast("bigint").alias("did_cents"),
         F.floor(did / se * 10000).cast("bigint").alias("z_tenthousandths"),
         (F.abs(did / se) > 1.96).alias("significant"),
+    )
+
+
+@_q(
+    "events_circular_hour_stats",
+    """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS minute_bin
+  FROM events
+),
+g AS (
+  SELECT event_type, minute_bin, CAST(count(*) AS BIGINT) AS w
+  FROM e GROUP BY event_type, minute_bin
+),
+t AS (
+  SELECT event_type, w,
+         CAST(floor(1000000.0 * cos(2 * pi() * minute_bin / 1440.0)) AS BIGINT) AS c_t,
+         CAST(floor(1000000.0 * sin(2 * pi() * minute_bin / 1440.0)) AS BIGINT) AS s_t
+  FROM g
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(w) AS BIGINT) AS n,
+         CAST(sum(w * c_t) AS BIGINT) AS sc,
+         CAST(sum(w * s_t) AS BIGINT) AS ss
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+              + CASE WHEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) < 0
+                     THEN 2 * pi() ELSE 0 END)
+            * 24.0 / (2 * pi()) * 1000) AS BIGINT) AS mean_hour_milli,
+       CAST(floor(1000.0 * sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+            / (CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS resultant_milli
+FROM m
+""",
+)
+def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of event time-of-day per
+    type: the mean DIRECTION on the 24 h clock and the resultant
+    length R ∈ [0,1] — the correct "peak hour" answer where the
+    arithmetic mean is wrong by construction (23:00 and 01:00
+    average to noon linearly, midnight circularly; R says whether a
+    peak exists at all: R→0 uniform traffic, R→1 a sharp spike).
+    a_dow_seasonality's χ² says timing is non-uniform; this says
+    WHERE it points.
+
+    Determinism lessons encoded here (this entry found both):
+    (1) DuckDB's epoch(ts) is FRACTIONAL and CAST-to-BIGINT ROUNDS
+    while Spark's unix_timestamp truncates — on sub-second
+    timestamps half the rows land one second apart, so every oracle
+    that seconds-izes a raw ts must floor(epoch(ts)) (this audit
+    hardened four earlier entries whose coarse comparisons had
+    passed by luck). (2) Per-row fixed-pointed trig leaves
+    |rows|-many libm floor-flip opportunities; QUANTIZING
+    time-of-day to 1440 minute bins first (exact integer counts,
+    one shuffle) runs trig once per BIN on identical inputs —
+    verified bit-equal across engines for all 1440 — and keeps
+    Σ count·term an exact BIGINT. atan2/sqrt run once per type
+    over exact integers.
+
+    Plan: one partial-aggregated shuffle to (type, minute) grain
+    (≤ 1440·|types| rows), bin-grain trig, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("(CAST(unix_timestamp(ts) AS BIGINT) % 86400) div 60").alias(
+            "minute_bin"
+        ),
+    )
+    g = e.groupBy("event_type", "minute_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    ang = 2 * 3.141592653589793 * F.col("minute_bin") / 1440.0
+    t = g.select(
+        "event_type", "w",
+        F.floor(1000000.0 * F.cos(ang)).cast("bigint").alias("c_t"),
+        F.floor(1000000.0 * F.sin(ang)).cast("bigint").alias("s_t"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.col("w") * F.col("c_t")).cast("bigint").alias("sc"),
+        F.sum(F.col("w") * F.col("s_t")).cast("bigint").alias("ss"),
+    )
+    a = F.atan2(F.col("ss").cast("double"), F.col("sc").cast("double"))
+    ang_pos = a + F.when(a < 0, 2 * 3.141592653589793).otherwise(0.0)
+    return m.select(
+        "event_type", "n",
+        F.floor(ang_pos * 24.0 / (2 * 3.141592653589793) * 1000)
+        .cast("bigint")
+        .alias("mean_hour_milli"),
+        F.floor(
+            1000.0
+            * F.sqrt(
+                F.col("sc").cast("double") * F.col("sc")
+                + F.col("ss").cast("double") * F.col("ss")
+            )
+            / (F.col("n").cast("double") * 1000000.0)
+        )
+        .cast("bigint")
+        .alias("resultant_milli"),
     )
