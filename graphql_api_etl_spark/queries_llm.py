@@ -5312,3 +5312,117 @@ def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run").cast("bigint").alias("n_silent_windows"),
         F.max("run").cast("bigint").alias("longest_run"),
     )
+
+
+@_q(
+    "curate_quality_auc",
+    rf"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text), 4) AS digit_ratio,
+         CASE WHEN len(t) >= 2
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM toks
+),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(10000.0 * ({_LOGIT_B} + {_LOGIT_W_LNTOK} * ln(n_tokens)
+                    + {_LOGIT_W_STOP} * stopword_ratio
+                    + {_LOGIT_W_DIGIT} * digit_ratio
+                    + {_LOGIT_W_DUP} * dup_2gram_frac)) AS BIGINT) AS z4,
+         CASE WHEN n_tokens BETWEEN 20 AND 10000
+               AND stopword_ratio >= 0.01
+               AND digit_ratio <= 0.30
+               AND dup_2gram_frac <= 0.20 THEN 1 ELSE 0 END AS label
+  FROM f
+),
+g AS (
+  SELECT z4,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+  FROM sc GROUP BY z4
+),
+c AS (
+  SELECT n_pos, n_neg,
+         CAST(coalesce(sum(n_neg) OVER (ORDER BY z4
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+         CAST(sum(n_neg) AS BIGINT) AS nn,
+         CAST(sum(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS auc2_num
+  FROM c
+)
+SELECT np AS n_pos, nn AS n_neg, auc2_num,
+       CAST((1000000 * auc2_num) // (2 * np * nn) AS BIGINT) AS auc_micro
+FROM s
+""",
+)
+def curate_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the fixed-weight quality logit
+    (curate_quality_logit's score) against the hard gate stack
+    (curate_gate_ablation's pass-all label) — classifier evaluation
+    at corpus scale with no sampling and no trapezoid approximation,
+    via the AUC ≡ U/(n₊·n₋) identity: on the score VALUE GRAIN
+    (scores fixed-pointed to 1e4 before grouping), 2·AUC·n₊·n₋ =
+    Σ n₊(s)·(2·cumneg₍₋₎ + n₋(s)) counts win-pairs + half-ties as an
+    exact BIGINT — the a_mannwhitney_u machinery pointed at model
+    eval. This closes the model-eval loop the curation family needs:
+    ablation says what the GATES do, calibration-free AUC says how
+    well the SCORE orders documents against them, before anyone
+    trusts a threshold at 100 TB.
+
+    Plan: one scan computes score and label map-only, one
+    partial-aggregated shuffle to score grain, one running window
+    over that frame, a scalar reduce."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = TX.with_repetition_stats(TX.with_quality_score(TX.with_text_stats(docs)))
+    z = (
+        _LOGIT_B
+        + _LOGIT_W_LNTOK * F.log(F.col("n_tokens"))
+        + _LOGIT_W_STOP * F.col("stopword_ratio")
+        + _LOGIT_W_DIGIT * F.col("digit_ratio")
+        + _LOGIT_W_DUP * F.col("dup_2gram_frac")
+    )
+    label = (
+        F.when(
+            F.col("n_tokens").between(20, 10000)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("digit_ratio") <= 0.30)
+            & (F.col("dup_2gram_frac") <= 0.20),
+            1,
+        ).otherwise(0)
+    )
+    sc = feats.select(
+        F.floor(10000.0 * z).cast("bigint").alias("z4"), label.alias("label")
+    )
+    g = sc.groupBy("z4").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    wb = W.orderBy("z4").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).cast("bigint").alias("cumneg"),
+    )
+    s = c.agg(
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum("n_neg").cast("bigint").alias("nn"),
+        F.sum(F.col("n_pos") * (2 * F.col("cumneg") + F.col("n_neg")))
+        .cast("bigint")
+        .alias("auc2_num"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "auc2_num",
+        F.expr("(1000000 * auc2_num) div (2 * np * nn)").cast("bigint").alias("auc_micro"),
+    )
