@@ -5426,3 +5426,118 @@ def curate_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auc2_num",
         F.expr("(1000000 * auc2_num) div (2 * np * nn)").cast("bigint").alias("auc_micro"),
     )
+
+
+@_q(
+    "curate_f1_threshold",
+    rf"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x)))::DOUBLE
+               / len(t), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text), 4) AS digit_ratio,
+         CASE WHEN len(t) >= 2
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM toks
+),
+sc AS (
+  SELECT CAST(floor(10000.0 * ({_LOGIT_B} + {_LOGIT_W_LNTOK} * ln(n_tokens)
+                    + {_LOGIT_W_STOP} * stopword_ratio
+                    + {_LOGIT_W_DIGIT} * digit_ratio
+                    + {_LOGIT_W_DUP} * dup_2gram_frac)) AS BIGINT) AS z4,
+         CASE WHEN n_tokens BETWEEN 20 AND 10000
+               AND stopword_ratio >= 0.01
+               AND digit_ratio <= 0.30
+               AND dup_2gram_frac <= 0.20 THEN 1 ELSE 0 END AS label
+  FROM f
+),
+g AS (
+  SELECT z4,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+  FROM sc GROUP BY z4
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS np FROM g),
+c AS (
+  SELECT z4,
+         CAST(sum(n_pos) OVER (ORDER BY z4 DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(sum(n_neg) OVER (ORDER BY z4 DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM g
+),
+s AS (
+  SELECT z4, tp, fp, np - tp AS fn,
+         CAST((2000000 * tp) // (2 * tp + fp + (np - tp)) AS BIGINT) AS f1_micro
+  FROM c CROSS JOIN tot
+)
+SELECT z4 AS threshold_z4, tp, fp, fn, f1_micro
+FROM s
+ORDER BY f1_micro DESC, z4 DESC
+LIMIT 1
+""",
+)
+def curate_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational companion to curate_quality_auc: the EXACT
+    F1-optimal cut of the quality score against the gate-stack
+    label, swept over every distinct score in one pass — the
+    threshold a pipeline freezes before applying "keep score ≥ t" to
+    100 TB. On the score value grain, descending cumulative sums
+    give (TP, FP) at every candidate cut simultaneously; F1 =
+    2TP/(2TP+FP+FN) is fixed-pointed per threshold from exact
+    integers and the argmax is pinned by (F1, threshold). No
+    sampling, no grid — the full sweep costs one window over the
+    |distinct scores| frame.
+
+    Plan: same scan + score-grain shuffle as the AUC entry, one
+    descending running window, TakeOrderedAndProject for the
+    argmax."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = TX.with_repetition_stats(TX.with_quality_score(TX.with_text_stats(docs)))
+    z = (
+        _LOGIT_B
+        + _LOGIT_W_LNTOK * F.log(F.col("n_tokens"))
+        + _LOGIT_W_STOP * F.col("stopword_ratio")
+        + _LOGIT_W_DIGIT * F.col("digit_ratio")
+        + _LOGIT_W_DUP * F.col("dup_2gram_frac")
+    )
+    label = (
+        F.when(
+            F.col("n_tokens").between(20, 10000)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("digit_ratio") <= 0.30)
+            & (F.col("dup_2gram_frac") <= 0.20),
+            1,
+        ).otherwise(0)
+    )
+    sc = feats.select(
+        F.floor(10000.0 * z).cast("bigint").alias("z4"), label.alias("label")
+    )
+    g = sc.groupBy("z4").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    tot = g.agg(F.sum("n_pos").cast("bigint").alias("np"))
+    wd = W.orderBy(F.desc("z4")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "z4",
+        F.sum("n_pos").over(wd).cast("bigint").alias("tp"),
+        F.sum("n_neg").over(wd).cast("bigint").alias("fp"),
+    )
+    s = c.crossJoin(F.broadcast(tot)).select(
+        "z4", "tp", "fp",
+        (F.col("np") - F.col("tp")).alias("fn"),
+        F.expr("(2000000 * tp) div (2 * tp + fp + (np - tp))")
+        .cast("bigint")
+        .alias("f1_micro"),
+    )
+    return (
+        s.orderBy(F.desc("f1_micro"), F.desc("z4"))
+        .limit(1)
+        .select(F.col("z4").alias("threshold_z4"), "tp", "fp", "fn", "f1_micro")
+    )
