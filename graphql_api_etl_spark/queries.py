@@ -9118,3 +9118,88 @@ def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("resultant_milli"),
     )
+
+
+@_q(
+    "a_simpsons_detector",
+    """
+WITH base AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+cell AS (
+  SELECT segment, grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM base GROUP BY segment, grp
+),
+strata AS (
+  SELECT segment,
+         max(CASE WHEN grp = 1 THEN n END) AS n1, max(CASE WHEN grp = 1 THEN s END) AS s1,
+         max(CASE WHEN grp = 0 THEN n END) AS n0, max(CASE WHEN grp = 0 THEN s END) AS s0
+  FROM cell GROUP BY segment
+),
+o AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(s1) AS BIGINT) AS s1,
+         CAST(sum(n0) AS BIGINT) AS n0, CAST(sum(s0) AS BIGINT) AS s0
+  FROM strata
+)
+SELECT segment,
+       CAST(n1 AS BIGINT) AS n_urgent, CAST(n0 AS BIGINT) AS n_low,
+       s1 * n0 > s0 * n1 AS urgent_higher,
+       (SELECT s1 * n0 > s0 * n1 FROM o) AS overall_urgent_higher,
+       (s1 * n0 > s0 * n1) != (SELECT s1 * n0 > s0 * n1 FROM o) AS sign_flip
+FROM strata
+""",
+)
+def a_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: does "urgent orders are pricier
+    than low-priority" hold in EVERY market segment, or only in the
+    pooled aggregate (or vice versa)? Each stratum's mean comparison
+    is the exact integer cross-multiplication s₁·n₀ > s₀·n₁ — no
+    mean is ever divided — and the per-stratum direction is compared
+    against the pooled direction computed from the SAME cell sums,
+    flagging sign flips. This is the aggregation-bias audit that
+    belongs next to every segment-level KPI rollup
+    (a_repeat_purchase_rate, a_gini_concentration): a flipped
+    stratum means the pooled number is answering a different
+    question than the per-segment ones.
+
+    Plan: broadcast dim join, ONE partial-aggregated shuffle to the
+    2·|segments| cell grid; strata pivot and the pooled row are both
+    derived from those cells — the fact table is read once."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    cell = base.groupBy("segment", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    pick = lambda g, col: F.max(F.when(F.col("grp") == g, F.col(col)))  # noqa: E731
+    strata = cell.groupBy("segment").agg(
+        pick(1, "n").alias("n1"), pick(1, "s").alias("s1"),
+        pick(0, "n").alias("n0"), pick(0, "s").alias("s0"),
+    )
+    overall = strata.agg(
+        F.sum("n1").cast("bigint").alias("on1"), F.sum("s1").cast("bigint").alias("os1"),
+        F.sum("n0").cast("bigint").alias("on0"), F.sum("s0").cast("bigint").alias("os0"),
+    )
+    stratum_dir = F.col("s1") * F.col("n0") > F.col("s0") * F.col("n1")
+    overall_dir = F.col("os1") * F.col("on0") > F.col("os0") * F.col("on1")
+    return strata.crossJoin(F.broadcast(overall)).select(
+        "segment",
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_low"),
+        stratum_dir.alias("urgent_higher"),
+        overall_dir.alias("overall_urgent_higher"),
+        (stratum_dir != overall_dir).alias("sign_flip"),
+    )
