@@ -4072,7 +4072,7 @@ def _dedup_panel_sql() -> str:
     return rf"""
 WITH h AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+         array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS ch
   FROM documents
 ),
 ex AS (
@@ -5540,4 +5540,93 @@ def curate_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.orderBy(F.desc("f1_micro"), F.desc("z4"))
         .limit(1)
         .select(F.col("z4").alias("threshold_z4"), "tp", "fp", "fn", "f1_micro")
+    )
+
+
+@_q(
+    "dedup_yield_curve",
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS ch
+  FROM documents
+),
+k AS (SELECT ch, min(doc_id) AS keeper FROM h GROUP BY ch),
+d AS (
+  SELECT h.doc_id, h.doc_id > k.keeper AS is_dup
+  FROM h JOIN k ON h.ch = k.ch
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+pref AS (
+  SELECT 1 AS quarter, CAST(count(*) AS BIGINT) AS n_seen,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+  FROM d CROSS JOIN nd WHERE 4 * doc_id < n_docs
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+  FROM d CROSS JOIN nd WHERE 2 * doc_id < n_docs
+  UNION ALL
+  SELECT 3, CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+  FROM d CROSS JOIN nd WHERE 4 * doc_id < 3 * n_docs
+  UNION ALL
+  SELECT 4, CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+  FROM d
+)
+SELECT quarter, n_seen, n_dups,
+       CAST((1000000 * n_dups) // n_seen AS BIGINT) AS dup_rate_micro
+FROM pref
+""",
+)
+def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: the exact-duplicate rate measured over
+    growing arrival-order prefixes (¼, ½, ¾, full corpus, doc_id as
+    arrival) — the capacity-planning signal behind every dedup run:
+    duplication compounds superlinearly as a crawl grows (each new
+    doc can collide with everything before it), so the rate at
+    today's size UNDERSTATES the rate at 4×, and this curve is the
+    measured extrapolation base for storage and compute budgets.
+    The duplicate key is the 8-token LEDE (syndicated articles and
+    templated pages share openings long before full texts match —
+    full-content duplicates are this corpus's rarer exact-dedup
+    case); a document counts as duplicate iff an earlier doc
+    (smaller id) shares its lede — the keeper rule — computed
+    WITHOUT four scans: one hash pass, one keeper aggregate,
+    then four filtered rollups of the same (doc, is_dup) frame.
+
+    Plan: one shuffle to content-hash grain, a keeper join back,
+    four partial-aggregated slices of one stream; the prefix
+    predicates are integer comparisons against the broadcast corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(TX.tokens(F.lower(F.col("text"))), 1, 8), " "
+        ).alias("ch"),
+    )
+    k = h.groupBy("ch").agg(F.min("doc_id").alias("keeper"))
+    d = h.join(k, "ch").select(
+        "doc_id", (F.col("doc_id") > F.col("keeper")).alias("is_dup")
+    ).localCheckpoint(eager=True)
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dd = d.crossJoin(F.broadcast(nd))
+    def slice_(q: int, pred):
+        return dd.filter(pred).agg(
+            F.lit(q).alias("quarter"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+    out = (
+        slice_(1, 4 * F.col("doc_id") < F.col("n_docs"))
+        .unionByName(slice_(2, 2 * F.col("doc_id") < F.col("n_docs")))
+        .unionByName(slice_(3, 4 * F.col("doc_id") < 3 * F.col("n_docs")))
+        .unionByName(slice_(4, F.lit(True)))
+    )
+    return out.select(
+        "quarter", "n_seen", "n_dups",
+        F.expr("(1000000 * n_dups) div n_seen").cast("bigint").alias("dup_rate_micro"),
     )
