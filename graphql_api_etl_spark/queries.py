@@ -9203,3 +9203,77 @@ def a_simpsons_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         overall_dir.alias("overall_urgent_higher"),
         (stratum_dir != overall_dir).alias("sign_flip"),
     )
+
+
+@_q(
+    "events_entropy_rate",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+p AS (
+  SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+),
+r AS (SELECT cur, CAST(sum(n) AS BIGINT) AS rn FROM p GROUP BY cur),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM p),
+term AS (
+  SELECT p.cur, p.nxt,
+         CAST(floor(-1000000000.0 * p.n * ln(CAST(p.n AS DOUBLE) / r.rn)
+              / tot.nt) AS BIGINT) AS h_nano
+  FROM p JOIN r ON p.cur = r.cur CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(h_nano) AS BIGINT) AS entropy_rate_nano
+FROM term
+""",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of the per-user event stream,
+    H(Xₜ₊₁|Xₜ) = −Σ p(i,j)·ln p(j|i) in nats — the single number
+    that says how PREDICTABLE user behaviour is from one step of
+    history (0 = deterministic paths, ln|types| ≈ 1.609 = pure
+    noise), the information-theoretic summary sitting on top of
+    events_markov_transitions' matrix: recommendation and prefetch
+    value lives exactly in the gap below the noise ceiling. Cell
+    terms −n·ln(n/row)/N are fixed-pointed to NANO units per
+    transition cell (the BM25 convention; ≤ |types|² cells) so the
+    reported rate is an exact BIGINT sum.
+
+    Plan: per-user lead over user-partitioned frames, one
+    partial-aggregated shuffle to the |types|² cell grid, dim-grain
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    p = s.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r = p.groupBy(F.col("cur").alias("rcur")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    tot = p.agg(F.sum("n").cast("bigint").alias("nt"))
+    term = (
+        p.join(F.broadcast(r), F.col("cur") == F.col("rcur"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                -1000000000.0
+                * F.col("n")
+                * F.log(F.col("n").cast("double") / F.col("rn"))
+                / F.col("nt")
+            )
+            .cast("bigint")
+            .alias("h_nano")
+        )
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("h_nano").cast("bigint").alias("entropy_rate_nano"),
+    )
