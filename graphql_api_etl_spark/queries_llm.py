@@ -5630,3 +5630,95 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quarter", "n_seen", "n_dups",
         F.expr("(1000000 * n_dups) div n_seen").cast("bigint").alias("dup_rate_micro"),
     )
+
+
+def _langid_kappa_sql() -> str:
+    """Cohen's kappa oracle over the SAME confusion cells as
+    text_langid_eval (shared scoring text)."""
+    profiles = list(TX.DEFAULT_LANG_PROFILES.items())
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + f"], x))) AS score_{name}"
+        for name, markers in profiles
+    )
+    guess, best = f"'{profiles[0][0]}'", f"score_{profiles[0][0]}"
+    for name, _ in profiles[1:]:
+        guess = f"CASE WHEN score_{name} > {best} THEN '{name}' ELSE {guess} END"
+        best = f"CASE WHEN score_{name} > {best} THEN score_{name} ELSE {best} END"
+    return (
+        r"WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t"
+        " FROM documents), "
+        f"scored AS (SELECT doc_id, lang, {score_cols} FROM toks), "
+        f"pred AS (SELECT lang AS gold, {guess} AS pred FROM scored), "
+        "cell AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY gold, pred), "
+        "marg AS (SELECT coalesce(g.gold, p.pred) AS cls, "
+        "         coalesce(g.rn, 0) AS row_n, coalesce(p.cn, 0) AS col_n FROM "
+        "  (SELECT gold, CAST(sum(n) AS BIGINT) AS rn FROM cell GROUP BY gold) g "
+        "  FULL OUTER JOIN "
+        "  (SELECT pred, CAST(sum(n) AS BIGINT) AS cn FROM cell GROUP BY pred) p "
+        "  ON g.gold = p.pred), "
+        "s AS (SELECT "
+        "  (SELECT CAST(sum(n) AS BIGINT) FROM cell) AS nt, "
+        "  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cell WHERE gold = pred) AS agree, "
+        "  CAST(sum(row_n * col_n) AS BIGINT) AS chance_num "
+        "  FROM marg) "
+        "SELECT nt AS n_docs, agree AS n_agree, chance_num, "
+        "  CAST(floor(1000000.0 * (CAST(nt AS DOUBLE) * agree - chance_num) "
+        "       / (CAST(nt AS DOUBLE) * nt - chance_num)) AS BIGINT) AS kappa_micro "
+        "FROM s"
+    )
+
+
+@_q("text_langid_kappa", _langid_kappa_sql())
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID gate: chance-corrected
+    agreement between the marker-argmax guess and the gold label —
+    the honest summary of text_langid_eval's confusion matrix when
+    classes are imbalanced (raw accuracy is inflated by the dominant
+    class; kappa subtracts the agreement the marginals alone would
+    produce). κ = (N·Σdiag − Σrowᵢ·colᵢ)/(N² − Σrowᵢ·colᵢ): both
+    numerator and denominator are exact BIGINT cross-products of
+    cell counts; one double division, floored. Classes appearing
+    only as gold or only as prediction enter via the full-outer
+    marginal join with a zero partner (their chance product is 0,
+    exactly as the formula wants).
+
+    Plan: the lang-id scoring scan, one shuffle to the |langs|²
+    cell grid, marginals + a scalar row derived from the cells."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = TX.with_lang_guess(docs).select(
+        F.col("lang").alias("gold"), F.col("lang_guess").alias("pred")
+    )
+    cell = pred.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)
+    rows_ = cell.groupBy("gold").agg(F.sum("n").cast("bigint").alias("rn"))
+    cols_ = cell.groupBy(F.col("pred").alias("pcls")).agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    marg = rows_.join(cols_, F.col("gold") == F.col("pcls"), "full_outer").select(
+        F.coalesce(F.col("rn"), F.lit(0)).alias("row_n"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("col_n"),
+    )
+    chance = marg.agg(
+        F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias("chance_num")
+    )
+    base = cell.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    return base.crossJoin(F.broadcast(chance)).select(
+        F.col("nt").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        "chance_num",
+        F.floor(
+            1000000.0
+            * (F.col("nt").cast("double") * F.col("agree") - F.col("chance_num"))
+            / (F.col("nt").cast("double") * F.col("nt") - F.col("chance_num"))
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
