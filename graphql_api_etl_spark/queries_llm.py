@@ -5722,3 +5722,67 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kappa_micro"),
     )
+
+
+@_q(
+    "text_readability_flesch",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+ '),
+              x -> length(trim(x)) > 0)) AS BIGINT) AS n_sent,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+           AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_sent, n_words, n_syll,
+       CAST(floor(1000.0 * (206.835
+            - 1.015 * CAST(n_words AS DOUBLE) / greatest(n_sent, 1)
+            - 84.6 * CAST(n_syll AS DOUBLE) / greatest(n_words, 1))) AS BIGINT)
+         AS flesch_milli
+FROM s
+""",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-run syllable
+    heuristic (maximal [aeiouy]+ groups ≈ syllables — the standard
+    cheap proxy; the regex is lookahead-free so Java and RE2 count
+    identically) and the text_sentence_split segmentation rule —
+    readability joins the quality-feature family
+    (text_quality_stats' ratios, repetition, LM typicality) as the
+    classic fluency signal curation stacks threshold on: very low
+    ease flags legalese/boilerplate, implausibly high flags
+    token-salad. Counts are exact integers; the published Flesch
+    constants are frozen in the query text and the one double
+    expression is fixed-pointed to milli units.
+
+    Plan: pure map pass — three regex counts per row, no shuffle at
+    all; composes with the curation gate at zero extra cost."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+ "),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    ).cast("bigint")
+    n_words = F.size(TX.tokens(F.col("text"))).cast("bigint")
+    n_syll = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("bigint")
+    s = docs.select(
+        "doc_id",
+        n_sent.alias("n_sent"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    ease = (
+        206.835
+        - 1.015 * F.col("n_words").cast("double") / F.greatest(F.col("n_sent"), F.lit(1))
+        - 84.6 * F.col("n_syll").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    )
+    return s.select(
+        "doc_id", "n_sent", "n_words", "n_syll",
+        F.floor(1000.0 * ease).cast("bigint").alias("flesch_milli"),
+    )
