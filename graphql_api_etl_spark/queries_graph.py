@@ -695,3 +695,145 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sj", "sj2", "sjk",
         F.floor(1000000.0 * r).cast("bigint").alias("assortativity_micro"),
     )
+
+
+def _modularity_oracle() -> str:
+    """Newman modularity of the LPA communities: the _lpa_oracle CTE
+    chain extended with within-community edge counts and community
+    degree sums; Q = Σ_c (4m·e_c − d_c²) / 4m² over exact BIGINTs."""
+    parts = ["WITH " + _LPA_EDGES_SQL]
+    parts.append(", l0 AS (SELECT node, node AS label FROM nodes)")
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM und e JOIN l{i - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    k = LPA_ITERS
+    return (
+        "".join(parts)
+        + f""", mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+win AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+  FROM edges e JOIN l{k} la ON e.u = la.node JOIN l{k} lb ON e.v = lb.node
+  WHERE la.label = lb.label GROUP BY la.label
+),
+ds AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS d
+  FROM und e JOIN l{k} la ON e.src = la.node GROUP BY la.label
+),
+per AS (
+  SELECT ds.label, coalesce(win.e_in, 0) AS e_in, ds.d
+  FROM ds LEFT JOIN win ON ds.label = win.label
+)
+SELECT mm.m AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(4 * mm.m * e_in - d * d) AS BIGINT) AS q_num,
+       CAST(floor(1000000.0 * sum(4 * mm.m * e_in - d * d)
+            / (4.0 * mm.m * mm.m)) AS BIGINT) AS modularity_micro
+FROM per CROSS JOIN mm
+GROUP BY mm.m"""
+    )
+
+
+@_q("graph_modularity", _modularity_oracle)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities — the
+    quality score that says whether graph_label_propagation found
+    real structure (Q near 0: the partition is no better than random
+    wiring given the degree sequence; Q ≳ 0.3: genuine communities)
+    BEFORE anyone uses community ids as a blocking key. Q folds to
+    Σ_c (4m·e_c − d_c²)/4m² over exact BIGINTs: within-community
+    edge counts from one labels-on-both-endpoints join, community
+    degree sums from the oriented incidence list, one double
+    division at the end. The oracle replays the SAME fixed-round LPA
+    (shared CTE text) before scoring, so labels and score are
+    engine-identical end to end.
+
+    Plan: the LPA rounds (one join + argmax window per round,
+    lineage-truncated), then two label-keyed aggregates and a
+    community-grain rollup — scoring costs one pass over edges."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        counts = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(und.dst.alias("node2"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    win = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    ds = (
+        und.join(labels, und.src == labels.node)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    per = ds.join(win, "label", "left").select(
+        "label",
+        F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+        "d",
+    )
+    mm = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return (
+        per.crossJoin(F.broadcast(mm))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.sum(4 * F.col("m") * F.col("e_in") - F.col("d") * F.col("d"))
+            .cast("bigint")
+            .alias("q_num"),
+        )
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "q_num",
+            F.floor(
+                1000000.0 * F.col("q_num")
+                / (4.0 * F.col("m").cast("double") * F.col("m"))
+            )
+            .cast("bigint")
+            .alias("modularity_micro"),
+        )
+    )
