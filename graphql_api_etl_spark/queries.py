@@ -9277,3 +9277,71 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("h_nano").cast("bigint").alias("entropy_rate_nano"),
     )
+
+
+@_q(
+    "events_user_streaks",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+runs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+  FROM isl GROUP BY user_id, grp
+),
+per_user AS (
+  SELECT user_id, CAST(max(streak) AS BIGINT) AS best_streak
+  FROM runs GROUP BY user_id
+)
+SELECT best_streak,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY best_streak
+""",
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as
+    the streak-length distribution — the engagement metric product
+    teams actually ship ("7-day streak!") and the retention signal
+    a_growth_accounting's week-grain lag classes are too coarse to
+    see. Classic gaps-and-islands at USER-DAY grain: distinct
+    (user, epoch-day) first (one shuffle collapses event volume to
+    at most users×days rows), then day − row_number() is constant
+    exactly within a consecutive run, and two rollups give each
+    user's best streak and the population histogram. Every value is
+    an exact integer; date_trunc before epoch keeps the day index
+    immune to the fractional-seconds cast hazard this module's
+    oracles document.
+
+    Plan: one distinct shuffle to user-day grain, per-user windows
+    over that grain (never raw events), two partial-aggregated
+    rollups — the event table is read once."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 86400"
+        ).alias("day"),
+    ).distinct()
+    isl = ud.select(
+        "user_id", "day",
+        (
+            F.col("day")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("best_streak")
+    )
+    return per_user.groupBy("best_streak").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
