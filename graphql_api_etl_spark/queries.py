@@ -9345,3 +9345,77 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("best_streak").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@_q(
+    "a_hhi_concentration",
+    """
+WITH rev AS (
+  SELECT n_name AS nation, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice / 1000 + 0.5) AS BIGINT)) AS BIGINT) AS kd
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_suppkey
+),
+s AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(kd) AS BIGINT) AS total,
+         CAST(sum(kd * kd) AS BIGINT) AS sumsq
+  FROM rev GROUP BY nation
+)
+SELECT nation, n_suppliers, total AS total_kdollars,
+       CAST(((1000000 * sumsq) // total) // total AS BIGINT) AS hhi_micro,
+       CAST((1000 * total * total) // sumsq AS BIGINT) AS effective_n_milli
+FROM s
+""",
+)
+def a_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    HHI = Σ shareᵢ² of supplier revenue, plus its inverse — the
+    EFFECTIVE number of suppliers (1/HHI, the inverse-Simpson
+    diversity) — the concentration KPI procurement and antitrust
+    actually use, and the supply-risk complement to
+    a_gini_concentration's inequality view (Gini asks "how unequal",
+    HHI asks "how few firms effectively exist"). Share squares never
+    materialize — HHI = Σcᵢ²/(Σc)² from two exact BIGINT moments of
+    the (nation, supplier) revenue rollup — and NO float ever runs:
+    revenue is k$-granular (cents-squared overflows int64, and a
+    float ratio rounds 10⁶·s/s² to 999999.999… on single-supplier
+    nations — observed), 10⁶·Σc² fits comfortably, and the nested
+    integer division ((10⁶·Σc²)//Σc)//Σc equals
+    floor(10⁶·Σc²/(Σc)²) exactly (the positive-integer
+    floor-composition identity), so a one-supplier nation reports
+    precisely 1000000.
+
+    Plan: one partial-aggregated shuffle to (nation, supplier) grain
+    with broadcast dim joins, one rollup to |nations| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") / 1000 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("kd")
+        )
+    )
+    s = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("kd").cast("bigint").alias("total"),
+        F.sum(F.col("kd") * F.col("kd")).cast("bigint").alias("sumsq"),
+    )
+    return s.select(
+        "nation", "n_suppliers",
+        F.col("total").alias("total_kdollars"),
+        F.expr("((1000000 * sumsq) div total) div total")
+        .cast("bigint")
+        .alias("hhi_micro"),
+        F.expr("(1000 * total * total) div sumsq")
+        .cast("bigint")
+        .alias("effective_n_milli"),
+    )
