@@ -4072,7 +4072,7 @@ def _dedup_panel_sql() -> str:
     return rf"""
 WITH h AS (
   SELECT doc_id,
-         array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ') AS ch
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
   FROM documents
 ),
 ex AS (
