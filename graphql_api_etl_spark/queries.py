@@ -9419,3 +9419,74 @@ def a_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("effective_n_milli"),
     )
+
+
+def _parquet_meta_oracle() -> str:
+    """Row-group inventory oracle via DuckDB's parquet_metadata()
+    against the SAME sf dir the Spark side reads
+    ($SPARK_GRAFT_ORACLE_SF_DIR, default the driver's sf0.01)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    parts = []
+    for t in ("lineitem", "orders", "events"):
+        parts.append(
+            f"""SELECT '{t}' AS table_name, CAST(row_group_id AS BIGINT) AS row_group,
+       CAST(row_group_num_rows AS BIGINT) AS num_rows,
+       CAST(count(*) AS BIGINT) AS n_columns,
+       CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
+FROM parquet_metadata('{sf_dir}/{t}.parquet')
+GROUP BY row_group_id, row_group_num_rows"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@_q("source_parquet_metadata", _parquet_meta_oracle)
+def source_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet ROW-GROUP inventory for the three fact tables — the
+    storage-introspection pass behind every layout decision this
+    repo's layout_* entries then act on: row-group row counts decide
+    whether maxPartitionBytes splits do anything, compressed bytes
+    per group expose compaction debt (layout_compacted_scan), and a
+    skewed group is a straggler foretold. Footers are harvested
+    DISTRIBUTED: the file manifest becomes a DataFrame and each
+    executor opens only footer bytes via pyarrow inside
+    ``mapInPandas`` — at 100 TB the manifest is millions of files
+    and THIS is the only shape that works (a driver loop over
+    footers is the classic metadata bottleneck). DuckDB's
+    parquet_metadata() replays the same numbers, so the differential
+    pins byte-exact agreement between two independent footer
+    parsers.
+
+    Plan: manifest-sized input, Arrow map stage, no shuffle; output
+    is row-group grain."""
+    import pandas as pd
+
+    files = [(t, f"{sf_dir}/{t}.parquet") for t in ("lineitem", "orders", "events")]
+    manifest = spark.createDataFrame(files, "table_name string, path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"table_name": [], "row_group": [], "num_rows": [],
+                   "n_columns": [], "compressed_bytes": []}
+            for t, path in zip(pdf["table_name"], pdf["path"]):
+                meta = pq.ParquetFile(path).metadata
+                for i in range(meta.num_row_groups):
+                    rg = meta.row_group(i)
+                    out["table_name"].append(t)
+                    out["row_group"].append(i)
+                    out["num_rows"].append(rg.num_rows)
+                    out["n_columns"].append(rg.num_columns)
+                    out["compressed_bytes"].append(
+                        sum(rg.column(j).total_compressed_size
+                            for j in range(rg.num_columns))
+                    )
+            yield pd.DataFrame(out)
+
+    return manifest.mapInPandas(
+        read_footers,
+        "table_name string, row_group bigint, num_rows bigint, "
+        "n_columns bigint, compressed_bytes bigint",
+    )
