@@ -9490,3 +9490,72 @@ def source_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, row_group bigint, num_rows bigint, "
         "n_columns bigint, compressed_bytes bigint",
     )
+
+
+@_q(
+    "x_fiscal_445_calendar",
+    """
+WITH wk AS (
+  SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS fy,
+         CAST(weekofyear(o_orderdate) AS BIGINT) AS w,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+p AS (
+  SELECT fy,
+         CAST(least(4, (w - 1) // 13 + 1) AS BIGINT) AS quarter,
+         CAST(CASE WHEN w >= 53 THEN 12
+                   ELSE least(4, (w - 1) // 13 + 1) * 3 - 3
+                        + CASE WHEN (w - 1) % 13 < 4 THEN 1
+                               WHEN (w - 1) % 13 < 8 THEN 2
+                               ELSE 3 END
+              END AS BIGINT) AS period,
+         cents
+  FROM wk
+)
+SELECT fy AS fiscal_year, quarter, period,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM p GROUP BY fy, quarter, period
+""",
+)
+def x_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal calendar rollup: orders mapped onto the
+    retail-standard week-based calendar (four 13-week quarters of
+    4+4+5-week periods on the ISO week grid; ISO week 53 folds into
+    period 12, the leap-week convention) — the calendar ops entry
+    the month-grain rollups (a_monthly_growth, adoption) can't
+    substitute for, because 4-4-5 periods contain the SAME number of
+    weekdays every year, which is the whole point retailers use them
+    (month-over-month comps stop lying about weekend counts). ISO
+    week/year come from both engines' native functions — verified
+    identical across year boundaries (the Dec 29–Jan 3 rows that
+    belong to the neighbouring ISO year are where naive
+    year(month()) calendars silently misfile revenue); everything
+    after is integer div/mod on the week number.
+
+    Plan: map-only calendar math, one partial-aggregated shuffle to
+    (fy, period) grain."""
+    o = _t(spark, sf_dir, "orders")
+    wk = o.select(
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("bigint").alias("fy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("w"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    quarter = F.least(F.lit(4), F.expr("(w - 1) div 13 + 1")).cast("bigint")
+    in_q = (F.col("w") - 1) % 13
+    period = (
+        F.when(F.col("w") >= 53, 12)
+        .otherwise(
+            quarter * 3 - 3
+            + F.when(in_q < 4, 1).when(in_q < 8, 2).otherwise(3)
+        )
+        .cast("bigint")
+    )
+    p = wk.select("fy", quarter.alias("quarter"), period.alias("period"), "cents")
+    return p.groupBy(
+        F.col("fy").alias("fiscal_year"), "quarter", "period"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
