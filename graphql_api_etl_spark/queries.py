@@ -9559,3 +9559,104 @@ def x_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@_q(
+    "a_abc_xyz_matrix",
+    """
+WITH pm AS (
+  SELECT l_partkey AS part, date_trunc('month', l_shipdate) AS m,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS dollars
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT part,
+         CAST(sum(dollars) AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS n_m,
+         CAST(sum(qty) AS BIGINT) AS s1,
+         CAST(sum(qty * qty) AS BIGINT) AS s2
+  FROM pm GROUP BY part
+),
+abc AS (
+  SELECT part, rev, n_m, s1, s2,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, part
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(rev) OVER () AS BIGINT) AS total
+  FROM per
+),
+cls AS (
+  SELECT CASE WHEN 10 * cum <= 8 * total THEN 'A'
+              WHEN 100 * cum <= 95 * total THEN 'B' ELSE 'C' END AS abc_class,
+         CASE WHEN n_m < 2 THEN 'Z'
+              WHEN 4 * n_m * (n_m * s2 - s1 * s1) <= s1 * s1 * (n_m - 1) THEN 'X'
+              WHEN n_m * (n_m * s2 - s1 * s1) <= s1 * s1 * (n_m - 1) THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         rev
+  FROM abc
+)
+SELECT abc_class, xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue_dollars
+FROM cls GROUP BY abc_class, xyz_class
+""",
+)
+def a_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: revenue importance (A ≤ 80% cumulative
+    share, B ≤ 95%, C rest — a_abc_pareto's classes) CROSSED with
+    demand variability (X: monthly-demand CV ≤ ½, Y: CV ≤ 1, Z:
+    erratic or too short to tell) — the nine-cell planning grid that
+    decides stocking policy (AX: automate replenishment; CZ: make to
+    order). The CV thresholds are exact integer cross-multiplications
+    of the per-part monthly moments — CV² = n(nΣq² − (Σq)²)/((n−1)(Σq)²)
+    compared against ¼ and 1 by clearing denominators (4n(nΣq²−(Σq)²)
+    ≤ (Σq)²(n−1), etc.) — so no variance, mean, or ratio is ever a
+    float; the ABC cut reuses the integer cumulative-share
+    comparisons.
+
+    Plan: one shuffle to (part, month) grain, one to part grain, a
+    part-dim ranking window for the cumulative share, one rollup to
+    ≤9 cells."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("dollars"),
+    )
+    per = pm.groupBy("part").agg(
+        F.sum("dollars").cast("bigint").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum("qty").cast("bigint").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("s2"),
+    )
+    wc = W.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    abc = per.select(
+        "part", "rev", "n_m", "s1", "s2",
+        F.sum("rev").over(wc).cast("bigint").alias("cum"),
+        F.sum("rev").over(wall).cast("bigint").alias("total"),
+    )
+    var_num = F.col("n_m") * (F.col("n_m") * F.col("s2") - F.col("s1") * F.col("s1"))
+    cv_den = F.col("s1") * F.col("s1") * (F.col("n_m") - 1)
+    cls = abc.select(
+        F.when(10 * F.col("cum") <= 8 * F.col("total"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("n_m") < 2, "Z")
+        .when(4 * var_num <= cv_den, "X")
+        .when(var_num <= cv_den, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev",
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("revenue_dollars"),
+    )
