@@ -9660,3 +9660,92 @@ def a_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("rev").cast("bigint").alias("revenue_dollars"),
     )
+
+
+@_q(
+    "events_lead_lag_xcorr",
+    """
+WITH d AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS v,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(-7, 8)) AS lag),
+pair AS (
+  SELECT l.lag, a.v AS x, b.p AS y
+  FROM lags l JOIN d a ON TRUE JOIN d b ON b.day = a.day + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pair GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_days,
+       CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+            AS BIGINT) AS xcorr_micro
+FROM m
+""",
+)
+def events_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily 'view' and
+    'purchase' series at lags −7..+7 days: the peak lag answers "how
+    long after browsing does buying happen?" — the cross-series
+    companion to a_autocorr_lag's self-correlation, and the cheap
+    screen run before any causal read of funnel timing (a peak at
+    lag 0 with flat tails on this corpus is itself the honest
+    finding: the synthetic streams co-move within a day). Per lag,
+    the aligned-day pairing comes from a day-key equi-join (never a
+    row-shifted window, so day gaps align correctly), and the five
+    Pearson moments are exact BIGINTs; one double expression per lag
+    row, floored.
+
+    Plan: one partial-aggregated shuffle to day grain with FILTER
+    pivots, a 15-lag × day-grain join (broadcast the 15-row lag
+    frame), one rollup to 15 rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 86400").alias(
+            "day"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    ).localCheckpoint(eager=True)
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    a = d.select(F.col("day").alias("aday"), F.col("v").alias("x"))
+    b = d.select(F.col("day").alias("bday"), F.col("p").alias("y"))
+    pair = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("bday") == F.col("aday") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    m = pair.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    r = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        F.floor(1000000.0 * r).cast("bigint").alias("xcorr_micro"),
+    )
