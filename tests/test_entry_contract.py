@@ -61,3 +61,17 @@ def test_priority_window_spends_slots_where_evidence_is_weakest():
     latest_green, newest_misses, newest_round = load_history(repo, reg_order)
     problems = check_window(names[:50], names, latest_green, newest_misses, newest_round)
     assert problems == [], "\n".join(problems)
+
+
+def test_duplicate_registration_raises():
+    """Catalog names are unique by construction (VERDICT r5 ask #4):
+    re-registering a name raises instead of silently shadowing the
+    first definition (dict semantics would hide the dead twin from the
+    plan audit and the oracle differential)."""
+    import pytest
+
+    from graphql_api_etl_spark.queries import QUERIES, _q
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="registered twice"):
+        _q(existing, "SELECT 1")(lambda spark, sf_dir: None)
