@@ -23,68 +23,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-6 window (VERDICT r5 ask #1): rotated via scripts/rotate_window.py
-# immediately after CORRECTNESS_r05.json landed (50/50 green). 134 of the
-# 273 catalog entries had never been inside the driver's 50-slot window;
-# this round's window is 100% never-driver-checked entries, drawn in
-# registration order. All 139 previously-windowed entries carry a green
-# latest driver row; every entry not in the window stays green on the
-# local driver-replica gate (tests/test_oracle_diff.py) at
-# sf0.001/0.01/0.1 before each commit.
+# Round-7 window (VERDICT r6 ask #1): rotated at ROUND START via
+# scripts/rotate_window.py against the committed CORRECTNESS_r01..r06
+# history. 84 of the 273 catalog entries had never been inside the
+# driver's 50-slot window; this window is 100% never-driver-checked
+# entries in registration order (the remaining 34 are pre-staged for
+# r8 in scripts/window_r8.py). All 189 previously-windowed entries
+# carry a green latest driver row; every entry not in the window stays
+# green on the local driver-replica gate (tests/test_oracle_diff.py)
+# at sf0.001/0.01/0.1 before each commit.
 _PRIORITY = [
-    "a_grouping_sets",  # never-checked
-    "events_markov_transitions",  # never-checked
-    "events_json_variant",  # never-checked
-    "sim_topk_pq",  # never-checked
-    "sim_topk_ivfpq",  # never-checked
-    "dedup_panel_report",  # never-checked
-    "curate_split_leakage",  # never-checked
-    "text_jsd_by_lang",  # never-checked
-    "text_rake_keyphrases",  # never-checked
-    "text_pmi_collocations",  # never-checked
-    "text_word_burstiness",  # never-checked
-    "text_langid_eval",  # never-checked
-    "curate_gate_ablation",  # never-checked
-    "curate_ccnet_buckets",  # never-checked
-    "emb_class_separation",  # never-checked
-    "sim_mmr_rerank",  # never-checked
-    "curate_dsir_weights",  # never-checked
-    "mm_image_ahash_dedup",  # never-checked
-    "mm_audio_silence_segments",  # never-checked
-    "curate_quality_auc",  # never-checked
-    "curate_f1_threshold",  # never-checked
-    "dedup_yield_curve",  # never-checked
-    "text_langid_kappa",  # never-checked
-    "text_readability_flesch",  # never-checked
-    "events_latest_per_user",  # never-checked
-    "source_text_lines",  # never-checked
-    "sink_scd2_history",  # never-checked
-    "x_datetime_functions",  # never-checked
-    "curate_dataset_card",  # never-checked
-    "x_math_functions",  # never-checked
-    "x_null_semantics",  # never-checked
-    "events_anomaly_zscore",  # never-checked
-    "so_union_schema_evolution",  # never-checked
-    "source_schema_merge_read",  # never-checked
-    "x_array_functions",  # never-checked
-    "a_corr_covar",  # never-checked
-    "x_regex_functions",  # never-checked
-    "a_filtered_agg",  # never-checked
-    "x_map_functions",  # never-checked
-    "x_edit_distance",  # never-checked
-    "a_histogram_bins",  # never-checked
-    "a_mode_per_group",  # never-checked
-    "events_max_concurrency",  # never-checked
-    "x_scd2_history",  # never-checked
-    "events_transition_matrix",  # never-checked
-    "a_rfm_scores",  # never-checked
-    "a_profile_columns",  # never-checked
-    "dq_expectations",  # never-checked
-    "text_sentence_split",  # never-checked
-    "events_ewma_trailing",  # never-checked
+    "a_benford_first_digit",  # never-checked
+    "a_quantile_buckets",  # never-checked
+    "a_entropy_per_group",  # never-checked
+    "events_interarrival_stats",  # never-checked
+    "a_monthly_growth",  # never-checked
+    "events_range_frame_sum",  # never-checked
+    "events_path_analysis",  # never-checked
+    "events_ohlc_bars",  # never-checked
+    "events_active_users",  # never-checked
+    "a_key_skew_report",  # never-checked
+    "source_fixed_width",  # never-checked
+    "a_audience_overlap",  # never-checked
+    "a_market_basket",  # never-checked
+    "x_try_cast_tolerant",  # never-checked
+    "a_group_ols",  # never-checked
+    "layout_dpp_prune",  # never-checked
+    "a_autocorr_lag",  # never-checked
+    "graph_triangle_count",  # never-checked
+    "graph_bfs_distances",  # never-checked
+    "graph_link_prediction",  # never-checked
+    "graph_label_propagation",  # never-checked
+    "graph_degree_assortativity",  # never-checked
+    "graph_modularity",  # never-checked
+    "stream_hourly_counts",  # never-checked
+    "stream_distinct_user_types",  # never-checked
+    "stream_latest_state_upsert",  # never-checked
+    "stream_session_windows",  # never-checked
+    "stream_static_enrich_join",  # never-checked
+    "a_heavy_hitters_cms",  # never-checked
+    "j_fuzzy_blocked",  # never-checked
+    "events_hypertable_rollup",  # never-checked
+    "a_ab_test_ztest",  # never-checked
+    "a_mad_outliers",  # never-checked
+    "a_abc_pareto",  # never-checked
+    "events_resample_interpolate",  # never-checked
+    "ts_sax_symbols",  # never-checked
+    "ts_similarity_topk",  # never-checked
+    "a_forecast_seasonal_naive",  # never-checked
+    "dq_table_checksums",  # never-checked
+    "source_xml_records",  # never-checked
+    "a_dow_seasonality",  # never-checked
+    "a_growth_accounting",  # never-checked
+    "a_decile_lift",  # never-checked
+    "events_slo_error_budget",  # never-checked
+    "a_contingency_chisq",  # never-checked
+    "dq_pseudonymize",  # never-checked
+    "x_decimal_money_exact",  # never-checked
+    "a_weighted_median",  # never-checked
+    "events_cusum_changepoint",  # never-checked
+    "events_sma_crossover",  # never-checked
 ]
-
-
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(front)]

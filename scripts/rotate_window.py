@@ -32,28 +32,10 @@ def main() -> None:
     from graphql_api_etl_spark.queries import QUERIES
 
     reg_order = {name: i for i, name in enumerate(QUERIES)}
-
-    files = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                               "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green, _first_green, newest_misses, _newest_round = load_history(
+        repo_root, reg_order
     )
-    latest_green: dict[str, int] = {}
-    newest_misses: list[str] = []
-    for path in files:
-        rnd = int(re.search(r"r(\d+)", path).group(1))
-        data = json.load(open(path))
-        misses = []
-        for name, row in data.items():
-            if name not in reg_order:
-                continue  # renamed/retired entry
-            ok = bool(row.get("rows_match")) and bool(row.get("hash_match") is not False)
-            if ok:
-                latest_green[name] = max(latest_green.get(name, -1), rnd)
-            else:
-                misses.append(name)
-        if path == files[-1]:
-            newest_misses = [n for n in misses]
 
     never_checked = [n for n in reg_order if n not in latest_green and n not in newest_misses]
 
@@ -80,12 +62,18 @@ def main() -> None:
 
 
 def load_history(repo_root: str, reg_order: dict[str, int]):
-    """(latest_green, newest_misses, newest_round) from CORRECTNESS_r*.json."""
+    """(latest_green, first_green, newest_misses, newest_round) from
+    CORRECTNESS_r*.json.  ``first_green`` is the round an entry FIRST
+    went green in — ``check_window`` uses it to tell a just-completed
+    window (every slot green for the first time in the newest round,
+    the expected post-driver state) from a stale one that burned its
+    slots re-checking entries already proven in earlier rounds."""
     files = sorted(
         glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
     latest_green: dict[str, int] = {}
+    first_green: dict[str, int] = {}
     newest_misses: list[str] = []
     newest_round = 0
     for path in files:
@@ -99,30 +87,39 @@ def load_history(repo_root: str, reg_order: dict[str, int]):
             ok = bool(row.get("rows_match")) and bool(row.get("hash_match") is not False)
             if ok:
                 latest_green[name] = max(latest_green.get(name, -1), rnd)
+                first_green.setdefault(name, rnd)
             else:
                 misses.append(name)
         if path == files[-1]:
             newest_misses = misses
-    return latest_green, newest_misses, newest_round
+    return latest_green, first_green, newest_misses, newest_round
 
 
 def check_window(
     window_names: list[str],
     all_names: list[str],
     latest_green: dict[str, int],
+    first_green: dict[str, int],
     newest_misses: list[str],
     newest_round: int,
     core_allowance: int = 8,
 ) -> list[str]:
-    """Freshness invariant (VERDICT r4 ask #7): the driver's 50-slot
-    window must be SPENT where evidence is weakest, every round, or the
-    123-entry never-checked backlog never drains. Violations:
+    """Freshness invariant (VERDICT r4 ask #7, restructured per VERDICT
+    r6 ask #1): the driver's 50-slot window must be SPENT where
+    evidence is weakest, every round, or the never-checked backlog
+    never drains. Violations:
 
     1. a newest-round MISS left outside the window (fix must be
        re-checked immediately);
-    2. more than ``core_allowance`` window slots hold already-green
-       entries while never-driver-checked entries wait outside (the
-       allowance keeps flagship/core under continuous check);
+    2. more than ``core_allowance`` window slots hold STALE greens —
+       entries first proven green in a round BEFORE the newest — while
+       never-driver-checked entries wait outside.  A slot whose FIRST
+       green is the newest round is a *completed* check, not a wasted
+       slot: the driver lands each round's CORRECTNESS file before the
+       suite is re-run, so the expected post-round state is "every
+       window slot freshly green".  An un-rotated window is still
+       caught one round later: its slots then carry greens from two
+       rounds, making ``first_green`` older than the newest round.
     3. an entry whose latest green is older than ``ceil(N/window)+2``
        rounds sits outside the window (round-robin starvation).
     """
@@ -134,12 +131,16 @@ def check_window(
     never = [n for n in all_names if n not in latest_green and n not in newest_misses]
     waiting = [n for n in never if n not in window]
     if waiting:
-        greens_in_window = [n for n in window_names if n in latest_green]
-        if len(greens_in_window) > core_allowance:
+        stale_greens = [
+            n for n in window_names
+            if n in first_green and first_green[n] < newest_round
+        ]
+        if len(stale_greens) > core_allowance:
             problems.append(
-                f"{len(greens_in_window)} window slots hold already-green entries "
-                f"(allowance {core_allowance}) while {len(waiting)} never-checked "
-                f"entries wait outside — re-run scripts/rotate_window.py"
+                f"{len(stale_greens)} window slots hold stale already-green entries "
+                f"(first green before r{newest_round}; allowance {core_allowance}) "
+                f"while {len(waiting)} never-checked entries wait outside — "
+                f"re-run scripts/rotate_window.py"
             )
     if latest_green:
         import math

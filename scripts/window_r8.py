@@ -1,0 +1,67 @@
+"""Pre-staged round-8 ``_PRIORITY`` window (VERDICT r6 ask #7).
+
+Computed by scripts/rotate_window.py policy against the committed
+CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
+the round-7 window: the 34 entries that will still be never-driver-
+checked after r7 (registration order), then the 16 oldest-green
+entries (all last green in r3) as round-robin refresh fills.
+
+At round-8 start the rotation is a one-commit act: copy
+``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
+CORRECTNESS_r07.json shows misses, move those to the front first —
+tests/test_entry_contract.py::test_prestaged_r8_window_is_valid
+verifies this list against the simulated history).
+"""
+
+PRIORITY_R8 = [
+    "a_adoption_curve",  # never-checked
+    "a_repeat_purchase_rate",  # never-checked
+    "a_kmv_distinct_sketch",  # never-checked
+    "a_hll_registers",  # never-checked
+    "a_mannwhitney_u",  # never-checked
+    "a_gini_concentration",  # never-checked
+    "dq_functional_deps",  # never-checked
+    "a_poisson_bootstrap_ci",  # never-checked
+    "dq_psi_drift",  # never-checked
+    "a_ks_two_sample",  # never-checked
+    "events_theilsen_trend",  # never-checked
+    "events_attribution_credit",  # never-checked
+    "a_ab_cuped_adjust",  # never-checked
+    "a_ab_power_analysis",  # never-checked
+    "a_order_to_ship_latency",  # never-checked
+    "sink_snapshot_diff",  # never-checked
+    "x_largest_remainder_alloc",  # never-checked
+    "a_spearman_corr",  # never-checked
+    "a_runs_test",  # never-checked
+    "events_haar_energy",  # never-checked
+    "a_laspeyres_price_index",  # never-checked
+    "a_skyline_pareto_2d",  # never-checked
+    "dq_referential_integrity",  # never-checked
+    "a_wasserstein_1d",  # never-checked
+    "a_did_estimate",  # never-checked
+    "events_circular_hour_stats",  # never-checked
+    "a_simpsons_detector",  # never-checked
+    "events_entropy_rate",  # never-checked
+    "events_user_streaks",  # never-checked
+    "a_hhi_concentration",  # never-checked
+    "source_parquet_metadata",  # never-checked
+    "x_fiscal_445_calendar",  # never-checked
+    "a_abc_xyz_matrix",  # never-checked
+    "events_lead_lag_xcorr",  # never-checked
+    "j_left_anti_unmatched",  # green r3 refresh
+    "j_left_semi_matched",  # green r3 refresh
+    "j_cross_product",  # green r3 refresh
+    "j_broadcast_dims",  # green r3 refresh
+    "p_transform_chain",  # green r3 refresh
+    "f_filter_chain",  # green r3 refresh
+    "x_string_functions",  # green r3 refresh
+    "p_rownum_synth",  # green r3 refresh
+    "a_bool_all_guard",  # green r3 refresh
+    "a_collect_set_per_group",  # green r3 refresh
+    "x_hierarchy_closure",  # green r3 refresh
+    "a_hierarchy_levels",  # green r3 refresh
+    "layout_zorder_prune",  # green r3 refresh
+    "layout_compacted_scan",  # green r3 refresh
+    "events_interval_join",  # green r3 refresh
+    "events_range_join_left",  # green r3 refresh
+]
