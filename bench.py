@@ -135,8 +135,17 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm-up: JVM, codegen, parquet footer caches.
-    qs["tpch_q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: one unmeasured pass over EVERY headline query (JMH
+    # style), so janino compilation and first-tier JIT of each query's
+    # generated stages aren't billed to its first measured sample.
+    # A single-query warm-up (the pre-r7 scheme) only covered the
+    # stages that query shares with the others; queries with unique
+    # stage shapes (the LSH band joins) were still paying multi-second
+    # compile in sample 1 and partially-interpreted code in samples
+    # 2-3, which best-of-3 then reported. DuckDB gets the same
+    # treatment below for symmetry.
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(ROUNDS):
@@ -158,6 +167,8 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         with_oracle = [n for n in names if oracles.get(n)]
         duck_samples = {n: [] for n in with_oracle}
+        for name in with_oracle:  # warm-up pass, symmetric with Spark's
+            con.execute(oracles[name]).fetchall()
         for _ in range(ROUNDS):
             for name in with_oracle:
                 t0 = time.time()
@@ -212,6 +223,9 @@ def main() -> None:
     # numbers; the detailed line above keeps samples/floors/probes.
     compact = {
         "metric": "headline_queries_total_sec",
+        "compact": True,  # tag so a stdout scanner can tell the two
+        # same-metric lines apart (ADVICE r6) — the detailed line above
+        # has no "compact" key.
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -222,7 +236,18 @@ def main() -> None:
         compact["duckdb_total_sec"] = round(
             sum(duck[n] for n in duck if n in timings), 3
         )
-    print(json.dumps(compact))
+        # Per-query DuckDB times (VERDICT r6 ask #3): without these the
+        # recorded artifact can't adjudicate the per-query 2× envelope.
+        compact["duckdb_queries"] = duck
+    blob = json.dumps(compact)
+    if len(blob) >= 2000:  # the driver keeps only the LAST 2000 chars
+        # of stdout; a grown HEADLINE list must fail loud, not silently
+        # truncate the artifact (ADVICE r6).
+        sys.stderr.write(
+            f"bench: compact summary line is {len(blob)} chars (>= 2000); "
+            "trim HEADLINE or drop a map\n"
+        )
+    print(blob)
 
 
 def _noop_best(df, n: int = 3) -> float:

@@ -957,7 +957,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement (HD ≤ 1 ⇔ x & (x−1) = 0 on the band XOR), the ≥2-of-6
     rule, and pair dedup (keep the pair only at its FIRST agreeing
     band — per agreeing band exactly one of the 9 probe keys can match,
-    so no groupBy is needed) are all codegen'd join-filter predicates.
+    so no groupBy is needed) are all codegen'd join-filter predicates,
+    and every generated method stays under HotSpot's 8 KB JIT limit
+    (the r6 4.4×-DuckDB gap was a 54 KB permanently-interpreted
+    probe-explode method — see _emb_cosine_candidates and session.py's
+    hugeMethodLimit note; fixed r7 to ~0.67 s at sf0.1).
     AQE picks broadcast here (slim side, 5 MB) and a shuffled equi-join
     on (band_idx, band_key) at cluster scale; skewed buckets split via
     AQE skew-join, and the per-band key space (256 × 6 bands) is wide
@@ -1011,21 +1015,35 @@ def _emb_cosine_candidates(e: DataFrame) -> DataFrame:
     def band(c: str, j: int) -> str:
         return f"(shiftright({c}, {j * bits}) & {mask})"
 
-    home_structs = ", ".join(
-        f"struct({j} AS band_idx, {band('lsh_bucket', j)} AS band_key)" for j in range(nb)
+    home = (
+        e.selectExpr(
+            "vec_id AS id_a", "v AS va", "n AS na", "lsh_bucket AS ba",
+            f"explode(sequence(0, {nb - 1})) AS band_idx",
+        )
+        .selectExpr(
+            "id_a", "va", "na", "ba", "band_idx",
+            f"(shiftright(ba, band_idx * {bits}) & {mask}) AS band_key",
+        )
     )
-    probe_structs = ", ".join(
-        f"struct({j} AS band_idx, ({band('lsh_bucket', j)} ^ {f}) AS band_key)"
-        for j in range(nb)
-        for f in _EC_FLIPS
-    )
-    home = e.selectExpr(
-        "vec_id AS id_a", "v AS va", "n AS na", "lsh_bucket AS ba",
-        f"inline(array({home_structs}))",
-    )
-    probe = e.selectExpr(
-        "vec_id AS id_b", "lsh_bucket AS bb",
-        f"inline(array({probe_structs}))",
+    # Probe side: nested explodes (6 band indices × 9 flips), NOT one
+    # inline(array(<54 structs>)) — the single-Generate form compiled
+    # to a 54 KB produce method, over HotSpot's 8 KB
+    # DontCompileHugeMethods limit, so the probe build stage ran
+    # INTERPRETED (measured 10.7 core-seconds for 2,000 vectors at
+    # sf0.1). Two small Generates + one key expression keep every
+    # generated method JIT-able; the row stream (6 × 9 per vector) is
+    # identical.
+    flips = ",".join(str(f) for f in _EC_FLIPS)
+    probe = (
+        e.selectExpr(
+            "vec_id AS id_b", "lsh_bucket AS bb",
+            f"explode(sequence(0, {nb - 1})) AS band_idx",
+        )
+        .selectExpr("id_b", "bb", "band_idx", f"explode(array({flips})) AS flip")
+        .selectExpr(
+            "id_b", "bb", "band_idx",
+            f"((shiftright(bb, band_idx * {bits}) & {mask}) ^ flip) AS band_key",
+        )
     )
 
     # HD(band j) ≤ 1 ⇔ band XOR is 0 or a power of two ⇔ x & (x−1) = 0.

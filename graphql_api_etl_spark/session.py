@@ -53,6 +53,25 @@ def get_spark(
         # locally; on a 100 TB cluster the 128m default splits are right.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage codegen fallback threshold = HotSpot's
+        # DontCompileHugeMethods limit (8000 bytecode bytes). Spark's
+        # default (65535, the janino class limit) happily emits methods
+        # the JIT permanently refuses to compile — measured on the
+        # embedding-cosine band join: a 54 KB fused produce method ran
+        # INTERPRETED forever, 10.7 core-seconds for 2,000 rows.
+        # Falling back to per-operator codegen for such stages keeps
+        # every emitted method JIT-able (SPARK-21871's stated purpose).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Generated-class cache sized for a many-query workload. The
+        # default (100 entries, LRU) thrashes under this engine's
+        # 273-query catalog: cycling through ~19 headline queries
+        # evicts every query's classes before its next run, so each
+        # re-execution re-ran janino in all 32 task threads at once —
+        # measured 40 CPU-seconds per 2,000-row query, and a 1.5×
+        # slowdown across the whole headline set. Generated classes
+        # are small; 10,000 entries is a few hundred MB at worst and
+        # the right trade on any driver/executor this engine targets.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # Managed (bucketed) tables land outside the repo; in-memory
         # catalog (no Hive) carries bucket specs within the session.
         .config(
