@@ -274,11 +274,12 @@ def _probe_floors(spark, sf_dir: str) -> dict:
       ``sec_1x − n·marginal``.
     - ``dedup_embedding_cosine``: replication is invalid (candidate
       pairs grow quadratically), so the linear map-only bucket stage
-      is timed alone; measured separately, it carries a ~0.48 s fixed
-      intercept (janino compile of the 16-plane projection + job
-      floor) plus ~35 µs/row/core — the intercept is scale-free and
-      the per-row part parallelizes, so neither survives a 1000×
-      scale-up as a bottleneck.
+      (r5+: the 48-plane Arrow kernel) is timed alone; it carries a
+      fixed plan+schedule intercept plus a per-row cost that
+      parallelizes, so neither survives a 1000× scale-up as a
+      bottleneck. (r7: the historical ~0.5 s intercept was mostly the
+      100-entry codegen-class cache thrashing under the multi-query
+      bench — see session.py's cache.maxEntries note.)
     """
     out: dict[str, dict] = {}
     try:

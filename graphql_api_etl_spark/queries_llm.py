@@ -985,18 +985,38 @@ def _emb_cosine_dedup(emb: DataFrame) -> DataFrame:
     """Plan body of dedup_embedding_cosine over an arbitrary embeddings
     frame — parameterized so bench.py can run the IDENTICAL plan on an
     empty input to measure the fixed job/plan floor (VERDICT r3 ask #4),
-    and so tests can count candidates via ``_emb_cosine_candidates``."""
+    and so tests can count candidates via ``_emb_cosine_candidates``.
+
+    The verify dot runs over FLATTENED scalar columns (a0..a63 riding
+    the home side, b0..b63 from the right-vector re-join), not over
+    the array columns: evaluating a 64-term element_at chain above a
+    join re-fetches the array object from the joined row per element
+    (the _flatten_side lesson, similarity.py), and the array form's
+    fused join+score stage generated a 50 KB method HotSpot never
+    JITs. Scalar ordinals keep the whole span's methods ≈8 KB and the
+    summation stays the same left-associative sequence DuckDB's
+    list_dot_product computes — bit-identical sims."""
     e = _emb_cosine_projection(emb)
     cand = _emb_cosine_candidates(e)
-    scored = cand.join(
-        e.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("v").alias("vb"),
-            F.col("n").alias("nb"),
-        ),
-        "id_b",
-    ).withColumn("sim", F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6))
-    return scored.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "sim")
+    eb = _emb_cosine_flat(e).selectExpr(
+        "vec_id AS id_b", "n AS nb", *[f"c{i} AS b{i}" for i in range(64)]
+    )
+    dot = " + ".join(f"a{i} * b{i}" for i in range(64))
+    return (
+        cand.join(eb, "id_b")
+        .selectExpr("id_a", "id_b", f"round(({dot}) / (na * nb), 6) AS sim")
+        .filter("sim >= 0.4")
+    )
+
+
+def _emb_cosine_flat(e: DataFrame) -> DataFrame:
+    """The persisted projection with the vector unpacked to 64 scalar
+    double columns — shared by the home side and the right-vector
+    fetch so the unpack expression text (and thus the codegen class)
+    is identical at both use sites."""
+    return e.selectExpr(
+        "vec_id", "n", "lsh_bucket", *[f"v[{i}] AS c{i}" for i in range(64)]
+    )
 
 
 def _emb_cosine_projection(emb: DataFrame) -> DataFrame:
@@ -1013,8 +1033,9 @@ def _emb_cosine_projection(emb: DataFrame) -> DataFrame:
 
 
 def _emb_cosine_candidates(e: DataFrame) -> DataFrame:
-    """Candidate pairs (id_a, id_b, va, na) from the multi-probe band
-    join — exactly one row per unordered pair with ≥2 bands at
+    """Candidate pairs (id_a, id_b, na, a0..a63 — the left vector as
+    flattened scalars, see _emb_cosine_dedup) from the multi-probe
+    band join — exactly one row per unordered pair with ≥2 bands at
     Hamming distance ≤ 1 (see dedup_embedding_cosine docstring).
 
     Built from whole SQL strings, not Column-by-Column: the probe side
@@ -1028,12 +1049,15 @@ def _emb_cosine_candidates(e: DataFrame) -> DataFrame:
         return f"(shiftright({c}, {j * bits}) & {mask})"
 
     home = (
-        e.selectExpr(
-            "vec_id AS id_a", "v AS va", "n AS na", "lsh_bucket AS ba",
+        _emb_cosine_flat(e)
+        .selectExpr(
+            "vec_id AS id_a", "n AS na", "lsh_bucket AS ba",
+            *[f"c{i} AS a{i}" for i in range(64)],
             f"explode(sequence(0, {nb - 1})) AS band_idx",
         )
         .selectExpr(
-            "id_a", "va", "na", "ba", "band_idx",
+            "id_a", "na", "ba", "band_idx",
+            *[f"a{i}" for i in range(64)],
             f"(shiftright(ba, band_idx * {bits}) & {mask}) AS band_key",
         )
     )
@@ -1072,7 +1096,7 @@ def _emb_cosine_candidates(e: DataFrame) -> DataFrame:
     return (
         home.join(probe, ["band_idx", "band_key"])
         .filter(F.expr(f"id_a < id_b AND ({n_agree}) >= {_EC_MIN_AGREE} AND band_idx = ({first_band})"))
-        .select("id_a", "id_b", "va", "na")
+        .select("id_a", "id_b", "na", *[f"a{i}" for i in range(64)])
     )
 
 

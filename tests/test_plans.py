@@ -137,3 +137,46 @@ def test_curation_keeper_join_broadcasts(spark, sf_dir):
     df = _run("curate_documents", spark, sf_dir)
     assert has_broadcast_join(df)  # keeper set is dim-sized at any SF share
     assert not has_python_eval(df)
+
+
+def test_generated_methods_stay_jit_compilable(spark, sf_dir):
+    """r7 regression guard: HotSpot refuses to compile methods over
+    8,000 bytecode bytes (DontCompileHugeMethods), so a plan whose
+    whole-stage-codegen span generates a huge method runs INTERPRETED
+    forever — the r6 embedding-cosine probe explode generated 54 KB
+    and cost 10.7 core-seconds on 2,000 rows. The session falls back
+    via hugeMethodLimit=8000, but the fallback loses whole-stage
+    fusion, so the plans themselves must stay near the JIT budget:
+    assert the worst generated method across the two heaviest
+    codegen plans stays an order of magnitude below the r6 failure
+    (AQE hidden for the probe — codegen explain inspects the
+    pre-adaptive plan)."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sizes = {}
+        for name in ("dedup_embedding_cosine", "dedup_minhash_lsh"):
+            df = QUERIES[name][0](spark, sf_dir)
+            txt = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+            found = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", txt)]
+            assert found, f"{name}: no codegen subtrees reported"
+            sizes[name] = max(found)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert all(v < 12000 for v in sizes.values()), sizes
+
+
+def test_session_sets_codegen_guards():
+    """The two r7 session-level fixes must stay pinned: the codegen
+    class cache sized for the 273-query catalog (default 100 entries
+    thrashed — 40 CPU-seconds of concurrent janino per 2,000-row
+    re-execution under the interleaved bench), and the whole-stage
+    fallback threshold at HotSpot's JIT refusal limit."""
+    from graphql_api_etl_spark.session import get_spark
+
+    s = get_spark("conf-guard")
+    assert s.conf.get("spark.sql.codegen.cache.maxEntries") == "10000"
+    assert s.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
