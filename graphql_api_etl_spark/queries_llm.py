@@ -2709,23 +2709,55 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     one numpy pass over the sample, and at 100 TB the full-data
     variant is a single map-reduce of per-partition X'X partials —
     64×64 doubles per partition). The PROJECTION — the data-sized
-    work — is a wholly native expression: 4 dot products against
-    literal component rows with the centering folded into one
-    pre-computed offset per component, map-only, zero shuffle, scales
-    with the scan. Both engines evaluate the same left-to-right sum
-    over float→double casts, so values are bit-identical before the
-    round(6). Sign is pinned (largest-|w| entry positive) because
+    work — is an Arrow-batched numpy kernel (r7; the fused 4×64-term
+    native expression compiled to one ~20 KB consume method HotSpot
+    never JITs — same threshold call as the 48-plane LSH bucket):
+    4 dot products against literal component rows with the centering
+    folded into one pre-computed offset per component, map-only, zero
+    shuffle, scales with the scan; the HALF_UP round(6) stays native.
+    The kernel accumulates SEQUENTIALLY over dimensions, the same
+    left-to-right sum over float→double casts both engines compute,
+    so values are bit-identical before the round(6). Sign is pinned (largest-|w| entry positive) because
     eigenvector sign is arbitrary."""
+    import numpy as np
+    import pandas as pd
+
     W, offsets = _pca_model(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id"), F.col("label")]
-    for j in range(_PCA_K):
-        acc = None
-        for i in range(64):
-            term = F.col("embedding").getItem(i).cast("double") * F.lit(W[j][i])
-            acc = term if acc is None else acc + term
-        cols.append(F.round(acc - F.lit(offsets[j]), 6).alias(f"pc{j + 1}"))
-    return emb.select(*cols)
+    # Arrow kernel for the 4×64-term projection (r7): fused native
+    # codegen emitted ONE ~20 KB consume method (4 pcs × 64 cast+mul
+    # terms) — over HotSpot's 8 KB JIT ceiling, so the span ran on the
+    # hugeMethodLimit fallback. Same decision as the 48-plane LSH
+    # bucket (similarity.py): past the point where whole-stage codegen
+    # stays JIT-able, a numpy kernel with SEQUENTIAL per-dimension
+    # accumulation is both faster and bit-identical — acc_j is updated
+    # in dimension order with one add each, the same left-associative
+    # IEEE-754 sequence the SQL chain and DuckDB's sum compute. The
+    # HALF_UP round stays a native expression on top.
+    Wm = np.asarray(W, dtype=np.float64)  # K × 64
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = V[:, 0:1] * Wm[:, 0]  # batch × K
+            for i in range(1, 64):
+                acc = acc + V[:, i : i + 1] * Wm[:, i]
+            out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
+            for j in range(_PCA_K):
+                out[f"raw{j + 1}"] = acc[:, j] - offsets[j]
+            yield pd.DataFrame(out)
+
+    raw = emb.select("vec_id", "label", "embedding").mapInPandas(
+        project,
+        "vec_id bigint, label int, "
+        + ", ".join(f"raw{j + 1} double" for j in range(_PCA_K)),
+    )
+    return raw.select(
+        "vec_id", "label",
+        *[F.round(F.col(f"raw{j + 1}"), 6).alias(f"pc{j + 1}") for j in range(_PCA_K)],
+    )
 
 
 _KNN_K = 10
@@ -3358,14 +3390,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = _semdedup_centroids(sf_dir)
     cn2 = [sum(x * x for x in c) for c in C]
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).select("vec_id", "v", S.norm_fixed("v", 64).alias("nrm"))
+    # Flattened-scalars + PERSIST below the heavy expressions (r7, the
+    # embedding-cosine/triplet pattern): with array columns the verify
+    # dot above the cluster join generated a 19.6 KB never-JIT method,
+    # and without the cache boundary projection collapse substitutes
+    # the cast/sqrt subtrees into the 4×64-term assignment chains,
+    # where Catalyst's commutative canonicalization goes
+    # super-quadratic (see emb_triplet_mining).
+    e = emb.selectExpr(
+        "vec_id", *[f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(64)]
+    ).selectExpr(
+        "vec_id",
+        "sqrt(" + " + ".join(f"c{i} * c{i}" for i in range(64)) + ") AS nrm",
+        *[f"c{i}" for i in range(64)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     d_exprs = []
     for j in range(_SEMDEDUP_K):
         dot = None
         for i in range(64):
-            term = (F.element_at("v", i + 1) / F.col("nrm")) * F.lit(C[j][i])
+            term = (F.col(f"c{i}") / F.col("nrm")) * F.lit(C[j][i])
             dot = term if dot is None else dot + term
         d_exprs.append(F.lit(cn2[j]) - 2.0 * dot)
     best = F.array_min(
@@ -3377,21 +3420,22 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     asg = e.select(
-        "vec_id", "v", "nrm", best["cid"].cast("bigint").alias("cluster_id")
+        "vec_id", "nrm", *[f"c{i}" for i in range(64)],
+        best["cid"].cast("bigint").alias("cluster_id"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = asg.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cluster_id",
+    a = asg.selectExpr(
+        "vec_id AS id_a", "nrm AS na", "cluster_id",
+        *[f"c{i} AS a{i}" for i in range(64)],
     )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "cluster_id",
+    b = asg.selectExpr(
+        "vec_id AS id_b", "nrm AS nb", "cluster_id",
+        *[f"c{i} AS b{i}" for i in range(64)],
     )
-    sim = F.round(S.dot_fixed("va", "vb", 64) / (F.col("na") * F.col("nb")), 6)
+    dot = " + ".join(f"a{i} * b{i}" for i in range(64))
     dups = (
         a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= _SEMDEDUP_TAU)
+        .filter("id_a < id_b")
+        .filter(f"round(({dot}) / (na * nb), 6) >= {_SEMDEDUP_TAU}")
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dup_", F.lit(True))
@@ -3617,15 +3661,22 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window ships 3 integer columns. At 100 TB the code table is
     the index you'd materialize (layout_* entries) — 8 GB per billion
     vectors vs 256 GB of floats."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bit = lambda i: F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << (i % 32))).otherwise(0)  # noqa: E731
     hi = sum(bit(i) for i in range(32))
     lo = sum(bit(i) for i in range(32, 64))
+    # PERSIST the code table (r7): this IS the materialized index the
+    # docstring describes, and the cache boundary keeps the 64-way
+    # conditional bit-pack out of the join span — fused, the
+    # pack+cross-join+rank stage generated a 16.5 KB never-JIT
+    # method; split, every method is small enough to compile.
     codes = emb.select(
         "vec_id", hi.cast("bigint").alias("hi"), lo.cast("bigint").alias("lo")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = F.broadcast(
         codes.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
@@ -4021,30 +4072,51 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an ANN candidate stage (sim_topk_lsh_bucketed / _hamming)
     replaces the cross join — the mining windows are unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    # Flatten each side to 64 scalar columns + a PRE-COMPUTED norm
+    # below the join (r7): the array form evaluated dot_fixed + BOTH
+    # norm_fixed chains per PAIR above the cross join — 192 element_at
+    # terms that re-fetch the array per element and fused into a 17 KB
+    # never-JIT method. Scalars + per-vector norms keep every method
+    # JIT-able and compute each norm once per vector instead of once
+    # per pair; the arithmetic per value is unchanged (same
+    # left-associative sums), so sim_micro is bit-identical.
+    from pyspark.storagelevel import StorageLevel
+
+    # PERSISTED flattened projection (the embedding-cosine pattern):
+    # the cache boundary matters for more than reuse — it keeps the
+    # scalar columns as plain attribute references on the join side.
+    # Without it, projection collapse substitutes the CAST subtrees
+    # into the 64-term sum and Catalyst's commutative-chain
+    # canonicalization (orderCommutative sorts terms by recursive
+    # TreeNode.hashCode) goes super-quadratic: the optimizer burned
+    # 100+ CPU-seconds on THIS query's plan before ever executing
+    # (observed in a thread dump, r7).
+    e = emb.selectExpr(
+        "vec_id", "label",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(64)],
+    ).selectExpr(
+        "vec_id", "label",
+        "sqrt(" + " + ".join(f"c{i} * c{i}" for i in range(64)) + ") AS nrm",
+        *[f"c{i}" for i in range(64)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = F.broadcast(
-        e.filter(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("ql"),
-            F.col("v").alias("qv"),
+        e.filter(F.col("vec_id") < 50).selectExpr(
+            "vec_id AS query_id", "label AS ql", "nrm AS qn",
+            *[f"c{i} AS q{i}" for i in range(64)],
         )
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("cl"),
-        F.col("v").alias("cv"),
+    c = e.selectExpr(
+        "vec_id AS neighbor_id", "label AS cl", "nrm AS cn",
+        *[f"c{i}" for i in range(64)],
     )
-    sim_micro = F.floor(
-        S.dot_fixed("qv", "cv", 64)
-        / (S.norm_fixed("qv", 64) * S.norm_fixed("cv", 64))
-        * 1000000
-    ).cast("bigint")
+    dot = " + ".join(f"q{i} * c{i}" for i in range(64))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "ql", "neighbor_id", "cl", sim_micro.alias("sim_micro"))
+        .selectExpr(
+            "query_id", "ql", "neighbor_id", "cl",
+            f"CAST(floor(({dot}) / (qn * cn) * 1000000) AS BIGINT) AS sim_micro",
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
     pos = (
