@@ -11,8 +11,9 @@ Methodology (round-over-round comparability on a noisy VM):
   a noisy-neighbor window hits different queries in different rounds
   instead of all samples of one query;
 - each Spark query is forced end-to-end with a noop write (full plan
-  executes on executors, nothing collected) after one warm-up query so
-  JVM/codegen startup isn't billed to the first measured query;
+  executes on executors, nothing collected) after one unmeasured
+  warm-up pass over EVERY headline query (JMH style, r7) so JVM/janino
+  /JIT startup isn't billed to any query's first measured sample;
 - the DuckDB oracle for every headline query runs in the SAME process
   and window, also best-of-3 interleaved, so the reported ratio
   compares like against like rather than against a different-noise
