@@ -2,9 +2,11 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 34 entries that will still be never-driver-
-checked after r7 (registration order), then the 16 oldest-green
-entries (all last green in r3) as round-robin refresh fills.
+the round-7 window: the 35 entries that will still be never-driver-
+checked after r7 — 34 pre-r7 registrations in registration order plus
+``graph_pagerank_dangling`` (registered mid-r7, VERDICT r6 ask #8) —
+then 15 oldest-green entries (all last green in r3) as round-robin
+refresh fills.
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -63,5 +65,5 @@ PRIORITY_R8 = [
     "layout_zorder_prune",  # green r3 refresh
     "layout_compacted_scan",  # green r3 refresh
     "events_interval_join",  # green r3 refresh
-    "events_range_join_left",  # green r3 refresh
+    "graph_pagerank_dangling",  # never-checked (registered r7, VERDICT r6 ask #8)
 ]

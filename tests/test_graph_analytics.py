@@ -61,6 +61,74 @@ def test_triangle_star_has_none(spark):
     assert _tri_count(spark, star) == 0
 
 
+def _py_pagerank(edges, n_nodes, iters, scale, dangling_redistribute):
+    """Pure-Python replica of the _pagerank_ranks integer recurrence —
+    the closed form the Spark loop must reproduce exactly."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    assert len(nodes) == n_nodes
+    wout = {}
+    for u, _, w in edges:
+        wout[u] = wout.get(u, 0) + w
+    base = (15 * scale) // (100 * n_nodes)
+    r = {node: scale // n_nodes for node in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for u, v, w in edges:
+            contrib[v] = contrib.get(v, 0) + (85 * r[u] * w) // (100 * wout[u])
+        share = 0
+        if dangling_redistribute:
+            dm = sum(r[node] for node in nodes if node not in wout)
+            share = (85 * dm) // (100 * n_nodes)
+        r = {node: base + contrib.get(node, 0) + share for node in nodes}
+    return r
+
+
+def _spark_pagerank_hand_graph(spark, edges, n_nodes, dangling_redistribute):
+    from graphql_api_etl_spark.queries_graph import _pagerank_ranks
+
+    from pyspark.sql import functions as F
+
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    nodes = (
+        edf.select(F.col("src").alias("node"))
+        .unionAll(edf.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = edf.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edf.join(outw, "src")
+    out = _pagerank_ranks(
+        nodes, ew, n_nodes, dangling_redistribute=dangling_redistribute
+    ).collect()
+    return {row["node"]: row["r"] for row in out}
+
+
+def test_pagerank_dangling_matches_python_replica(spark):
+    """VERDICT r6 ask #8: the parameterized redistribution term. On a
+    hand graph with two sinks, both helper modes must equal the pure-
+    Python integer recurrence node-for-node, and redistribution must
+    recover the mass the plain mode leaks."""
+    from graphql_api_etl_spark.queries_graph import PR_ITERS, PR_SCALE
+
+    # 1→2, 1→3, 2→4, 3→4 (weighted); 4 is a sink, plus isolated-sink 5
+    # fed only by 2 — two dangling nodes with different inflow.
+    edges = [(1, 2, 2), (1, 3, 1), (2, 4, 1), (3, 4, 3), (2, 5, 1)]
+    n = 5
+    for dangling in (False, True):
+        got = _spark_pagerank_hand_graph(spark, edges, n, dangling)
+        want = _py_pagerank(edges, n, PR_ITERS, PR_SCALE, dangling)
+        assert got == want, f"dangling={dangling}: {got} != {want}"
+
+    leaky = sum(_py_pagerank(edges, n, PR_ITERS, PR_SCALE, False).values())
+    kept = sum(_py_pagerank(edges, n, PR_ITERS, PR_SCALE, True).values())
+    # redistribution strictly recovers sink mass...
+    assert kept > leaky
+    # ...and conserves total mass up to floor losses: each round loses
+    # <1 unit per node (base), per edge (contribution), and per node
+    # (the floored uniform share).
+    n_edges = len(edges)
+    assert PR_SCALE - PR_ITERS * (2 * n + n_edges) <= kept <= PR_SCALE
+
+
 def test_pagerank_mass_and_order(spark, sf_oracle_dir):
     """On the derived trade graph: total integer mass is conserved up
     to floor losses (each of the n base terms and each edge
