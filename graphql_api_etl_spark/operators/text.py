@@ -279,3 +279,79 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("compressed_len").cast("double") / F.col("raw_len"), 4),
         )
     )
+
+
+def bpe_merge_table(spark, words: DataFrame, n_merges: int) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules (Sennrich et al. 2016,
+    arXiv:1508.07909) from a word-frequency frame ``words(word, freq)``
+    and return them as ``(merge_rank, left_sym, right_sym, merged_sym,
+    pair_count)``.
+
+    The distributed formulation is the standard word-frequency
+    compression: pair statistics are computed over DISTINCT words
+    weighted by corpus frequency, so after the initial tokenize+count
+    shuffle every round's cost is bounded by the VOCABULARY size, not
+    the corpus size — at 100 TB the corpus contributes one
+    shuffle-and-count pass and the loop then runs on a ~|V|-row frame.
+    Per round:
+
+    - adjacent-pair stats: a native ``transform`` over each symbol
+      sequence emits (left, right) structs (all positions, overlaps
+      included — get_stats semantics), exploded and summed by pair
+      with map-side partial aggregation;
+    - argmax: ``orderBy(count DESC, left, right).limit(1)`` — a
+      TakeOrdered over the pair-stats frame; the single winning rule
+      (ties broken lexicographically, so the result is engine-exact)
+      is the loop's only driver-collected row;
+    - merge application: a native ``aggregate`` fold over each
+      sequence replaces left-to-right non-overlapping occurrences
+      (greedy scan: a just-merged symbol never re-matches as the left
+      half within the same round) — no Python in the loop;
+    - ``localCheckpoint`` per round materializes the re-segmented
+      frame, keeping the fold expressions from nesting across rounds
+      (12 stacked HOF folds would blow the codegen-method budget) and
+      bounding lineage exactly like the PageRank recurrence.
+
+    Symbols are their spellings (strings); words start as character
+    sequences with a ``</w>`` end-of-word marker.  All counts are
+    exact BIGINTs, so the argmax and the emitted table are
+    deterministic across engines/partitionings — the DuckDB oracle is
+    an independent pure-Python replica of the same spec."""
+    chars = F.expr("filter(split(word, ''), x -> x <> '')")
+    cur = words.select(
+        F.col("freq").cast("bigint").alias("freq"),
+        F.concat(chars, F.array(F.lit("</w>"))).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.expr(
+                    "transform(slice(seq, 1, size(seq) - 1), "
+                    "(x, i) -> struct(x AS l, element_at(seq, i + 2) AS r))"
+                ).alias("ps"),
+            )
+            .select("freq", F.explode("ps").alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break  # every word fused to a single symbol
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merged = l + r
+        assert "'" not in merged and "\\" not in merged, merged
+        merges.append((rank, l, r, merged, cnt))
+        fold = (
+            "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        cur = cur.select("freq", F.expr(fold).alias("seq")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "merged_sym string, pair_count bigint",
+    )

@@ -5930,3 +5930,99 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_sent", "n_words", "n_syll",
         F.floor(1000.0 * ease).cast("bigint").alias("flesch_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — the tokenizer-building step of a training-data
+# pipeline (Sennrich et al. 2016), distributed via word-frequency
+# compression
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 12
+
+
+def _bpe_oracle_sql() -> str:
+    """Independent pure-Python BPE replica (no Spark, no shared code
+    with operators.text.bpe_merge_table): reads the documents parquet
+    via DuckDB, trains the same fixed number of merges under the same
+    spec — lowercase ``[a-z]+`` words, char sequences + ``</w>``,
+    all-positions pair stats weighted by word frequency, argmax with
+    (count DESC, left, right) tie-break, greedy left-to-right
+    non-overlapping merge application — and emits the merge table as
+    literals.  Built lazily because it reads the gate's sf
+    ($SPARK_GRAFT_ORACLE_SF_DIR, default the driver's sf0.01)."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    freq: Counter = Counter()
+    for (txt,) in rows:
+        for w in re.findall(r"[a-z]+", txt or ""):
+            freq[w] += 1
+    seqs = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        stats: Counter = Counter()
+        for w, s in seqs.items():
+            f = freq[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, s in seqs.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+    vals = ", ".join(
+        f"({rk}, '{l}', '{r}', '{m}', {c})" for rk, l, r, m, c in merges
+    )
+    return (
+        f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym, "
+        f"merged_sym, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM (VALUES {vals}) t(merge_rank, left_sym, right_sym, merged_sym, pair_count)"
+    )
+
+
+@_q("text_bpe_merges", _bpe_oracle_sql)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 12 BPE merge rules from the documents corpus
+    (operators/text.py:bpe_merge_table) — the tokenizer-construction
+    step every LLM data pipeline runs before token counting/packing.
+
+    Corpus → word-frequency frame is one tokenize+count shuffle
+    (lowercase ``[a-z]+`` words); the merge loop then operates on the
+    frequency-compressed vocabulary, so its per-round cost is bounded
+    by |V| rows regardless of corpus bytes — the property that makes
+    BPE training feasible at 100 TB.  Pair counting, argmax, and merge
+    application are all native (transform/explode/agg, TakeOrdered,
+    aggregate-fold); the only driver state is the 1-row winning rule
+    per round.  Determinism: exact BIGINT counts with a total-order
+    tie-break (count DESC, left, right) — sf0.01 hits a genuine tie at
+    rank 5 ((o,w) vs a 2747-count rival), so the differential
+    exercises the tie-break.  The reference (ETL:1–1162) has no
+    tokenizer surface; SURVEY §6's training-data mandate covers it."""
+    from graphql_api_etl_spark.operators.text import bpe_merge_table
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return bpe_merge_table(spark, words, BPE_MERGES)

@@ -2,10 +2,11 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 35 entries that will still be never-driver-
+the round-7 window: the 36 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-``graph_pagerank_dangling`` (registered mid-r7, VERDICT r6 ask #8) —
-then 15 oldest-green entries (all last green in r3) as round-robin
+the mid-r7 registrations ``graph_pagerank_dangling`` (VERDICT r6 ask
+#8) and ``text_bpe_merges`` (BPE trainer) —
+then 14 oldest-green entries (all last green in r3) as round-robin
 refresh fills.
 
 At round-8 start the rotation is a one-commit act: copy
@@ -64,6 +65,6 @@ PRIORITY_R8 = [
     "a_hierarchy_levels",  # green r3 refresh
     "layout_zorder_prune",  # green r3 refresh
     "layout_compacted_scan",  # green r3 refresh
-    "events_interval_join",  # green r3 refresh
+    "text_bpe_merges",  # never-checked (registered r7: BPE trainer)
     "graph_pagerank_dangling",  # never-checked (registered r7, VERDICT r6 ask #8)
 ]

@@ -274,3 +274,62 @@ def test_emb_cosine_candidates_subquadratic_and_deduped(spark, sf_oracle_dir):
     # exactly one row per unordered pair (first-agreeing-band dedup)
     assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_bpe_merges_hand_corpus_closed_form(spark):
+    """bpe_merge_table on a corpus small enough to train by hand:
+    'low lower lowest low low' — pair stats over frequency-compressed
+    words, greedy non-overlapping application, lexicographic
+    tie-break.  Expected merges derived independently below (same spec
+    as Sennrich's get_stats/merge_vocab)."""
+    from graphql_api_etl_spark.operators.text import bpe_merge_table
+
+    from collections import Counter
+
+    words = [("low", 3), ("lower", 1), ("lowest", 1)]
+    wdf = spark.createDataFrame(words, "word string, freq bigint")
+
+    # independent replica (mirrors the oracle's algorithm)
+    freq = dict(words)
+    seqs = {w: list(w) + ["</w>"] for w, _ in words}
+    expect = []
+    for rank in range(1, 5):
+        stats = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += freq[w]
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, l, r, l + r, c))
+        for w, s in seqs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+
+    got = [tuple(r) for r in bpe_merge_table(spark, wdf, 4)
+           .orderBy("merge_rank").collect()]
+    assert got == expect
+    # spot-check the closed form: every word starts l-o-w, so (l,o)
+    # and then (lo,w) dominate with count 5 = total word mass.
+    assert got[0][1:] == ("l", "o", "lo", 5)
+    assert got[1][1:] == ("lo", "w", "low", 5)
+
+
+def test_bpe_merge_application_is_greedy_nonoverlapping(spark):
+    """'aaaa' with rule (a,a) must segment to [aa, aa] — a just-merged
+    symbol never re-matches as the left half in the same round — and
+    overlapping pair STATS still count every position (get_stats
+    semantics: (a,a) appears 4 times in 'aaaaa'-with-marker? no — 3
+    times in 'aaaa')."""
+    from graphql_api_etl_spark.operators.text import bpe_merge_table
+
+    wdf = spark.createDataFrame([("aaaa", 1)], "word string, freq bigint")
+    got = bpe_merge_table(spark, wdf, 2).orderBy("merge_rank").collect()
+    # round 1: (a,a) counted at 3 positions; merged greedily -> [aa, aa, </w>]
+    assert tuple(got[0]) == (1, "a", "a", "aa", 3)
+    # round 2: pairs are (aa,aa) and (aa,</w>) — tie at 1 each, and
+    # '<' sorts before 'a', so (aa,</w>) wins lexicographically.
+    assert tuple(got[1]) == (2, "aa", "</w>", "aa</w>", 1)
