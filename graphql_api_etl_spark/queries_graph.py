@@ -221,20 +221,35 @@ def _pagerank_ranks(
     with per-source out-weight.  With ``dangling_redistribute=False``
     sink nodes leak their 0.85 share each round (the documented
     standard behavior of :func:`graph_pagerank`).  With ``True``, each
-    round sums the rank mass sitting on dangling nodes (an anti-join
-    against the distinct source set — key-partitioned, nothing on the
-    driver) and every node receives ``(85·D) div (100·N)`` back, the
-    uniform-teleport redistribution of the original formulation.  The
-    1-row mass frame joins back via broadcast, so the scalar never
-    visits the driver and the loop stays a pure DataFrame recurrence.
+    round sums the rank mass sitting on dangling nodes and every node
+    receives ``(85·D) div (100·N)`` back, the uniform-teleport
+    redistribution of the original formulation.  The sink SET is
+    static across rounds, so it is resolved once up front (one
+    left-outer join against the distinct source set) into an
+    ``is_sink`` flag carried through the recurrence — each round's
+    mass sum is then a filter+aggregate over the already-checkpointed
+    rank frame, no per-round join.  The 1-row mass frame joins back
+    via broadcast, so the scalar never visits the driver and the loop
+    stays a pure DataFrame recurrence.
 
     Integer determinism is shared with the non-redistributing path:
     every term is BIGINT floor arithmetic, so partial-sum order cannot
     perturb the result and the unrolled DuckDB CTE oracle matches
     bit-for-bit."""
-    base = (15 * PR_SCALE) // (100 * n)
-    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("bigint").alias("r"))
-    srcs = ew.select("src").distinct() if dangling_redistribute else None
+    base_cols = ["node"]
+    base = nodes
+    if dangling_redistribute:
+        srcs = ew.select("src").distinct()
+        base = (
+            nodes.join(srcs, nodes.node == srcs.src, "left_outer")
+            .select("node", F.col("src").isNull().alias("is_sink"))
+            .persist()
+        )
+        base_cols = ["node", "is_sink"]
+    base_rate = (15 * PR_SCALE) // (100 * n)
+    ranks = base.select(
+        *base_cols, F.lit(PR_SCALE // n).cast("bigint").alias("r")
+    )
     for _ in range(iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -245,11 +260,11 @@ def _pagerank_ranks(
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("contrib"))
         )
-        joined = nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
-        new_r = F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0))
+        joined = base.join(contrib, base.node == contrib.dst, "left_outer")
+        new_r = F.lit(base_rate) + F.coalesce(F.col("contrib"), F.lit(0))
         if dangling_redistribute:
             dm = (
-                ranks.join(srcs, F.col("node") == F.col("src"), "left_anti")
+                ranks.filter(F.col("is_sink"))
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dm"))
             )
             share = dm.select(
@@ -258,7 +273,7 @@ def _pagerank_ranks(
             joined = joined.crossJoin(F.broadcast(share))
             new_r = new_r + F.col("share")
         ranks = joined.select(
-            "node", new_r.cast("bigint").alias("r")
+            *base_cols, new_r.cast("bigint").alias("r")
         ).localCheckpoint(eager=True)
     return ranks
 
