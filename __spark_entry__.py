@@ -25,10 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 catalog entries.
 # Round-7 window (VERDICT r6 ask #1): rotated at ROUND START via
 # scripts/rotate_window.py against the committed CORRECTNESS_r01..r06
-# history. 84 of the 273 catalog entries had never been inside the
-# driver's 50-slot window; this window is 100% never-driver-checked
-# entries in registration order (the remaining 34 are pre-staged for
-# r8 in scripts/window_r8.py). All 189 previously-windowed entries
+# history. 84 of the 273 entries then in the catalog had never been
+# inside the driver's 50-slot window; this window is 100%
+# never-driver-checked entries in registration order (the remaining 34
+# plus the two mid-r7 additions — graph_pagerank_dangling,
+# text_bpe_merges, catalog now 275 — are pre-staged for r8 in
+# scripts/window_r8.py). All 189 previously-windowed entries
 # carry a green latest driver row; every entry not in the window stays
 # green on the local driver-replica gate (tests/test_oracle_diff.py)
 # at sf0.001/0.01/0.1 before each commit.
