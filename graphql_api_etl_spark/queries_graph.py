@@ -1013,3 +1013,119 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("modularity_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peeling on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 12
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle_sql() -> str:
+    parts = [
+        """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    # Every e{r} feeds both the next degree count (twice, via the
+    # incidence UNION) and the next edge restriction; DuckDB inlines
+    # plain CTEs, which re-expands e0 ~3^rounds times (observed as an
+    # open-file-handle explosion on the parquet scan). MATERIALIZED
+    # pins each round to one evaluation — the same reason the Spark
+    # side localCheckpoints each round.
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+k{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY node HAVING count(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON e.u = a.node JOIN k{r} b ON e.v = b.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e{KCORE_ROUNDS} UNION ALL SELECT v FROM e{KCORE_ROUNDS})
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+_KCORE_SQL = _kcore_oracle_sql()
+
+
+@_q("graph_kcore", _KCORE_SQL)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k=12) by synchronous iterative peeling —
+    the density filter an entity-resolution / recommendation pipeline
+    runs to separate the stable hub structure from peripheral noise
+    before any per-node scoring (PageRank, LPA) is trusted: a node is
+    in the k-core iff it keeps >= k neighbours after everyone below
+    the bar is removed, recursively.
+
+    Peeling is the textbook bulk-synchronous fixpoint: each round
+    recomputes degrees over the SURVIVING edge set (one partial-
+    aggregable count), keeps nodes with deg >= k, and restricts edges
+    to kept endpoints (two key-partitioned LEFT SEMI joins — never a
+    row-widening join). A FIXED 6 rounds runs on both engines, the
+    PageRank determinism convention: at the tested scales the peel
+    reaches its fixpoint in <= 5 rounds (verified by the convergence
+    test in tests/test_graph_analytics.py), and at scales where it
+    hasn't, both sides emit the identical round-6 state, so the
+    differential stays bit-exact. Per-round localCheckpoint truncates
+    the lineage (reliable checkpoint at cluster scale, as
+    connected_components documents); the driver holds only the loop
+    counter. At 100 TB the same loop runs with delta peeling (only
+    recompute degrees of nodes that lost a neighbour) — the
+    synchronous variant here is the portable baseline, all integer.
+
+    The reference (ETL:1-1162) has no graph surface; this extends the
+    derived-graph family (triangles, PageRank, BFS, LPA, modularity)
+    with its density core."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

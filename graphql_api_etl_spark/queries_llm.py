@@ -5459,6 +5459,92 @@ def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_image_edge_density",
+    """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 3 AS h FROM documents
+),
+yy AS (SELECT doc_id, h, unnest(generate_series(0, h - 1)) AS y FROM d),
+px AS (SELECT doc_id, h, y, unnest(generate_series(0, 7)) AS x FROM yy),
+g AS (
+  SELECT doc_id, h, x, y,
+         (((((doc_id * 13 + ((y * 8 + x) * 3 + 0) * 29) * 2654435761) % 4294967296) // 16777216)
+        + ((((doc_id * 13 + ((y * 8 + x) * 3 + 1) * 29) * 2654435761) % 4294967296) // 16777216)
+        + ((((doc_id * 13 + ((y * 8 + x) * 3 + 2) * 29) * 2654435761) % 4294967296) // 16777216)
+         ) // 3 AS v
+  FROM px
+),
+s AS (
+  SELECT a.doc_id, a.x, a.y,
+         sum((n.x - a.x) * (2 - abs(n.y - a.y)) * n.v) AS gx,
+         sum((n.y - a.y) * (2 - abs(n.x - a.x)) * n.v) AS gy
+  FROM g a JOIN g n
+    ON n.doc_id = a.doc_id
+   AND n.x BETWEEN a.x - 1 AND a.x + 1
+   AND n.y BETWEEN a.y - 1 AND a.y + 1
+  WHERE a.x BETWEEN 1 AND 6 AND a.y BETWEEN 1 AND a.h - 2
+  GROUP BY a.doc_id, a.x, a.y
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(CASE WHEN gx * gx + gy * gy >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+       CAST((sum(CASE WHEN gx * gx + gy * gy >= 200000 THEN 1 ELSE 0 END) * 10000) // count(*)
+            AS BIGINT) AS edge_bp
+FROM s GROUP BY doc_id
+""",
+)
+def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge density over REAL decoded pixels — the image-
+    complexity / blur screen a multimodal curation pipeline runs
+    before training (flat frames carry little signal; aHash dedup
+    keeps one copy, edge density decides whether any copy is worth
+    keeping). Same corpus shape as mm_image_histogram: closed-form
+    pixel bytes in ALTERNATING containers (even ids BMP, odd PNG),
+    full stdlib decode, then the 3×3 Sobel operator on every interior
+    pixel as numpy integer slice arithmetic
+    (operators/multimodal.image_edge_density) — edge iff
+    gx² + gy² ≥ 200000 (compared SQUARED: no sqrt, no float anywhere).
+
+    This is the strongest spatial differential in the mm family: the
+    histogram is order-INsensitive and aHash tests a per-byte
+    threshold, but a Sobel gradient couples each pixel to its 8
+    NEIGHBOURS, so any decode bug in row order, adjacency, or stride
+    moves gradients and breaks the match. The oracle replays the
+    closed-form grid with a single top-down mapping for BOTH
+    containers: the BMP grid is the vertical FLIP of the PNG grid
+    (bottom-up storage, and gray sums the channel triple so BGR vs
+    RGB cancels), and Sobel magnitude² is flip-invariant — under
+    y → h−1−y the symmetric-row Gx is unchanged and Gy negates, so
+    gx² + gy² and the interior census are identical. The 9-neighbour
+    self-join is the oracle's cost, not Spark's: the Spark side is
+    map-only (synthesize + decode + convolve inside one Arrow stage,
+    zero shuffles), which is exactly how a 100 TB image sweep must
+    run — per-image work local to the payload batch, no pixel ever
+    shuffled."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                h = 4 + i % 3
+                px = MM.closed_form_pixel_bytes(i, 24 * h)
+                if i % 2 == 0:
+                    return MM.synthesize_bmp_bytes(8, h, px)
+                return MM.synthesize_png(8, h, px)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_edge_density(media, thresh_sq=200000)
+
+
+@_q(
     "curate_quality_auc",
     rf"""
 WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),

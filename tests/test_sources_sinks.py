@@ -404,3 +404,40 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     }
     # d1/d3 untouched, d2 fully replaced by the single patch row
     assert got == {(1, "d1", 10), (2, "d1", 20), (9, "d2", 99), (4, "d3", 40)}
+
+
+def test_multimodal_sobel_edge_density_hand_image(spark):
+    """Closed-form Sobel check: an 8×4 image whose left half is black
+    and right half white has a 2-column vertical edge band (gx = ±1020
+    at the columns straddling the step, gy = 0 everywhere), so exactly
+    4 of the 12 interior pixels are edges → 3333 bp. And because Sobel
+    magnitude² is invariant under vertical flip, a BMP (bottom-up
+    storage) and a PNG (top-down) of the SAME stored byte stream must
+    report identical counts — the property that lets the catalog
+    oracle use one top-down replay for both containers."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        image_edge_density,
+        synthesize_bmp_bytes,
+        synthesize_png,
+    )
+
+    w, h = 8, 4
+    px = bytes(
+        (255 if x >= 4 else 0)
+        for _y in range(h)
+        for x in range(w)
+        for _c in range(3)
+    )
+    media = _media_df(
+        spark,
+        [
+            (1, "image", synthesize_bmp_bytes(w, h, px), None, None, None),
+            (2, "image", synthesize_png(w, h, px), None, None, None),
+        ],
+    )
+    rows = {
+        r["media_id"]: (r["n_interior"], r["n_edges"], r["edge_bp"])
+        for r in image_edge_density(media, thresh_sq=200000).collect()
+    }
+    assert rows[1] == (12, 4, 3333)
+    assert rows[2] == rows[1]
