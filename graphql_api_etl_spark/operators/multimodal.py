@@ -662,6 +662,56 @@ def audio_rms_windows(media: DataFrame, window: int = 200) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, RMS_SCHEMA)
 
 
+ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("n_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_zero_crossings(media: DataFrame, window: int = 200) -> DataFrame:
+    """Windowed zero-crossing count over decoded PCM — the classic
+    voiced/unvoiced + noisiness discriminator that rides next to RMS
+    in every audio front end. A crossing is a sign change between
+    CONSECUTIVE samples within the window (sign: v >= 0 vs v < 0;
+    pairs straddling a window boundary belong to neither window), so
+    unlike RMS — an order-independent sum — this couples each sample
+    to its neighbour: the SEQUENTIAL twin of what Sobel is to the
+    image family. Any decode bug that permutes, drops, or
+    byte-swaps samples moves the count. numpy sign-diff over the
+    int16 array; pure integer in and out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_w, out_p, out_c = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = _wav_data_chunk(bytes(payload))
+                n = len(raw) // 2
+                vals = np.frombuffer(raw[: 2 * n], dtype="<i2")
+                nonneg = vals >= 0
+                for wi in range(0, (n + window - 1) // window):
+                    s = nonneg[wi * window : (wi + 1) * window]
+                    out_id.append(mid)
+                    out_w.append(wi)
+                    out_p.append(max(len(s) - 1, 0))
+                    out_c.append(int((s[1:] != s[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "window_idx": pd.Series(out_w, dtype="int64"),
+                    "n_pairs": pd.Series(out_p, dtype="int64"),
+                    "n_crossings": pd.Series(out_c, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, ZCR_SCHEMA)
+
+
 def closed_form_pixel_bytes(key: int, n: int) -> bytes:
     """Deterministic pixel-byte stream with a closed-form per-byte
     value (same rationale as closed_form_samples: SQL engines can

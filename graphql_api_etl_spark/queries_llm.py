@@ -5459,6 +5459,71 @@ def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_zero_crossings",
+    """
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 5) * 100 AS n FROM documents
+),
+i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d),
+s AS (
+  SELECT doc_id, i, i // 200 AS window_idx,
+         ((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768 AS v
+  FROM i
+),
+p AS (
+  SELECT doc_id, window_idx, i,
+         CASE WHEN i % 200 <> 0
+                   AND ((v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0))
+              THEN 1 ELSE 0 END AS x
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(sum(CASE WHEN i % 200 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS n_crossings
+FROM p GROUP BY doc_id, window_idx
+""",
+)
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed zero-crossing counts over REAL decoded PCM — the
+    voiced/unvoiced + noisiness feature every audio front end pairs
+    with RMS (mm_audio_rms), here as the ORDER-SENSITIVE member of
+    the audio family: RMS is an order-independent Σv², but a crossing
+    couples each sample to its PREDECESSOR (sign flip between
+    consecutive samples, window-interior pairs only), so a decode bug
+    that permutes, drops, or byte-swaps samples moves the count even
+    when the sample multiset — and hence RMS — is untouched. The
+    sequential twin of the Sobel entry's spatial coupling.
+
+    Same closed-form waveform as mm_audio_rms (DuckDB replays every
+    sample with generate_series and a lag window); the Spark side
+    synthesizes WAVs on executors, decodes via the RIFF walk, and
+    counts numpy sign-diffs per 200-sample window — all integer, in
+    one Arrow stage, zero shuffles (the oracle pays a per-sample
+    window function; Spark never materializes a sample row)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: MM.synthesize_wav_samples(
+                            MM.closed_form_samples(int(i), 600 + int(i) % 5 * 100)
+                        )
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.audio_zero_crossings(media, window=200)
+
+
+@_q(
     "mm_image_edge_density",
     """
 WITH d AS (

@@ -322,3 +322,100 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(users, ["segment", "event_type"])
         .select("segment", "event_type", "n_events", "n_users", "total_value")
     )
+
+
+@_q(
+    "stream_late_data_drop",
+    """
+WITH m AS (SELECT date_trunc('hour', max(ts)) AS th FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events CROSS JOIN m
+WHERE ts >= th - INTERVAL 240 HOUR
+GROUP BY 1
+""",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, observed end-to-end and made
+    deterministic: events land as three files — recent (last 48 h),
+    mid (48–240 h back), ancient (older) — streamed oldest-mtime-first
+    with ``maxFilesPerTrigger=1`` so each is its own micro-batch, into
+    an update-mode 1-hour windowed aggregate with a 1-hour watermark.
+
+    The semantics this pins (Spark's multi-stateful-operator watermark
+    model, SPARK-42376 lineage): the late-record filter for batch N
+    uses the watermark as of batch N-1's PLANNING, one batch behind
+    the eviction watermark. So batch 0 (recent file) raises the
+    watermark to max(ts)−1h; batch 1 (mid file) is late-but-ACCEPTED —
+    its filter watermark is still the epoch; batch 2 (ancient file)
+    finally runs against the raised watermark and every row is
+    dropped at the state store (window-grain
+    ``numRowsDroppedByWatermark``). The sink therefore holds exactly
+    the recent+mid aggregate and NONE of the ancient windows — which
+    is what the batch oracle states: the same aggregate with rows
+    older than 240 h from the (hour-truncated) max excluded.
+
+    Three shapes make the differential exact: cut points are
+    hour-ALIGNED (``date_trunc`` both sides), so no 1-hour window
+    straddles a file boundary and every window is updated in exactly
+    one micro-batch — update mode then emits each window once, fully
+    aggregated; the file→batch order is pinned by explicit mtimes;
+    and the watermark delay (1 h) is far from both cuts, so the
+    accept/drop boundary never lands near a window edge. The driver-
+    side work is one bounded scalar (max ts) plus three filtered
+    file writes — the harness shape for a landing directory a real
+    deployment already has."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    tmax = ev.agg(F.max("ts")).first()[0]
+    th = tmax.replace(minute=0, second=0, microsecond=0)
+    c1 = th - datetime.timedelta(hours=48)
+    c2 = th - datetime.timedelta(hours=240)
+
+    land = tempfile.mkdtemp(prefix="stream_late_land_")
+
+    def write_one(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(land, name)
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    write_one(ev.filter(F.col("ts") >= F.lit(c1)).select(*cols), "recent.parquet", 1_700_000_000)
+    write_one(
+        ev.filter((F.col("ts") >= F.lit(c2)) & (F.col("ts") < F.lit(c1))).select(*cols),
+        "mid.parquet",
+        1_700_000_100,
+    )
+    write_one(ev.filter(F.col("ts") < F.lit(c2)).select(*cols), "ancient.parquet", 1_700_000_200)
+
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "update")
+    return out.select(
+        F.col("w.start").alias("window_start"), "n_events", "total_value"
+    )

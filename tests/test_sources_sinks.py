@@ -441,3 +441,28 @@ def test_multimodal_sobel_edge_density_hand_image(spark):
     }
     assert rows[1] == (12, 4, 3333)
     assert rows[2] == rows[1]
+
+
+def test_multimodal_zero_crossings_hand_waveform(spark):
+    """Closed-form ZCR check: sign pattern [+,-,+,-,+,+] has 4
+    crossings among its 5 consecutive pairs; split into windows of 3
+    the boundary pair (idx 2→3) belongs to NEITHER window, so the
+    windowed counts are 2 and 1 — the window-interior rule the oracle
+    replays with ``i % w <> 0``."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        audio_zero_crossings,
+        synthesize_wav_samples,
+    )
+
+    wav = synthesize_wav_samples([1, -1, 2, -3, 0, 5])
+    media = _media_df(spark, [(1, "audio", wav, None, None, None)])
+    whole = {
+        r["window_idx"]: (r["n_pairs"], r["n_crossings"])
+        for r in audio_zero_crossings(media, window=200).collect()
+    }
+    assert whole == {0: (5, 4)}  # 0 counts as non-negative
+    split = {
+        r["window_idx"]: (r["n_pairs"], r["n_crossings"])
+        for r in audio_zero_crossings(media, window=3).collect()
+    }
+    assert split == {0: (2, 2), 1: (2, 1)}

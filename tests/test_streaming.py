@@ -369,3 +369,71 @@ def test_stream_static_join_enrichment(spark, events_stream):
         assert len(got) == 4
     finally:
         q.stop()
+
+
+def test_late_filter_lags_eviction_watermark_by_one_batch(spark, tmp_path):
+    """Pins the WITHIN-RUN late-drop rule the stream_late_data_drop
+    catalog entry builds on (multi-stateful-operator watermark model):
+    in one availableNow run with maxFilesPerTrigger=1, batch N's
+    late-record filter uses the watermark from batch N-1's planning —
+    one batch BEHIND eviction. So data arriving one batch after the
+    watermark-raising batch is still accepted; two batches after, it
+    is dropped at the state store."""
+    import datetime as dt
+    import os
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    schema = "ts timestamp, event_type string, value double"
+
+    def t(d, h, m=0):
+        return dt.datetime(2024, 3, d, h, m)
+
+    def write(name, rows, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        import glob as g
+        import shutil
+
+        part = g.glob(os.path.join(p, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, name + ".parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 0: recent — raises the watermark to Mar 10 09:45
+    write("recent", [(t(10, 10, 15), "click", 1.0), (t(10, 10, 45), "click", 1.0)], 1_700_000_000)
+    # batch 1: a day late, but the late filter is one batch behind → accepted
+    write("mid", [(t(9, 0, 10), "view", 2.0)], 1_700_000_100)
+    # batch 2: now the raised watermark applies → dropped
+    write("ancient", [(t(1, 5, 10), "spam", 9.0)], 1_700_000_200)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import uuid
+
+    name = "late_lag_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = list(q.recentProgress)
+    q.stop()
+    got = {
+        (r["w"]["start"].day, r["w"]["start"].hour): r["n"]
+        for r in spark.table(name).collect()
+    }
+    assert got == {(10, 10): 2, (9, 0): 1}  # ancient window absent
+    dropped = [
+        p["stateOperators"][0].get("numRowsDroppedByWatermark")
+        for p in progress
+        if p["stateOperators"]
+    ]
+    assert sum(d or 0 for d in dropped) >= 1  # the drop REALLY happened
