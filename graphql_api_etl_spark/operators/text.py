@@ -281,7 +281,9 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_merge_table(spark, words: DataFrame, n_merges: int) -> DataFrame:
+def bpe_merge_table(
+    spark, words: DataFrame, n_merges: int, with_segmentation: bool = False
+):
     """Train ``n_merges`` BPE merge rules (Sennrich et al. 2016,
     arXiv:1508.07909) from a word-frequency frame ``words(word, freq)``
     and return them as ``(merge_rank, left_sym, right_sym, merged_sym,
@@ -316,9 +318,17 @@ def bpe_merge_table(spark, words: DataFrame, n_merges: int) -> DataFrame:
     sequences with a ``</w>`` end-of-word marker.  All counts are
     exact BIGINTs, so the argmax and the emitted table are
     deterministic across engines/partitionings — the DuckDB oracle is
-    an independent pure-Python replica of the same spec."""
+    an independent pure-Python replica of the same spec.
+
+    ``with_segmentation=True`` additionally returns the final
+    ``(word, seq)`` frame — the fully-merged segmentation the training
+    loop produced anyway (each round folds the vocabulary in place),
+    so callers that tokenize the SAME corpus they trained on get the
+    applied vocabulary for free instead of re-running the folds
+    (bpe_apply is the standalone path for NEW text)."""
     chars = F.expr("filter(split(word, ''), x -> x <> '')")
     cur = words.select(
+        "word",
         F.col("freq").cast("bigint").alias("freq"),
         F.concat(chars, F.array(F.lit("</w>"))).alias("seq"),
     ).localCheckpoint(eager=True)
@@ -343,15 +353,50 @@ def bpe_merge_table(spark, words: DataFrame, n_merges: int) -> DataFrame:
         merged = l + r
         assert "'" not in merged and "\\" not in merged, merged
         merges.append((rank, l, r, merged, cnt))
-        fold = (
-            "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}' "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
-            "ELSE concat(acc, array(x)) END)"
-        )
-        cur = cur.select("freq", F.expr(fold).alias("seq")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+        cur = cur.select(
+            "word", "freq", F.expr(_merge_fold_expr(l, r, merged)).alias("seq")
+        ).localCheckpoint(eager=True)
+    table = spark.createDataFrame(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, "
         "merged_sym string, pair_count bigint",
     )
+    if with_segmentation:
+        return table, cur.select("word", "seq")
+    return table
+
+
+def _merge_fold_expr(l: str, r: str, merged: str) -> str:
+    """Greedy left-to-right non-overlapping merge of the (l, r) pair
+    over a ``seq`` column, as a native aggregate fold (a just-merged
+    symbol never re-matches as the left half within the same round) —
+    shared by training (bpe_merge_table) and application (bpe_apply)
+    so both run the exact same replacement semantics."""
+    return (
+        "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_apply(vocab: DataFrame, merges: list[tuple[str, str, str]]) -> DataFrame:
+    """Apply an ordered merge table to a vocabulary frame
+    ``vocab(word)``: segment each word to characters + ``</w>``, run
+    each (left, right, merged) rule in rank order with the SAME greedy
+    fold the trainer used, and return ``(word, n_sym)`` — the post-BPE
+    symbol count per distinct word.  The merge table is driver-side by
+    contract (a tokenizer is small; 12 rules here), the vocab frame is
+    |V|-rows, and per-rule cost is one native fold pass over it —
+    tokenizing a 100 TB corpus this way costs one word-count shuffle
+    plus |V|-bounded work, then a broadcast join back to the corpus."""
+    chars = F.expr("filter(split(word, ''), x -> x <> '')")
+    cur = vocab.select(
+        "word", F.concat(chars, F.array(F.lit("</w>"))).alias("seq")
+    ).localCheckpoint(eager=True)
+    for l, r, merged in merges:
+        assert "'" not in (l + r) and "\\" not in (l + r), (l, r)
+        cur = cur.select(
+            "word", F.expr(_merge_fold_expr(l, r, merged)).alias("seq")
+        ).localCheckpoint(eager=True)
+    return cur.select("word", F.size("seq").cast("bigint").alias("n_sym"))

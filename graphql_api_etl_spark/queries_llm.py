@@ -6177,3 +6177,119 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     return bpe_merge_table(spark, words, BPE_MERGES)
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    """Pure-Python replica for text_bpe_tokenize (same independent
+    trainer spec as _bpe_oracle_sql, then merge APPLICATION to every
+    word and per-document accounting), emitting one literal row per
+    document.  No shared code with operators.text; reads the gate's sf
+    via $SPARK_GRAFT_ORACLE_SF_DIR."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per_doc: dict[int, Counter] = {}
+    freq: Counter = Counter()
+    for doc_id, txt in rows:
+        c = Counter(re.findall(r"[a-z]+", txt or ""))
+        per_doc[doc_id] = c
+        freq.update(c)
+    seqs = {w: list(w) + ["</w>"] for w in freq}
+    for _rank in range(BPE_MERGES):
+        stats: Counter = Counter()
+        for w, s in seqs.items():
+            f = freq[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        (l, r), _c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, s in seqs.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+    n_sym = {w: len(s) for w, s in seqs.items()}
+    lits = []
+    for doc_id, c in sorted(per_doc.items()):
+        if not c:  # wordless doc: the Spark side's word join emits no
+            continue  # row for it — mirror the inner-join semantics
+        nw = sum(c.values())
+        nt = sum(cnt * n_sym[w] for w, cnt in c.items())
+        nc = sum(cnt * len(w) for w, cnt in c.items())
+        lits.append(f"({doc_id}, {nw}, {nt}, {nc + nw - nt})")
+    vals = ", ".join(lits)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens, CAST(n_saved AS BIGINT) AS n_saved "
+        f"FROM (VALUES {vals}) t(doc_id, n_words, n_bpe_tokens, n_saved)"
+    )
+
+
+@_q("text_bpe_tokenize", _bpe_tokenize_oracle_sql)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY accounting: train the corpus BPE (the
+    text_bpe_merges rules) and apply it back to every document —
+    per doc: word count, post-BPE token count, and symbols saved vs
+    the character+marker baseline.  This is the number that drives
+    mixture and packing decisions in an LLM data pipeline (tokens, not
+    words or bytes, are what the training budget buys), closing the
+    loop the trainer opened.
+
+    Scale shape: training is |V|-bounded after one tokenize+count
+    shuffle, and because each training round folds the vocabulary in
+    place, the trainer's final segmentation IS the applied tokenizer
+    for this corpus (``with_segmentation=True`` — zero extra fold
+    passes; ``operators/text.bpe_apply`` is the standalone path that
+    tokenizes NEW text against a stored merge table, same shared
+    fold).  Tokenization is never per-occurrence: a 100 TB corpus
+    re-tokenizes via its |V|-row vocabulary, then one broadcast join
+    of the word→n_sym map onto doc-word counts plus a
+    partial-aggregated sum.  All counts exact BIGINTs; the oracle is
+    the independent pure-Python replica emitting per-doc literals
+    (the IVF callable-oracle pattern)."""
+    from graphql_api_etl_spark.operators.text import bpe_merge_table
+
+    dw = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    words = dw.groupBy("word").agg(F.sum("cnt").cast("bigint").alias("freq"))
+    # Training folds the vocabulary in place each round, so the final
+    # segmentation IS the applied tokenizer for this corpus — no
+    # second 12-round bpe_apply pass (that operator serves NEW text).
+    _rules, segmented = bpe_merge_table(
+        spark, words, BPE_MERGES, with_segmentation=True
+    )
+    vocab_sym = segmented.select(
+        "word", F.size("seq").cast("bigint").alias("n_sym")
+    )
+    return (
+        dw.join(F.broadcast(vocab_sym), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.col("cnt") * (F.length("word") + 1 - F.col("n_sym")))
+            .cast("bigint")
+            .alias("n_saved"),
+        )
+    )

@@ -2,13 +2,13 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 40 entries that will still be never-driver-
+the round-7 window: the 41 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-the six mid-r7 registrations (``graph_pagerank_dangling`` per VERDICT
-r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
-``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``)
-— then 10 oldest-green entries (all last green in r3) as round-robin
-refresh fills.
+the seven mid-r7 registrations (``graph_pagerank_dangling`` per
+VERDICT r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
+``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``,
+``text_bpe_tokenize``) — then 9 oldest-green entries (all last green
+in r3) as round-robin refresh fills.
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -21,6 +21,7 @@ PRIORITY_R8 = [
     "mm_audio_zero_crossings",  # never-checked
     "mm_image_edge_density",  # never-checked
     "text_bpe_merges",  # never-checked
+    "text_bpe_tokenize",  # never-checked
     "graph_pagerank_dangling",  # never-checked
     "graph_kcore",  # never-checked
     "stream_late_data_drop",  # never-checked
@@ -67,5 +68,4 @@ PRIORITY_R8 = [
     "x_string_functions",  # green r3 refresh
     "p_rownum_synth",  # green r3 refresh
     "a_bool_all_guard",  # green r3 refresh
-    "a_collect_set_per_group",  # green r3 refresh
 ]

@@ -333,3 +333,27 @@ def test_bpe_merge_application_is_greedy_nonoverlapping(spark):
     # round 2: pairs are (aa,aa) and (aa,</w>) — tie at 1 each, and
     # '<' sorts before 'a', so (aa,</w>) wins lexicographically.
     assert tuple(got[1]) == (2, "aa", "</w>", "aa</w>", 1)
+
+
+def test_bpe_segmentation_and_apply_agree(spark):
+    """The trainer's carried-through segmentation
+    (with_segmentation=True) must equal a standalone bpe_apply of the
+    emitted rules — the equivalence text_bpe_tokenize relies on when
+    it skips the second fold pass — and per-word symbol counts match
+    the hand replica on the 'low/lower/lowest' corpus."""
+    from graphql_api_etl_spark.operators.text import bpe_apply, bpe_merge_table
+
+    words = [("low", 3), ("lower", 1), ("lowest", 1)]
+    wdf = spark.createDataFrame(words, "word string, freq bigint")
+    table, segmented = bpe_merge_table(spark, wdf, 4, with_segmentation=True)
+    rules = [
+        (r["left_sym"], r["right_sym"], r["merged_sym"])
+        for r in table.orderBy("merge_rank").collect()
+    ]
+    seg = {r["word"]: list(r["seq"]) for r in segmented.collect()}
+    app = {r["word"]: r["n_sym"] for r in bpe_apply(wdf.select("word"), rules).collect()}
+    assert {w: len(s) for w, s in seg.items()} == app
+    # hand check after 4 merges (l,o)(lo,w)(low,</w>)(e? ...): 'low'
+    # fuses completely; the suffixed forms keep their tails split.
+    assert seg["low"] == ["low</w>"]
+    assert app["lower"] >= 3 and app["lowest"] >= 3
