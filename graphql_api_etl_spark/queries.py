@@ -9723,3 +9723,99 @@ def events_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.floor(1000000.0 * r).cast("bigint").alias("xcorr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing — merge overlapping supplier shipping windows
+# ---------------------------------------------------------------------------
+
+_INTERVAL_COALESCE_SQL = """
+WITH iv AS (
+  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST((1 + (l_orderkey + l_linenumber) % 7) AS INTEGER) AS e
+  FROM lineitem WHERE year(l_shipdate) = 1995 AND month(l_shipdate) <= 3
+),
+o AS (
+  SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+fl AS (SELECT k, s, e, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st FROM o),
+g AS (
+  SELECT k, s, e, sum(st) OVER (PARTITION BY k ORDER BY s, e
+           ROWS UNBOUNDED PRECEDING) AS gid
+  FROM fl
+),
+sp AS (
+  SELECT k, gid, min(s) AS ss, max(e) AS se, CAST(count(*) AS BIGINT) AS n_iv
+  FROM g GROUP BY k, gid
+)
+SELECT k AS suppkey,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(date_diff('day', ss, se) + 1) AS BIGINT) AS covered_days,
+       CAST(max(date_diff('day', ss, se) + 1) AS BIGINT) AS max_span_days
+FROM sp GROUP BY k
+"""
+
+
+@_q("x_interval_coalesce", _INTERVAL_COALESCE_SQL)
+def x_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING (union of overlapping/touching date ranges)
+    — the missing member of the interval-algebra family next to
+    interval JOIN (events_interval_join), range join
+    (events_range_join_left) and concurrency (events_max_concurrency):
+    per supplier, merge Q1-1995 shipping windows [shipdate, shipdate +
+    transit] into maximal busy spans and report interval count, span
+    count, covered days, and the longest span. Transit time is a
+    deterministic synthesized 1–7 days of (orderkey + linenumber) —
+    the operator under test is the merge, exactly as the mm family
+    synthesizes payloads (the driver's trimmed lineitem carries no
+    receipt date, ETL has no interval surface at all).
+
+    The single-pass formulation every warehouse uses (gaps-and-
+    islands): an interval OPENS a new span iff its start exceeds the
+    running max end of everything before it in (start, end) order —
+    one window max + one running sum per partition, then two
+    aggregates; no self-join, no explode-to-days (a day-explode would
+    be 90× the rows — correct but 90× the shuffle; covered_days
+    falls out of span arithmetic instead). One shuffle on the
+    partition key, then partial-aggregable rollups: the shape that
+    holds at 100 TB where per-key interval lists are month-bounded.
+    Ties on (s, e) are order-insensitive here: an equal-start-equal-
+    end twin never opens a span regardless of which sorts first, so
+    the emitted frame is engine-exact with no row_number tiebreak
+    needed. DATE arithmetic is exact integer days on both sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1995) & (F.month("l_shipdate") <= 3)
+    )
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE), "
+            "CAST(1 + (l_orderkey + l_linenumber) % 7 AS INT))"
+        ).alias("e"),
+    )
+    w = W.partitionBy("k").orderBy("s", "e")
+    o = iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    fl = o.withColumn(
+        "st",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+    )
+    g = fl.withColumn("gid", F.sum("st").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sp = g.groupBy("k", "gid").agg(
+        F.min("s").alias("ss"),
+        F.max("e").alias("se"),
+        F.count(F.lit(1)).cast("bigint").alias("n_iv"),
+    )
+    span_days = F.datediff("se", "ss") + F.lit(1)
+    return sp.groupBy(F.col("k").alias("suppkey")).agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(span_days).cast("bigint").alias("covered_days"),
+        F.max(span_days).cast("bigint").alias("max_span_days"),
+    )

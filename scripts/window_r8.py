@@ -2,13 +2,14 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 41 entries that will still be never-driver-
+the round-7 window: the 42 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-the seven mid-r7 registrations (``graph_pagerank_dangling`` per
+the eight mid-r7 registrations (``graph_pagerank_dangling`` per
 VERDICT r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
 ``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``,
-``text_bpe_tokenize``) — then 9 oldest-green entries (all last green
-in r3) as round-robin refresh fills.
+``text_bpe_tokenize``, ``x_interval_coalesce``) — then 8
+oldest-green entries (all last green in r3) as round-robin refresh
+fills.
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -59,6 +60,7 @@ PRIORITY_R8 = [
     "x_fiscal_445_calendar",  # never-checked
     "a_abc_xyz_matrix",  # never-checked
     "events_lead_lag_xcorr",  # never-checked
+    "x_interval_coalesce",  # never-checked
     "j_left_anti_unmatched",  # green r3 refresh
     "j_left_semi_matched",  # green r3 refresh
     "j_cross_product",  # green r3 refresh
@@ -67,5 +69,4 @@ PRIORITY_R8 = [
     "f_filter_chain",  # green r3 refresh
     "x_string_functions",  # green r3 refresh
     "p_rownum_synth",  # green r3 refresh
-    "a_bool_all_guard",  # green r3 refresh
 ]

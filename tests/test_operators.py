@@ -740,3 +740,41 @@ def test_ivfpq_scores_match_pq_and_search_is_native(spark, sf_oracle_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
     assert plan.count("BroadcastHashJoin") >= 10
+
+
+def test_interval_coalesce_hand_spans(spark):
+    """The gaps-and-islands merge the x_interval_coalesce entry runs,
+    on hand intervals covering every case: overlap, exact touch
+    (s == running max end merges), duplicate interval, containment,
+    and a genuine gap."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = lambda day: dt.date(2024, 1, day)
+    iv = spark.createDataFrame(
+        [
+            (1, d(1), d(5)),
+            (1, d(4), d(8)),    # overlap -> same span
+            (1, d(8), d(10)),   # exact touch -> same span
+            (1, d(12), d(13)),  # gap -> new span
+            (1, d(12), d(13)),  # duplicate -> same span
+            (1, d(14), d(20)),  # gap -> new span
+            (1, d(15), d(16)),  # contained -> same span
+        ],
+        "k bigint, s date, e date",
+    )
+    w = W.partitionBy("k").orderBy("s", "e")
+    o = iv.withColumn("pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)))
+    fl = o.withColumn(
+        "st", F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0)
+    )
+    g = fl.withColumn("gid", F.sum("st").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    spans = {
+        (r["ss"], r["se"]): r["n_iv"]
+        for r in g.groupBy("k", "gid")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"), F.count(F.lit(1)).alias("n_iv"))
+        .collect()
+    }
+    assert spans == {(d(1), d(10)): 3, (d(12), d(13)): 2, (d(14), d(20)): 2}
