@@ -1129,3 +1129,132 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality — landmark multi-source BFS (Eppstein–Wang style)
+# ---------------------------------------------------------------------------
+
+HC_SOURCES = 8
+HC_HOPS = 3
+
+
+def _harmonic_oracle_sql() -> str:
+    parts = [
+        """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+),
+seeds AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM edges UNION SELECT v FROM edges)
+  ORDER BY node LIMIT """
+        + str(HC_SOURCES)
+        + """
+),
+v0 AS MATERIALIZED (SELECT node AS s, node, 0 AS dist FROM seeds)"""
+    ]
+    for r in range(1, HC_HOPS + 1):
+        parts.append(
+            f""",
+f{r} AS MATERIALIZED (
+  SELECT DISTINCT p.s, a.dst AS node FROM v{r - 1} p JOIN adj a ON p.node = a.src
+  WHERE p.dist = {r - 1}
+),
+n{r} AS MATERIALIZED (
+  SELECT s, node, {r} AS dist FROM f{r}
+  WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} w WHERE w.s = f{r}.s AND w.node = f{r}.node)
+),
+v{r} AS MATERIALIZED (
+  SELECT s, node, dist FROM v{r - 1} UNION ALL SELECT s, node, dist FROM n{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM v{HC_HOPS} WHERE dist >= 1
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+@_q("graph_harmonic_centrality", _harmonic_oracle_sql())
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-centrality estimation from a fixed LANDMARK set — the
+    Eppstein–Wang pattern every at-scale centrality pipeline uses
+    (exact all-pairs BFS is O(V·E); k landmarks bound it at k
+    simultaneous BFS waves): per node, Σ 1/d(landmark, node) over the
+    8 lowest-id nodes of the co-purchase graph, depth-capped at 3.
+
+    This is the graph family's MULTI-source member: where
+    graph_bfs_distances runs one frontier, here the frontier frame
+    carries (source, node) pairs and all 8 waves advance through the
+    SAME adjacency equi-join per round — one join regardless of k,
+    which is why landmark counts scale to hundreds without changing
+    the plan. Frontier-at-a-time keeps distances final on first
+    discovery (per source), the per-(source,node) visited set rides a
+    localCheckpoint per round, and the driver holds only the loop
+    counter. Scoring is exact integers (floor(1e6/d) per term,
+    order-independent sum); the oracle unrolls the same three rounds
+    as MATERIALIZED CTEs (the kcore lesson: DuckDB re-inlines plain
+    CTEs into each of their ~3 consumers per round).
+
+    The reference (ETL:1-1162) has no graph surface; tenth member of
+    the derived-graph family."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(HC_SOURCES)
+    )
+    visited = seeds.select(
+        F.col("node").alias("s"), "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, HC_HOPS + 1):
+        nxt = (
+            frontier.join(adj, F.col("node") == F.col("src"))
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(k).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum(F.expr("1000000 DIV dist")).cast("bigint").alias("harmonic_micro"),
+        )
+    )

@@ -2,14 +2,14 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 42 entries that will still be never-driver-
+the round-7 window: the 43 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-the eight mid-r7 registrations (``graph_pagerank_dangling`` per
-VERDICT r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
+the nine mid-r7 registrations (``graph_pagerank_dangling`` per VERDICT
+r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
 ``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``,
-``text_bpe_tokenize``, ``x_interval_coalesce``) — then 8
-oldest-green entries (all last green in r3) as round-robin refresh
-fills.
+``text_bpe_tokenize``, ``x_interval_coalesce``,
+``graph_harmonic_centrality``) — then 7 oldest-green entries (all
+last green in r3) as round-robin refresh fills.
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -25,6 +25,7 @@ PRIORITY_R8 = [
     "text_bpe_tokenize",  # never-checked
     "graph_pagerank_dangling",  # never-checked
     "graph_kcore",  # never-checked
+    "graph_harmonic_centrality",  # never-checked
     "stream_late_data_drop",  # never-checked
     "a_adoption_curve",  # never-checked
     "a_repeat_purchase_rate",  # never-checked
@@ -68,5 +69,4 @@ PRIORITY_R8 = [
     "p_transform_chain",  # green r3 refresh
     "f_filter_chain",  # green r3 refresh
     "x_string_functions",  # green r3 refresh
-    "p_rownum_synth",  # green r3 refresh
 ]

@@ -236,3 +236,58 @@ def test_kcore_fixed_rounds_converge_at_tested_scales():
         core, rounds = _py_peel(edges, KCORE_K)
         assert rounds <= KCORE_ROUNDS, f"{sf_dir}: needs {rounds} rounds"
         assert core, f"{sf_dir}: k={KCORE_K} core unexpectedly empty"
+
+
+def _spark_harmonic(spark, edge_pairs, n_sources, hops):
+    """The multi-source frontier wave graph_harmonic_centrality runs,
+    on an explicit edge list."""
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edge_pairs], "u bigint, v bigint"
+    ).distinct()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(n_sources)
+    )
+    visited = seeds.select(F.col("node").alias("s"), "node", F.lit(0).alias("dist"))
+    frontier = visited
+    for k in range(1, hops + 1):
+        nxt = (
+            frontier.join(adj, F.col("node") == F.col("src"))
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(k).alias("dist"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return {
+        r["node"]: (r["n_sources"], r["harmonic_micro"])
+        for r in visited.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum(F.expr("1000000 DIV dist")).cast("bigint").alias("harmonic_micro"),
+        )
+        .collect()
+    }
+
+
+def test_harmonic_centrality_star_closed_form(spark):
+    """Star with center 0 and leaves 1..4, all 5 nodes as landmarks:
+    the center is reached at distance 1 from every leaf (harmonic
+    4·1e6); each leaf at 1 from the center and 2 from the other three
+    leaves (1e6 + 3·5e5 = 2.5e6). Also pins the depth cap: with
+    hops=1 a leaf only hears from the center."""
+    star = [(0, i) for i in range(1, 5)]
+    got = _spark_harmonic(spark, star, n_sources=5, hops=3)
+    assert got[0] == (4, 4_000_000)
+    assert all(got[i] == (4, 2_500_000) for i in range(1, 5))
+    capped = _spark_harmonic(spark, star, n_sources=5, hops=1)
+    assert capped[0] == (4, 4_000_000)
+    assert all(capped[i] == (1, 1_000_000) for i in range(1, 5))
