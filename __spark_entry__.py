@@ -28,10 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # history. 84 of the 273 entries then in the catalog had never been
 # inside the driver's 50-slot window; this window is 100%
 # never-driver-checked entries in registration order (the remaining 34
-# plus the seven mid-r7 additions — graph_pagerank_dangling,
+# plus the nine mid-r7 additions — graph_pagerank_dangling,
 # text_bpe_merges, mm_audio_zero_crossings, mm_image_edge_density,
-# graph_kcore, stream_late_data_drop, text_bpe_tokenize; catalog now
-# 280 — are pre-staged for r8 in
+# graph_kcore, stream_late_data_drop, text_bpe_tokenize,
+# x_interval_coalesce, graph_harmonic_centrality; catalog now 282 —
+# are pre-staged for r8 in
 # scripts/window_r8.py). All 189 previously-windowed entries
 # carry a green latest driver row; every entry not in the window stays
 # green on the local driver-replica gate (tests/test_oracle_diff.py)
