@@ -1667,7 +1667,10 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup that exact/MinHash doc-level dedup cannot do (boilerplate
     headers, repeated disclaimers). Two balanced shuffles at any
     scale — see operators/corpus.dedup_spans. The differential hashes
-    the reassembled text itself."""
+    the reassembled text itself. (No scan repartition here, unlike
+    curate_bloom_decontaminate: measured 0.86 s → 1.16 s WITH one at
+    sf0.1 — the span window is already the first shuffle, so an extra
+    exchange only adds latency.)"""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = C.dedup_spans(docs)
     return out.select(
@@ -1743,8 +1746,21 @@ def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom hit (no false negatives), false positives bounded by the
     standard (1-e^{{-kn/m}})^k rate. The oracle replays the identical
     hash family bit-for-bit — the FPR set matches exactly, not just
-    within a bound."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    within a bound.
+
+    The repartition ahead of the gram chain is the small-file-source
+    mitigation (the mm-decode precedent): the testdata table is ONE
+    parquet file with ONE row group, so the scan is a single task and
+    the regex/ngram chain — the entry's dominant cost — ran
+    single-core on a 32-core box (measured 2.8 s at sf0.1; 0.9 s
+    after). A real corpus arrives in many files and the scan
+    parallelizes itself; the 0.6 MB text shuffle is noise either
+    way."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
     grams = docs.select(
         "doc_id",
         F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
