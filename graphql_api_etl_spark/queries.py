@@ -9819,3 +9819,110 @@ def x_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span_days).cast("bigint").alias("covered_days"),
         F.max(span_days).cast("bigint").alias("max_span_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — exact-integer S and tie correction
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_SQL = """
+WITH m AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.n_name,
+         CASE WHEN b.n_orders > a.n_orders THEN 1
+              WHEN b.n_orders < a.n_orders THEN -1 ELSE 0 END AS sg
+  FROM m a JOIN m b ON a.n_name = b.n_name AND a.mon < b.mon
+),
+s AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM p GROUP BY n_name),
+ties AS (
+  SELECT n_name, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT n_name, n_orders, CAST(count(*) AS BIGINT) AS t
+        FROM m GROUP BY n_name, n_orders)
+  WHERE t > 1 GROUP BY n_name
+),
+nm AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_months FROM m GROUP BY n_name)
+SELECT nm.n_name AS nation, nm.n_months, s.s_stat, s.n_pairs,
+       coalesce(ties.tie_term, 0) AS tie_term
+FROM nm JOIN s ON nm.n_name = s.n_name
+LEFT JOIN ties ON nm.n_name = ties.n_name
+"""
+
+
+@_q("a_mann_kendall", _MANN_KENDALL_SQL)
+def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per nation over monthly order counts —
+    the nonparametric is-there-a-monotonic-trend test that pairs with
+    the Theil–Sen slope entry (events_theilsen_trend estimates the
+    slope; Mann–Kendall's S says whether to believe it). S = Σ_{i<j}
+    sign(x_j − x_i) over month pairs plus the tie correction term
+    Σ t(t−1)(2t+5) a variance computation needs — ALL exact BIGINTs
+    (the metric is an order COUNT, never a float, so sign() can't
+    waver on engine-specific float summation; z-scoring is one driver-
+    side division away and deliberately left out of the frame).
+
+    Plan: one month-grain rollup (two broadcast dim joins + partial
+    agg), then the sign pair join per nation — C(n_months, 2) ≈ 3 k
+    rows per key, bounded by the CALENDAR not the fact table, the
+    same per-key-series shape as the lag/xcorr entries; a century of
+    monthly data is 720 k pairs per key. Tie groups and month counts
+    are two more tiny aggregates on the rollup."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.mon") < F.col("b.mon")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.when(F.col("b.n_orders") > F.col("a.n_orders"), 1)
+        .when(F.col("b.n_orders") < F.col("a.n_orders"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    s = pairs.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sg").cast("bigint").alias("s_stat"),
+    )
+    ties = (
+        m.groupBy("n_name", "n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nm = m.groupBy("n_name").agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        nm.join(s, "n_name")
+        .join(ties, "n_name", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_months",
+            "s_stat",
+            "n_pairs",
+            F.coalesce("tie_term", F.lit(0)).cast("bigint").alias("tie_term"),
+        )
+    )

@@ -419,3 +419,70 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "n_events", "total_value"
     )
+
+
+@_q(
+    "stream_stream_interval_join",
+    """
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the micro-batch engine —
+    the last core streaming join shape after windowed-agg / dedup /
+    foreachBatch / session / stream-static / late-drop: views and
+    purchases arrive as two event-time streams and an INNER join with
+    a time-range predicate (purchase within the hour AFTER the view)
+    pairs them in the symmetric join state store — attribution the
+    moment it becomes decidable, the continuous twin of
+    events_asof_join/events_interval_join.
+
+    Both sides carry watermarks and the range predicate bounds state
+    retention on a live stream (each side's rows expire once the
+    other's watermark passes their join horizon — without the time
+    bound, inner join state grows forever); under availableNow over
+    the finite source the sink ends up with exactly the batch join's
+    pair set, which is what the oracle states. Emission is
+    append-mode per match and the MATCH SET is deterministic (inner
+    join; no per-row race like dropDuplicates), so the differential
+    hashes event-id pairs and exact second gaps."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )

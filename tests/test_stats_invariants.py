@@ -150,3 +150,55 @@ def test_referential_integrity_intact_on_testdata(spark):
     for r in _rows("dq_referential_integrity", spark):
         assert r["intact"] and r["n_orphans"] == 0
         assert r["sample_orphan_key"] is None
+
+
+def test_mann_kendall_bounds_and_replica(spark):
+    """|S| never exceeds the pair count, pairs = C(n_months, 2), the
+    tie term is a valid Σt(t−1)(2t+5) (non-negative, ≡ 0 mod 2), and
+    S matches a pure-Python replica recomputed from the same monthly
+    rollup for one nation."""
+    rows = _rows("a_mann_kendall", spark)
+    assert rows
+    for r in rows:
+        n = r["n_months"]
+        assert r["n_pairs"] == n * (n - 1) // 2
+        assert abs(r["s_stat"]) <= r["n_pairs"]
+        assert r["tie_term"] >= 0 and r["tie_term"] % 2 == 0
+    # replica on the rollup for the first nation (alphabetical)
+    nat = sorted(r["nation"] for r in rows)[0]
+    import duckdb
+
+    series = [
+        v
+        for (v,) in duckdb.connect()
+        .execute(
+            f"""
+            SELECT CAST(count(*) AS BIGINT) FROM
+            read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey
+            JOIN read_parquet('{SF}/nation.parquet') n ON c_nationkey = n_nationkey
+            WHERE n_name = '{nat}'
+            GROUP BY date_trunc('month', o_orderdate)
+            ORDER BY date_trunc('month', o_orderdate)
+            """
+        )
+        .fetchall()
+    ]
+    s = sum(
+        (1 if series[j] > series[i] else -1 if series[j] < series[i] else 0)
+        for i in range(len(series))
+        for j in range(i + 1, len(series))
+    )
+    got = next(r for r in rows if r["nation"] == nat)
+    assert got["s_stat"] == s and got["n_months"] == len(series)
+
+
+def test_stream_stream_join_pairs_within_horizon(spark):
+    """Every emitted attribution pair respects the interval predicate
+    (0 < gap ≤ 3600 s) and view/purchase ids are genuinely distinct
+    events of the right types."""
+    rows = _rows("stream_stream_interval_join", spark)
+    assert rows
+    for r in rows:
+        assert 0 < r["gap_sec"] <= 3600
+        assert r["view_id"] != r["purchase_id"]
