@@ -486,3 +486,54 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_sec"),
     )
+
+
+@_q(
+    "stream_threshold_crossings",
+    """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+cum AS (
+  SELECT user_id, event_id, ts, c,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+)
+SELECT user_id, event_id, ts AS alert_ts,
+       CAST(cum AS BIGINT) AS cum_cents,
+       CAST(cum // 50000 AS BIGINT) AS level
+FROM cum WHERE cum // 50000 > (cum - c) // 50000
+""",
+)
+def stream_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator under the differential gate:
+    ``applyInPandasWithState`` (streaming/stateful.py:
+    threshold_crossing_events) keeps each user's lifetime spend in
+    exact integer cents and emits the precise event that pushes it
+    across each new 500-unit multiple — the arbitrary-state shape no
+    built-in windowed aggregate expresses (unbounded history, a
+    user-defined emission rule), and the one streaming API family
+    (apply/transformWithState) the catalog's other stream entries
+    don't touch: the previous evidence was pytest-only
+    (tests/test_streaming.py); this puts the Arrow state-store path
+    itself behind a DuckDB oracle.
+
+    Determinism: integer cents (the v_cents convention — a float
+    running total could flip a boundary comparison on summation
+    order), per-group replay sorted by (ts, event_id) after
+    concatenating the group's Arrow chunks, and the oracle is the
+    same crossing predicate as a window cumsum:
+    cum//K > (cum−c)//K. State is ONE bigint per key, engine-
+    checkpointed and shuffle-partitioned — alert volume is bounded by
+    value growth, not event count, so the operator holds at any
+    corpus size."""
+    from graphql_api_etl_spark.streaming.stateful import threshold_crossing_events
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = _run_to_memory(threshold_crossing_events(ev), "append")
+    return out.select("user_id", "event_id", "alert_ts", "cum_cents", "level")

@@ -2,15 +2,16 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 45 entries that will still be never-driver-
+the round-7 window: the 46 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-the eleven mid-r7 registrations (``graph_pagerank_dangling`` per
+the twelve mid-r7 registrations (``graph_pagerank_dangling`` per
 VERDICT r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
 ``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``,
 ``text_bpe_tokenize``, ``x_interval_coalesce``,
 ``graph_harmonic_centrality``, ``stream_stream_interval_join``,
-``a_mann_kendall``) — then 5 oldest-green entries (all last green
-in r3) as round-robin refresh fills.
+``a_mann_kendall``, ``stream_threshold_crossings``) — then 4
+oldest-green entries (all last green in r3) as round-robin refresh
+fills.
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -29,6 +30,7 @@ PRIORITY_R8 = [
     "graph_harmonic_centrality",  # never-checked
     "stream_late_data_drop",  # never-checked
     "stream_stream_interval_join",  # never-checked
+    "stream_threshold_crossings",  # never-checked
     "a_adoption_curve",  # never-checked
     "a_repeat_purchase_rate",  # never-checked
     "a_kmv_distinct_sketch",  # never-checked
@@ -69,5 +71,4 @@ PRIORITY_R8 = [
     "j_left_semi_matched",  # green r3 refresh
     "j_cross_product",  # green r3 refresh
     "j_broadcast_dims",  # green r3 refresh
-    "p_transform_chain",  # green r3 refresh
 ]

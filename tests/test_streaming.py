@@ -437,3 +437,57 @@ def test_late_filter_lags_eviction_watermark_by_one_batch(spark, tmp_path):
         if p["stateOperators"]
     ]
     assert sum(d or 0 for d in dropped) >= 1  # the drop REALLY happened
+
+
+def test_threshold_crossing_events_state_carries_across_batches(spark, tmp_path):
+    """The per-event crossing operator only fires in batch 2 because
+    of state carried from batch 1 (30k + 25k crosses 50k), pinning
+    GroupState persistence, the (ts, event_id) replay order inside a
+    group, and the exact-cents boundary rule of
+    stream_threshold_crossings."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+    import uuid
+
+    from graphql_api_etl_spark.streaming.stateful import threshold_crossing_events
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    schema = "user_id bigint, event_id bigint, ts timestamp, cents bigint"
+
+    def write(name, rows, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        part = g.glob(os.path.join(p, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, name + ".parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+
+    # batch 1: 10k at 12:10 then 20k at 12:05 — replay must sort by ts
+    # (cum 20k -> 30k), no crossing yet
+    write("b1", [(1, 101, t0 + dt.timedelta(minutes=10), 10_000),
+                 (1, 102, t0 + dt.timedelta(minutes=5), 20_000)], 1_700_000_000)
+    # batch 2: 25k -> cum 55k crosses 50k ONLY with carried state
+    write("b2", [(1, 103, t0 + dt.timedelta(minutes=20), 25_000)], 1_700_000_100)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    name = "cross_" + uuid.uuid4().hex[:8]
+    q = (
+        threshold_crossing_events(stream, threshold_cents=50_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = [
+        (r["event_id"], r["cum_cents"], r["level"])
+        for r in spark.table(name).collect()
+    ]
+    assert rows == [(103, 55_000, 1)]
