@@ -9889,8 +9889,11 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a, b = m.alias("a"), m.alias("b")
+    # the rollup is |nations|·|months| rows at ANY fact-table scale —
+    # broadcast the pair join's right side instead of letting the
+    # planner sort-merge a calendar-bounded frame
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.mon") < F.col("b.mon")),
     ).select(
         F.col("a.n_name").alias("n_name"),
@@ -9916,8 +9919,8 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nm = m.groupBy("n_name").agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
     return (
-        nm.join(s, "n_name")
-        .join(ties, "n_name", "left")
+        nm.join(F.broadcast(s), "n_name")
+        .join(F.broadcast(ties), "n_name", "left")
         .select(
             F.col("n_name").alias("nation"),
             "n_months",
