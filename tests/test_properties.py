@@ -452,3 +452,99 @@ def test_transition_matrix_counts_and_normalizes(spark, seq):
         by_src[r["prev_state"]] += r["p"]
     for src, total in by_src.items():
         assert abs(total - 1.0) < 0.01, (src, total)
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10)), min_size=1, max_size=12
+    )
+)
+@_SETTINGS
+def test_interval_coalesce_equals_day_union(spark, ivals):
+    """The single-pass gaps-and-islands merge (x_interval_coalesce's
+    formulation) must agree with the brute-force day-set union on ANY
+    interval multiset: same covered-day total, same span count, and
+    every span maximal (its start strictly after the previous span's
+    end)."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=s), base + dt.timedelta(days=s + ln))
+        for s, ln in ivals
+    ]
+    iv = spark.createDataFrame(rows, "k bigint, s date, e date")
+    w = W.partitionBy("k").orderBy("s", "e")
+    o = iv.withColumn("pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)))
+    fl = o.withColumn(
+        "st", F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0)
+    )
+    g = fl.withColumn("gid", F.sum("st").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    spans = (
+        g.groupBy("k", "gid")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
+        .collect()
+    )
+    # brute force: union of day sets
+    days = set()
+    for _, s, e in rows:
+        d = s
+        while d <= e:
+            days.add(d)
+            d += dt.timedelta(days=1)
+    covered = sum((r["se"] - r["ss"]).days + 1 for r in spans)
+    assert covered == len(days)
+    ordered = sorted((r["ss"], r["se"]) for r in spans)
+    for (_s1, e1), (s2, _e2) in zip(ordered, ordered[1:]):
+        assert s2 > e1  # maximality: spans never overlap or touch
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.integers(2, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_kcore_bsp_matches_sequential_peel(pairs, k):
+    """The synchronous BSP peel (graph_kcore's per-round rule: drop
+    EVERY under-degree node simultaneously) converges to the same
+    fixpoint as the textbook SEQUENTIAL peel (remove one node at a
+    time) on any graph — the k-core is unique, so peeling order and
+    batching cannot matter. Pure-Python replicas of both (the Spark
+    loop itself is pinned by the hand-graph test and the oracle
+    differential; this pins the MATH the fixed-round contract rests
+    on), plus the round bound: BSP reaches the fixpoint in at most
+    n rounds."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = {n for e in edges for n in e}
+
+    seq_edges = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in seq_edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        victim = next((n for n in sorted(deg) if deg[n] < k), None)
+        if victim is None:
+            break
+        seq_edges = {(u, v) for u, v in seq_edges if victim not in (u, v)}
+
+    bsp_edges, rounds = set(edges), 0
+    while True:
+        deg = {}
+        for u, v in bsp_edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in bsp_edges if u in keep and v in keep}
+        if nxt == bsp_edges:
+            break
+        bsp_edges, rounds = nxt, rounds + 1
+
+    assert bsp_edges == seq_edges
+    assert rounds <= max(len(nodes), 1)
