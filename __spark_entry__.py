@@ -28,12 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # history. 84 of the 273 entries then in the catalog had never been
 # inside the driver's 50-slot window; this window is 100%
 # never-driver-checked entries in registration order (the remaining 34
-# plus the twelve mid-r7 additions — graph_pagerank_dangling,
+# plus the fourteen mid-r7 additions — graph_pagerank_dangling,
 # text_bpe_merges, mm_audio_zero_crossings, mm_image_edge_density,
 # graph_kcore, stream_late_data_drop, text_bpe_tokenize,
 # x_interval_coalesce, graph_harmonic_centrality,
 # stream_stream_interval_join, a_mann_kendall,
-# stream_threshold_crossings; catalog now 285 —
+# stream_threshold_crossings, source_csv_corrupt_recovery,
+# a_kruskal_wallis; catalog now 287 —
 # are pre-staged for r8 in
 # scripts/window_r8.py). All 189 previously-windowed entries
 # carry a green latest driver row; every entry not in the window stays

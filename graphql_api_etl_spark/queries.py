@@ -9929,3 +9929,159 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tie_term", F.lit(0)).cast("bigint").alias("tie_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record recovery — PERMISSIVE CSV ingest with a corrupt channel
+# ---------------------------------------------------------------------------
+
+_CSV_CORRUPT_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         (o_orderkey % 37 = 0) AS corrupt
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE corrupt) AS BIGINT) AS n_corrupt,
+       round(sum(o_totalprice) FILTER (WHERE NOT corrupt), 2) AS good_total
+FROM o GROUP BY o_orderpriority
+"""
+
+
+@_q("source_csv_corrupt_recovery", _CSV_CORRUPT_SQL)
+def source_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record RECOVERY on CSV ingest — the source-robustness
+    surface the clean roundtrip entries (jsonl/orc/text/fixed-width)
+    never exercise, and a daily reality at 100 TB: a landing file is
+    written with every 37th order's numeric column corrupted to a
+    non-numeric token, then read back under PERMISSIVE mode with a
+    DECLARED schema and a ``columnNameOfCorruptRecord`` channel — bad
+    rows surface as (NULL fields + raw line) instead of failing the
+    job or silently coercing. The entry accounts for both channels
+    per priority class: corrupt rows keep their parseable priority
+    column (CSV recovery is per-FIELD: only the poisoned numeric is
+    NULL) but are counted via the corrupt-record column, and the good
+    rows' totals must match the raw table's — proving recovery loses
+    nothing and coerces nothing.
+
+    Scale shape: line-splittable scan, per-row recovery is free in
+    the parser, one partial-aggregable rollup; the corrupt channel
+    costs one string column only on bad rows. The oracle replays the
+    corruption rule arithmetically (key % 37)."""
+    path, cached = _layout_cache_path(sf_dir, "orders_badcsv", ["orders"])
+    orders = _t(spark, sf_dir, "orders")
+    if not cached:
+        _publish_layout(
+            lambda tmp: orders.select(
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderpriority"),
+                    F.when(F.col("o_orderkey") % 37 == 0, F.lit("NOT_A_NUMBER"))
+                    .otherwise(F.format_string("%.2f", F.col("o_totalprice")))
+                    .alias("p"),
+                )
+            ).write.mode("overwrite").text(tmp),
+            path,
+        )
+    schema = (
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE, "
+        "_corrupt STRING"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return raw.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.round(F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))), 2).alias(
+            "good_total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis rank sums — k-group nonparametric location test inputs
+# ---------------------------------------------------------------------------
+
+_KRUSKAL_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cg FROM c GROUP BY grp, v),
+vals AS (SELECT v, CAST(sum(cg) AS BIGINT) AS t FROM gv GROUP BY v),
+cum AS (
+  SELECT v, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM vals
+),
+ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubic FROM vals),
+g AS (
+  SELECT grp, CAST(sum(cg) AS BIGINT) AS n,
+         CAST(sum(cg * (2 * below + t + 1)) AS BIGINT) AS sum_double_rank
+  FROM gv JOIN cum USING (v) GROUP BY grp
+)
+SELECT grp AS priority, n, sum_double_rank, tie_cubic
+FROM g CROSS JOIN ties
+"""
+
+
+@_q("a_kruskal_wallis", _KRUSKAL_SQL)
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis inputs per order-priority class — the k-group
+    generalization of a_mannwhitney_u (does SOME priority class price
+    differently?): per group the exact DOUBLED rank sum (2·rank̄ =
+    2·cum_before + t + 1, the tie identity Spearman/Mann–Whitney use)
+    and globally the tie-correction cubic Σ(t³ − t) the H statistic's
+    denominator needs — H itself is one driver-side expression over
+    these BIGINTs (H = [12/(N(N+1))]·Σ R̄ⱼ²/nⱼ − 3(N+1), tie-divided),
+    deliberately left out of the frame: Σ Rⱼ² would square past int64
+    at sf0.1's N≈150 k while the per-group SUMS stay exact at any N.
+
+    Plan: the a_spearman_corr discipline — rank arithmetic at VALUE
+    grain (one window over the distinct-price frame; the fact table
+    is never windowed), the (group, value) count frame joins the
+    cumulative map back, and everything reduces with partial
+    aggregation. Exact integers end to end; ties are heavy at cent
+    grain and the cubic term is genuinely non-zero."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    gv = c.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    vals = gv.groupBy("v").agg(F.sum("cg").cast("bigint").alias("t"))
+    wb = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = vals.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("bigint").alias("below"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_cubic")
+    )
+    g = (
+        gv.join(cum, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n"),
+            F.sum(F.col("cg") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("sum_double_rank"),
+        )
+    )
+    return g.crossJoin(F.broadcast(ties)).select(
+        F.col("grp").alias("priority"), "n", "sum_double_rank", "tie_cubic"
+    )

@@ -2,16 +2,18 @@
 
 Computed by scripts/rotate_window.py policy against the committed
 CORRECTNESS_r01..r06 history PLUS a simulated all-green round 7 over
-the round-7 window: the 46 entries that will still be never-driver-
+the round-7 window: the 48 entries that will still be never-driver-
 checked after r7 — 34 pre-r7 registrations in registration order plus
-the twelve mid-r7 registrations (``graph_pagerank_dangling`` per
+the fourteen mid-r7 registrations (``graph_pagerank_dangling`` per
 VERDICT r6 ask #8, ``text_bpe_merges``, ``mm_audio_zero_crossings``,
 ``mm_image_edge_density``, ``graph_kcore``, ``stream_late_data_drop``,
 ``text_bpe_tokenize``, ``x_interval_coalesce``,
 ``graph_harmonic_centrality``, ``stream_stream_interval_join``,
-``a_mann_kendall``, ``stream_threshold_crossings``) — then 4
-oldest-green entries (all last green in r3) as round-robin refresh
-fills.
+``a_mann_kendall``, ``stream_threshold_crossings``,
+``source_csv_corrupt_recovery``, ``a_kruskal_wallis``) — then 2
+oldest-green entries (last green in r3) as round-robin refresh fills.
+After r8, NOTHING is left never-driver-checked
+(tests/test_entry_contract.py asserts it).
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
@@ -67,8 +69,8 @@ PRIORITY_R8 = [
     "events_lead_lag_xcorr",  # never-checked
     "x_interval_coalesce",  # never-checked
     "a_mann_kendall",  # never-checked
+    "source_csv_corrupt_recovery",  # never-checked
+    "a_kruskal_wallis",  # never-checked
     "j_left_anti_unmatched",  # green r3 refresh
     "j_left_semi_matched",  # green r3 refresh
-    "j_cross_product",  # green r3 refresh
-    "j_broadcast_dims",  # green r3 refresh
 ]

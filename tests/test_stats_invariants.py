@@ -202,3 +202,39 @@ def test_stream_stream_join_pairs_within_horizon(spark):
     for r in rows:
         assert 0 < r["gap_sec"] <= 3600
         assert r["view_id"] != r["purchase_id"]
+
+
+def test_kruskal_wallis_rank_sum_identity(spark):
+    """Doubled rank sums over all groups must total exactly N(N+1)
+    (every rank handed out once), groups partition N, and the tie
+    cubic matches a direct recount of value multiplicities."""
+    rows = _rows("a_kruskal_wallis", spark)
+    n_total = sum(r["n"] for r in rows)
+    assert sum(r["sum_double_rank"] for r in rows) == n_total * (n_total + 1)
+    assert len({r["tie_cubic"] for r in rows}) == 1  # global constant
+    import duckdb
+
+    tie = duckdb.connect().execute(
+        f"""SELECT CAST(sum(t*t*t - t) AS BIGINT) FROM (
+            SELECT count(*) AS t FROM read_parquet('{SF}/orders.parquet')
+            GROUP BY CAST(round(o_totalprice * 100) AS BIGINT))"""
+    ).fetchone()[0]
+    assert rows[0]["tie_cubic"] == tie
+
+
+def test_csv_corrupt_recovery_partitions_the_file(spark):
+    """Good + corrupt row counts must reproduce the raw table's
+    cardinality per priority class, and the corrupt count equals the
+    construction rule's arithmetic (every 37th key)."""
+    import duckdb
+
+    rows = {r["o_orderpriority"]: r for r in _rows("source_csv_corrupt_recovery", spark)}
+    raw = duckdb.connect().execute(
+        f"""SELECT o_orderpriority, count(*),
+                   count(*) FILTER (WHERE o_orderkey % 37 = 0)
+            FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    for prio, n_all, n_bad in raw:
+        r = rows[prio]
+        assert r["n_good"] + r["n_corrupt"] == n_all
+        assert r["n_corrupt"] == n_bad
