@@ -801,12 +801,19 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _layout_cache_path(sf_dir: str, name: str, src_tables: list[str]) -> tuple[str, bool]:
+def _layout_cache_path(
+    sf_dir: str, name: str, src_tables: list[str], version: int = 1
+) -> tuple[str, bool]:
     """Cache dir for a derived-layout copy, keyed by the sf tag AND a
     fingerprint (mtime_ns + size) of the source parquet files — so
     regenerated testdata can never silently reuse a stale copy (r3
     ADVICE: the _SUCCESS-only check survived a testdata regen). Other
     fingerprints of the same (name, tag) are garbage-collected.
+    ``version`` salts the fingerprint with the BUILDER's revision:
+    source-data fingerprints can't see a code change in the writer
+    (hit live in r7 — the corrupt-CSV writer fix kept serving the old
+    copy until a manual purge), so bump the caller's version whenever
+    its build_fn changes what it writes.
     Returns (path, is_valid_cached_copy)."""
     import glob as _glob
     import hashlib as _hashlib
@@ -817,7 +824,7 @@ def _layout_cache_path(sf_dir: str, name: str, src_tables: list[str]) -> tuple[s
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache"
     )
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
-    h = _hashlib.md5()
+    h = _hashlib.md5(f"v{version};".encode())
     for t in src_tables:
         st = _os.stat(_os.path.join(sf_dir, f"{t}.parquet"))
         h.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -9969,7 +9976,9 @@ def source_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parser, one partial-aggregable rollup; the corrupt channel
     costs one string column only on bad rows. The oracle replays the
     corruption rule arithmetically (key % 37)."""
-    path, cached = _layout_cache_path(sf_dir, "orders_badcsv", ["orders"])
+    # version=2: the v1 writer used format_number (thousands separators
+    # corrupted every field); data fingerprints alone can't see that
+    path, cached = _layout_cache_path(sf_dir, "orders_badcsv", ["orders"], version=2)
     orders = _t(spark, sf_dir, "orders")
     if not cached:
         _publish_layout(
