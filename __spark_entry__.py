@@ -23,74 +23,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-7 window (VERDICT r6 ask #1): rotated at ROUND START via
-# scripts/rotate_window.py against the committed CORRECTNESS_r01..r06
-# history. 84 of the 273 entries then in the catalog had never been
-# inside the driver's 50-slot window; this window is 100%
-# never-driver-checked entries in registration order (the remaining 34
-# plus the fourteen mid-r7 additions — graph_pagerank_dangling,
-# text_bpe_merges, mm_audio_zero_crossings, mm_image_edge_density,
-# graph_kcore, stream_late_data_drop, text_bpe_tokenize,
-# x_interval_coalesce, graph_harmonic_centrality,
-# stream_stream_interval_join, a_mann_kendall,
-# stream_threshold_crossings, source_csv_corrupt_recovery,
-# a_kruskal_wallis; catalog now 287 —
-# are pre-staged for r8 in
-# scripts/window_r8.py). All 189 previously-windowed entries
-# carry a green latest driver row; every entry not in the window stays
-# green on the local driver-replica gate (tests/test_oracle_diff.py)
-# at sf0.001/0.01/0.1 before each commit.
+# Round-8 window: the pre-staged scripts/window_r8.py list AMENDED per
+# its own round-start policy (rotate_window.amend_window) with the one
+# real r7 miss — x_decimal_money_exact (hash-fail in CORRECTNESS_r07,
+# reshaped this round to representation-proof BIGINT fixed-point per
+# VERDICT r7 ask #2) moves to the FRONT and the last refresh fill
+# (j_left_semi_matched, green r3) drops from the tail. The other 49
+# slots are the 48 entries that had never been driver-checked (34
+# pre-r7 registrations + 14 mid-r7 additions) plus one r3 refresh
+# fill; after this round, EVERY catalog entry has a driver row
+# (tests/test_entry_contract.py asserts the invariant against the
+# committed CORRECTNESS_r01..r07 history). Entries outside the window
+# stay green on the local driver-replica gate
+# (tests/test_oracle_diff.py) at sf0.01 before each commit.
 _PRIORITY = [
-    "a_benford_first_digit",  # never-checked
-    "a_quantile_buckets",  # never-checked
-    "a_entropy_per_group",  # never-checked
-    "events_interarrival_stats",  # never-checked
-    "a_monthly_growth",  # never-checked
-    "events_range_frame_sum",  # never-checked
-    "events_path_analysis",  # never-checked
-    "events_ohlc_bars",  # never-checked
-    "events_active_users",  # never-checked
-    "a_key_skew_report",  # never-checked
-    "source_fixed_width",  # never-checked
-    "a_audience_overlap",  # never-checked
-    "a_market_basket",  # never-checked
-    "x_try_cast_tolerant",  # never-checked
-    "a_group_ols",  # never-checked
-    "layout_dpp_prune",  # never-checked
-    "a_autocorr_lag",  # never-checked
-    "graph_triangle_count",  # never-checked
-    "graph_bfs_distances",  # never-checked
-    "graph_link_prediction",  # never-checked
-    "graph_label_propagation",  # never-checked
-    "graph_degree_assortativity",  # never-checked
-    "graph_modularity",  # never-checked
-    "stream_hourly_counts",  # never-checked
-    "stream_distinct_user_types",  # never-checked
-    "stream_latest_state_upsert",  # never-checked
-    "stream_session_windows",  # never-checked
-    "stream_static_enrich_join",  # never-checked
-    "a_heavy_hitters_cms",  # never-checked
-    "j_fuzzy_blocked",  # never-checked
-    "events_hypertable_rollup",  # never-checked
-    "a_ab_test_ztest",  # never-checked
-    "a_mad_outliers",  # never-checked
-    "a_abc_pareto",  # never-checked
-    "events_resample_interpolate",  # never-checked
-    "ts_sax_symbols",  # never-checked
-    "ts_similarity_topk",  # never-checked
-    "a_forecast_seasonal_naive",  # never-checked
-    "dq_table_checksums",  # never-checked
-    "source_xml_records",  # never-checked
-    "a_dow_seasonality",  # never-checked
-    "a_growth_accounting",  # never-checked
-    "a_decile_lift",  # never-checked
-    "events_slo_error_budget",  # never-checked
-    "a_contingency_chisq",  # never-checked
-    "dq_pseudonymize",  # never-checked
-    "x_decimal_money_exact",  # never-checked
-    "a_weighted_median",  # never-checked
-    "events_cusum_changepoint",  # never-checked
-    "events_sma_crossover",  # never-checked
+    "x_decimal_money_exact",  # MISS r7 (re-check the fix first)
+    "mm_audio_zero_crossings",  # never-checked
+    "mm_image_edge_density",  # never-checked
+    "text_bpe_merges",  # never-checked
+    "text_bpe_tokenize",  # never-checked
+    "graph_pagerank_dangling",  # never-checked
+    "graph_kcore",  # never-checked
+    "graph_harmonic_centrality",  # never-checked
+    "stream_late_data_drop",  # never-checked
+    "stream_stream_interval_join",  # never-checked
+    "stream_threshold_crossings",  # never-checked
+    "a_adoption_curve",  # never-checked
+    "a_repeat_purchase_rate",  # never-checked
+    "a_kmv_distinct_sketch",  # never-checked
+    "a_hll_registers",  # never-checked
+    "a_mannwhitney_u",  # never-checked
+    "a_gini_concentration",  # never-checked
+    "dq_functional_deps",  # never-checked
+    "a_poisson_bootstrap_ci",  # never-checked
+    "dq_psi_drift",  # never-checked
+    "a_ks_two_sample",  # never-checked
+    "events_theilsen_trend",  # never-checked
+    "events_attribution_credit",  # never-checked
+    "a_ab_cuped_adjust",  # never-checked
+    "a_ab_power_analysis",  # never-checked
+    "a_order_to_ship_latency",  # never-checked
+    "sink_snapshot_diff",  # never-checked
+    "x_largest_remainder_alloc",  # never-checked
+    "a_spearman_corr",  # never-checked
+    "a_runs_test",  # never-checked
+    "events_haar_energy",  # never-checked
+    "a_laspeyres_price_index",  # never-checked
+    "a_skyline_pareto_2d",  # never-checked
+    "dq_referential_integrity",  # never-checked
+    "a_wasserstein_1d",  # never-checked
+    "a_did_estimate",  # never-checked
+    "events_circular_hour_stats",  # never-checked
+    "a_simpsons_detector",  # never-checked
+    "events_entropy_rate",  # never-checked
+    "events_user_streaks",  # never-checked
+    "a_hhi_concentration",  # never-checked
+    "source_parquet_metadata",  # never-checked
+    "x_fiscal_445_calendar",  # never-checked
+    "a_abc_xyz_matrix",  # never-checked
+    "events_lead_lag_xcorr",  # never-checked
+    "x_interval_coalesce",  # never-checked
+    "a_mann_kendall",  # never-checked
+    "source_csv_corrupt_recovery",  # never-checked
+    "a_kruskal_wallis",  # never-checked
+    "j_left_anti_unmatched",  # green r3 refresh
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -6268,11 +6268,11 @@ def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DECIMAL(38, 2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(38, 2)) AS sum_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) * 100 AS BIGINT) AS sum_price_c,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18, 4)) AS DECIMAL(18, 4)))
-            AS DECIMAL(38, 4)) AS sum_disc_price
+            * 10000 AS BIGINT) AS sum_disc_price_e4
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -6282,10 +6282,15 @@ def x_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to DECIMAL(18,2/4) at the scan, summed and multiplied in decimal
     space where arithmetic is EXACT and summation order is provably
     irrelevant — what a financial pipeline uses instead of doubles.
-    Every aggregate is re-cast to an explicit result scale on BOTH
-    engines because each engine widens decimal sums/products to a
-    different intermediate precision; pinning (38,2)/(38,4) makes the
-    rendered values byte-identical.
+
+    The RESULT columns are BIGINT fixed-point (cents / 1e-4 units),
+    not rendered decimals: the r7 driver row hash-failed despite
+    byte-identical local values (VERDICT r7 What's-wrong #2 — decimal
+    rendering/widening drift between DuckDB builds), so the output is
+    representation-proof by construction — an integer has exactly one
+    rendering on every engine. The decimal sums are exact multiples of
+    their scale unit, so the scale-up multiply and the BIGINT cast are
+    lossless, not rounding.
 
     One partial-aggregable shuffle; decimal aggregation stays inside
     whole-stage codegen (Spark's Decimal128 path), so the exactness
@@ -6296,9 +6301,9 @@ def x_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,2)").alias("sum_price"),
-        F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
+        (F.sum(qty) * F.lit(100)).cast("bigint").alias("sum_qty_c"),
+        (F.sum(price) * F.lit(100)).cast("bigint").alias("sum_price_c"),
+        (F.sum(price * disc) * F.lit(10000)).cast("bigint").alias("sum_disc_price_e4"),
     )
 
 

@@ -36,29 +36,62 @@ def main() -> None:
     latest_green, _first_green, newest_misses, _newest_round = load_history(
         repo_root, reg_order
     )
+    suggestion, tags = suggest_window(reg_order, latest_green, newest_misses, window)
 
-    never_checked = [n for n in reg_order if n not in latest_green and n not in newest_misses]
+    n_miss = sum(1 for t in tags.values() if t == "MISS")
+    n_never = sum(1 for t in tags.values() if t == "never-checked")
+    print(f"# window={window}: {n_miss} misses, {n_never} never-checked, "
+          f"green oldest-first fills the rest")
+    print("_PRIORITY = [")
+    for n in suggestion:
+        print(f'    "{n}",  # {tags[n]}')
+    print("]")
+
+
+def suggest_window(
+    reg_order: dict[str, int],
+    latest_green: dict[str, int],
+    newest_misses: list[str],
+    window: int = 50,
+) -> tuple[list[str], dict[str, str]]:
+    """Apply the rotation policy: misses first, then never-checked in
+    registration order, then greens oldest-first (round-robin refresh).
+    Returns (window_names, {name: tag}) so callers can render or test
+    the suggestion."""
 
     def reg(n: str) -> int:
         return reg_order[n]
 
-    tier1 = sorted(set(newest_misses), key=reg)
+    never_checked = [
+        n for n in reg_order if n not in latest_green and n not in newest_misses
+    ]
+    tier1 = sorted({n for n in newest_misses if n in reg_order}, key=reg)
     tier2 = sorted(never_checked, key=reg)
     tier3 = sorted(
         (n for n in latest_green if n not in set(tier1)),
         key=lambda n: (latest_green[n], reg(n)),
     )
     suggestion = (tier1 + tier2 + tier3)[:window]
+    tags = {
+        n: ("MISS" if n in set(tier1)
+            else "never-checked" if n in set(tier2)
+            else f"green r{latest_green[n]}")
+        for n in suggestion
+    }
+    return suggestion, tags
 
-    print(f"# window={window}: {len(tier1)} misses, {len(tier2)} never-checked, "
-          f"{len(tier3)} green (oldest-first fills the rest)")
-    print("_PRIORITY = [")
-    for n in suggestion:
-        tag = ("MISS" if n in set(tier1)
-               else "never-checked" if n in set(tier2)
-               else f"green r{latest_green[n]}")
-        print(f'    "{n}",  # {tag}')
-    print("]")
+
+def amend_window(priority: list[str], newest_misses: list[str]) -> list[str]:
+    """Amend a pre-staged window with the real newest-round misses (the
+    round-start one-commit act, scripts/window_r8.py:20 policy): misses
+    move to the FRONT in their given order, slots they displace drop
+    from the TAIL (the tail holds the round-robin refresh fills, the
+    lowest-value slots). Misses already inside the list are promoted,
+    not duplicated; the result keeps the original length."""
+    size = len(priority)
+    front = list(dict.fromkeys(newest_misses))
+    rest = [n for n in priority if n not in set(front)]
+    return (front + rest)[:size]
 
 
 def load_history(repo_root: str, reg_order: dict[str, int]):

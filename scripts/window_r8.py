@@ -17,9 +17,12 @@ After r8, NOTHING is left never-driver-checked
 
 At round-8 start the rotation is a one-commit act: copy
 ``PRIORITY_R8`` into ``__spark_entry__._PRIORITY`` (and, if the real
-CORRECTNESS_r07.json shows misses, move those to the front first —
-tests/test_entry_contract.py::test_prestaged_r8_window_is_valid
-verifies this list against the simulated history).
+CORRECTNESS_r07.json shows misses, move those to the front first).
+DONE at r8 start: the real r7 miss was ``x_decimal_money_exact``, so
+the live window is ``rotate_window.amend_window(PRIORITY_R8,
+["x_decimal_money_exact"])`` — verified by tests/test_entry_contract.py
+::test_current_window_is_the_amended_prestaged_r8_list. The r9 window
+is pre-staged in scripts/window_r9.py.
 """
 
 PRIORITY_R8 = [

@@ -69,12 +69,15 @@ def test_priority_window_spends_slots_where_evidence_is_weakest():
 
 
 def test_window_invariant_green_with_and_without_untracked_newest_results(tmp_path):
-    """VERDICT r6 ask #1 'done' criterion: the invariant must hold BOTH
-    mid-round (no newest results yet) AND the moment the driver's
-    newest CORRECTNESS file lands (tracked or not) — the two states the
-    repo actually sits in.  Simulated against the real catalog: state A
-    has history through r(N); state B adds r(N+1) where every current
-    window slot goes green for the first time."""
+    """VERDICT r6 ask #1 'done' criterion, restructured per VERDICT r7
+    ask #1a (the original state-B premise — "all slots green for the
+    first time" — broke whenever an untracked newest-results file
+    already covered the window): the invariant must hold BOTH
+    mid-round (state A: history as committed, the current window must
+    be green as-is) AND the moment the driver's next CORRECTNESS file
+    lands (state B: the real post-results flow is ROTATE-then-check,
+    so the assertion is that the rotation policy's suggested window is
+    green — not that the now-spent current window still is)."""
     import json
     import os
     import shutil
@@ -82,7 +85,7 @@ def test_window_invariant_green_with_and_without_untracked_newest_results(tmp_pa
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "scripts"))
-    from rotate_window import check_window, load_history
+    from rotate_window import check_window, load_history, suggest_window
 
     import __spark_entry__ as entry
 
@@ -94,21 +97,24 @@ def test_window_invariant_green_with_and_without_untracked_newest_results(tmp_pa
     for f in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         shutil.copy(f, tmp_path / os.path.basename(f))
 
-    # State A: history as committed — the window is freshly rotated.
+    # State A: history as committed — the current window must be green.
     latest_green, first_green, misses, newest = load_history(str(tmp_path), reg_order)
     problems_a = check_window(names[:50], names, latest_green, first_green, misses, newest)
     assert problems_a == [], "pre-results state red:\n" + "\n".join(problems_a)
 
-    # State B: the driver's next-round file lands — all window slots
-    # green for the first time in round newest+1.
+    # State B: the driver's next-round file lands (all current window
+    # slots green). The post-results flow rotates BEFORE the suite is
+    # judged green, so assert the ROTATED window satisfies the
+    # invariant against the new history.
     green_row = {"rows_match": True, "schema_match": True, "hash_match": True,
                  "spark_rows": 1, "oracle_rows": 1, "err": None}
     nxt = {n: dict(green_row) for n in names[:50]}
     (tmp_path / f"CORRECTNESS_r{newest + 1:02d}.json").write_text(json.dumps(nxt))
     latest_green, first_green, misses, newest_b = load_history(str(tmp_path), reg_order)
     assert newest_b == newest + 1
-    problems_b = check_window(names[:50], names, latest_green, first_green, misses, newest_b)
-    assert problems_b == [], "post-results state red:\n" + "\n".join(problems_b)
+    rotated, _tags = suggest_window(reg_order, latest_green, misses, 50)
+    problems_b = check_window(rotated, names, latest_green, first_green, misses, newest_b)
+    assert problems_b == [], "post-results rotated window red:\n" + "\n".join(problems_b)
 
 
 def test_window_invariant_catches_unrotated_window_one_round_late(tmp_path):
@@ -139,38 +145,79 @@ def test_window_invariant_catches_unrotated_window_one_round_late(tmp_path):
     assert any("stale already-green" in p for p in problems)
 
 
-def test_prestaged_r8_window_is_valid():
-    """VERDICT r6 ask #7: the pre-staged r8 window (scripts/window_r8.py)
-    must satisfy the freshness invariant against a simulated history in
-    which round 7 turned every current window slot green — so the next
-    rotation is a one-commit copy, verified before it's needed."""
+def test_current_window_is_the_amended_prestaged_r8_list():
+    """The live round-8 window must equal the pre-staged list amended
+    with the real r7 misses per the documented round-start policy
+    (scripts/window_r8.py:20 + rotate_window.amend_window) — proving
+    the rotation really was the mechanical one-commit act."""
     import os
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "scripts"))
-    from rotate_window import check_window, load_history
+    from rotate_window import amend_window, load_history
     from window_r8 import PRIORITY_R8
 
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     reg_order = {n: i for i, n in enumerate(names)}
-    assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
-    assert all(n in reg_order for n in PRIORITY_R8)
+    _lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 7:  # guard: only meaningful while r7 is the newest history
+        return
+    assert names[:50] == amend_window(PRIORITY_R8, misses)
 
-    latest_green, first_green, misses, newest = load_history(repo, reg_order)
-    for n in names[:50]:  # simulate the r7 driver run going all-green
-        latest_green[n] = newest + 1
-        first_green.setdefault(n, newest + 1)
-    problems = check_window(
-        PRIORITY_R8, names, latest_green, first_green, misses, newest + 1
-    )
-    assert problems == [], "\n".join(problems)
-    # After r8, nothing is left never-checked.
-    never_after = [n for n in names
-                   if n not in latest_green and n not in set(PRIORITY_R8)]
-    assert never_after == []
+
+def test_prestaged_r9_window_is_valid_under_both_simulated_histories():
+    """VERDICT r7 ask #8: the pre-staged r9 window (scripts/window_r9.py)
+    must satisfy the freshness invariant against a simulated all-green
+    round 8 AND — so a real miss can't invalidate the list again the
+    way x_decimal_money_exact invalidated window_r8.py — against a
+    simulated round 8 with misses present, after the documented
+    amend_window round-start step."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, check_window, load_history
+    from window_r9 import PRIORITY_R9
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
+    assert all(n in reg_order for n in PRIORITY_R9)
+
+    base_lg, base_fg, _misses, newest = load_history(repo, reg_order)
+
+    # History 1: round 8 goes all-green over the live window.
+    lg = dict(base_lg)
+    fg = dict(base_fg)
+    for n in names[:50]:
+        lg[n] = newest + 1
+        fg.setdefault(n, newest + 1)
+    problems = check_window(PRIORITY_R9, names, lg, fg, [], newest + 1)
+    assert problems == [], "all-green r8 history:\n" + "\n".join(problems)
+    # After the all-green r8, nothing is left never-checked at all.
+    assert [n for n in names if n not in lg] == []
+
+    # History 2: round 8 produces misses — the round-start act amends
+    # the pre-staged list, and the AMENDED window must be green.
+    sim_misses = [names[0], names[7]]  # two live-window slots fail
+    lg2 = dict(base_lg)
+    fg2 = dict(base_fg)
+    for n in names[:50]:
+        if n in sim_misses:
+            lg2.pop(n, None)
+            continue
+        lg2[n] = newest + 1
+        fg2.setdefault(n, newest + 1)
+    amended = amend_window(PRIORITY_R9, sim_misses)
+    assert len(amended) == 50 and amended[:2] == sim_misses
+    problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
+    assert problems2 == [], "misses-present r8 history:\n" + "\n".join(problems2)
 
 
 def test_duplicate_registration_raises():
