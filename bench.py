@@ -222,6 +222,11 @@ def main() -> None:
     # full contract keys (metric/value/unit/queries/sf + ratio) in
     # under 2000 chars so the recorded artifact always has the Spark
     # numbers; the detailed line above keeps samples/floors/probes.
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
     compact = {
         "metric": "headline_queries_total_sec",
         "compact": True,  # tag so a stdout scanner can tell the two
@@ -232,14 +237,28 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Per-query spread (VERDICT r7 ask #7): best-of-N alone can't tell
+    # a real regression from a noisy-neighbor window (r7: q5 "+32%"
+    # builder-side, reversed in the judge's run). Each entry is
+    # [spark_med, spark_max, duck_best, duck_med] — spark best is in
+    # "queries"; a number is adjudicable when med ≈ best and unstable
+    # when max >> med. duck_best/duck_med cover VERDICT r6 ask #3's
+    # per-query DuckDB times AND make a median-based envelope readable
+    # straight off the artifact.
+    compact["spread"] = {
+        n: [round(med(samples[n]), 3), round(max(samples[n]), 3)]
+        + ([duck[n], round(med(duck_samples[n]), 3)] if n in duck else [])
+        for n in names
+    }
     if "ratio_vs_duckdb" in out:
         compact["ratio_vs_duckdb"] = out["ratio_vs_duckdb"]
-        compact["duckdb_total_sec"] = round(
-            sum(duck[n] for n in duck if n in timings), 3
+        common = [n for n in duck if n in timings]
+        compact["duckdb_total_sec"] = round(sum(duck[n] for n in common), 3)
+        d_med_total = sum(med(duck_samples[n]) for n in common)
+        compact["ratio_med_vs_duckdb"] = (
+            round(sum(med(samples[n]) for n in common) / d_med_total, 2)
+            if d_med_total else None
         )
-        # Per-query DuckDB times (VERDICT r6 ask #3): without these the
-        # recorded artifact can't adjudicate the per-query 2× envelope.
-        compact["duckdb_queries"] = duck
     blob = json.dumps(compact)
     if len(blob) >= 2000:  # the driver keeps only the LAST 2000 chars
         # of stdout; a grown HEADLINE list must fail loud, not silently

@@ -7,13 +7,15 @@ sizing, Arrow batch flow, UDF signatures. Decoding has two tiers:
 
 - ``fake=True``: deterministic md5-seeded feature stub (no format
   assumptions — works on any payload, used by the catalog query);
-- ``fake=False``: REAL pure-Python decoders for BMP and PNG images
-  (PNG: stdlib zlib inflate + all five scanline unfilters, 8-bit
-  truecolor) and WAV audio (no external libraries): dimensions /
-  duration / bit depth parsed from the containers, features from
-  pixel / sample statistics. Payloads in any other format (JPEG,
-  MP4, …) raise ``NotImplementedError`` — the marked integration
-  point where a library decoder (PIL/torchaudio/ffmpeg) plugs in.
+- ``fake=False``: REAL pure-Python decoders for BMP, PNG and baseline
+  JPEG images (PNG: stdlib zlib inflate + all five scanline
+  unfilters, 8-bit truecolor; JPEG: operators/jpeg.py — baseline
+  sequential Huffman, grayscale + YCbCr 4:4:4/4:2:0, restart markers)
+  and WAV audio (no external libraries): dimensions / duration / bit
+  depth parsed from the containers, features from pixel / sample
+  statistics. Payloads in any other format (progressive JPEG, MP4, …)
+  raise ``NotImplementedError`` — the marked integration point where
+  a library decoder (PIL/torchaudio/ffmpeg) plugs in.
 
 Scale design: payloads stay in executor memory only one Arrow batch at
 a time (``mapInPandas`` streams per-batch); metadata-only queries never
@@ -314,13 +316,17 @@ def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Container dispatch for image pixel decode: BMP or PNG →
-    (width, height, top-down (r, g, b) rows)."""
+    """Container dispatch for image pixel decode: BMP, PNG or baseline
+    JPEG → (width, height, top-down (r, g, b) rows)."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_pixels(payload)
-    raise NotImplementedError("image decode implemented for BMP/PNG payloads only")
+    if payload[:2] == b"\xff\xd8":
+        from graphql_api_etl_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
+    raise NotImplementedError("image decode implemented for BMP/PNG/JPEG payloads only")
 
 
 def decode_image_stream(payload: bytes) -> tuple[int, int, bytes]:
@@ -338,7 +344,10 @@ def decode_image_stream(payload: bytes) -> tuple[int, int, bytes]:
         return w, h, bytes(stream)
     if payload[:8] == _PNG_SIG:
         return decode_png_stream(payload)
-    raise NotImplementedError("image decode implemented for BMP/PNG payloads only")
+    raise NotImplementedError(
+        "stored-stream replay implemented for BMP/PNG only (JPEG stores DCT "
+        "coefficients, not a pixel stream — use decode_image_pixels)"
+    )
 
 
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
@@ -410,21 +419,28 @@ def split_video_frames(payload: bytes) -> list[bytes]:
 
 def _decode_media(payload: bytes) -> tuple[int | None, int | None, int | None, list[float]]:
     """Dispatch on container magic → (width, height, duration_ms,
-    features). Formats beyond BMP/WAV raise ``NotImplementedError`` —
-    the integration point for a library-backed decoder."""
+    features). Formats beyond BMP/PNG/JPEG/WAV raise
+    ``NotImplementedError`` — the integration point for a
+    library-backed decoder."""
     if payload[:2] == b"BM":
         w, h, feats = decode_bmp(payload)
         return w, h, None, feats
     if payload[:8] == _PNG_SIG:
         w, h, feats = decode_png(payload)
         return w, h, None, feats
+    if payload[:2] == b"\xff\xd8":
+        from graphql_api_etl_spark.operators.jpeg import decode_jpeg_pixels
+
+        w, h, rows = decode_jpeg_pixels(payload)
+        flat = bytes(c for row in rows for px in row for c in px)
+        return w, h, None, _chunk_means(flat)
     if payload[:4] == b"RIFF":
         dur, feats = decode_wav(payload)
         return None, None, dur, feats
     raise NotImplementedError(
-        "media decode implemented for BMP/PNG/WAV only; other formats (JPEG/MP4/…) "
-        "need an image/audio library not present in this container (use fake=True "
-        "for the deterministic stub)"
+        "media decode implemented for BMP/PNG/baseline-JPEG/WAV only; other "
+        "formats (progressive JPEG/MP4/…) need an image/audio library not "
+        "present in this container (use fake=True for the deterministic stub)"
     )
 
 
@@ -876,3 +892,43 @@ def image_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+BLOCK_LEVEL_SCHEMA = (
+    "media_id bigint, bx bigint, by bigint, lvl_min bigint, lvl_max bigint"
+)
+
+
+def image_block_levels(media: DataFrame, block: int = 8) -> DataFrame:
+    """Per-block channel-level extrema over DECODED pixels — the
+    differential harness for the JPEG decoder (operators/jpeg.py): on
+    images synthesized with CONSTANT ``block``-sized tiles, every
+    (lvl_min, lvl_max) pair must equal the tile's closed-form level,
+    at its exact (bx, by) grid position. Positional output makes this
+    a SPATIAL check like image_edge_density: an MCU-order, Huffman,
+    dequant, IDCT, or upsampling bug moves or corrupts a tile and
+    breaks the match — a multiset check would miss transpositions.
+
+    Arrow-batched ``mapInPandas`` like every decode stage; min/max run
+    over all three channels via numpy, so grayscale payloads (r=g=b)
+    and neutral-chroma color payloads share one oracle shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "bx": [], "by": [], "lvl_min": [], "lvl_max": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rows = decode_image_pixels(bytes(payload))
+                px = np.array(rows, dtype=np.int64)  # h × w × 3
+                for by in range((h + block - 1) // block):
+                    for bx in range((w + block - 1) // block):
+                        tile = px[by * block : (by + 1) * block, bx * block : (bx + 1) * block]
+                        out["media_id"].append(mid)
+                        out["bx"].append(bx)
+                        out["by"].append(by)
+                        out["lvl_min"].append(int(tile.min()))
+                        out["lvl_max"].append(int(tile.max()))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return media.select("media_id", "payload").mapInPandas(run, BLOCK_LEVEL_SCHEMA)

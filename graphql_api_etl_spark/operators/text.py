@@ -281,13 +281,22 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_merge_table(
-    spark, words: DataFrame, n_merges: int, with_segmentation: bool = False
-):
+def bpe_merge_table(spark, words: DataFrame, n_merges: int) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules and return the merge table —
+    see :func:`bpe_train_with_segmentation` for the algorithm; this is
+    the table-only wrapper (static return type, ADVICE r7)."""
+    table, _segmented = bpe_train_with_segmentation(spark, words, n_merges)
+    return table
+
+
+def bpe_train_with_segmentation(
+    spark, words: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
     """Train ``n_merges`` BPE merge rules (Sennrich et al. 2016,
     arXiv:1508.07909) from a word-frequency frame ``words(word, freq)``
-    and return them as ``(merge_rank, left_sym, right_sym, merged_sym,
-    pair_count)``.
+    and return ``(table, segmentation)``: the rules as ``(merge_rank,
+    left_sym, right_sym, merged_sym, pair_count)`` plus the final
+    ``(word, seq)`` frame the training loop produced anyway.
 
     The distributed formulation is the standard word-frequency
     compression: pair statistics are computed over DISTINCT words
@@ -320,12 +329,11 @@ def bpe_merge_table(
     deterministic across engines/partitionings — the DuckDB oracle is
     an independent pure-Python replica of the same spec.
 
-    ``with_segmentation=True`` additionally returns the final
-    ``(word, seq)`` frame — the fully-merged segmentation the training
-    loop produced anyway (each round folds the vocabulary in place),
-    so callers that tokenize the SAME corpus they trained on get the
-    applied vocabulary for free instead of re-running the folds
-    (bpe_apply is the standalone path for NEW text)."""
+    The returned segmentation is the fully-merged ``(word, seq)``
+    frame (each round folds the vocabulary in place), so callers that
+    tokenize the SAME corpus they trained on get the applied
+    vocabulary for free instead of re-running the folds (bpe_apply is
+    the standalone path for NEW text)."""
     chars = F.expr("filter(split(word, ''), x -> x <> '')")
     cur = words.select(
         "word",
@@ -361,9 +369,7 @@ def bpe_merge_table(
         "merge_rank bigint, left_sym string, right_sym string, "
         "merged_sym string, pair_count bigint",
     )
-    if with_segmentation:
-        return table, cur.select("word", "seq")
-    return table
+    return table, cur.select("word", "seq")
 
 
 def _merge_fold_expr(l: str, r: str, merged: str) -> str:

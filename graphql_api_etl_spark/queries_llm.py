@@ -1754,12 +1754,14 @@ def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regex/ngram chain — the entry's dominant cost — ran
     single-core on a 32-core box (measured 2.8 s at sf0.1; 0.9 s
     after). A real corpus arrives in many files and the scan
-    parallelizes itself; the 0.6 MB text shuffle is noise either
-    way."""
+    parallelizes itself; the 0.6 MB text shuffle is noise either way.
+    Width comes from ``defaultParallelism`` (VERDICT r7 ask #5), so
+    the same code sizes itself to the cluster instead of pinning this
+    box's core count."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     grams = docs.select(
         "doc_id",
@@ -6265,7 +6267,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training is |V|-bounded after one tokenize+count
     shuffle, and because each training round folds the vocabulary in
     place, the trainer's final segmentation IS the applied tokenizer
-    for this corpus (``with_segmentation=True`` — zero extra fold
+    for this corpus (``bpe_train_with_segmentation`` — zero extra fold
     passes; ``operators/text.bpe_apply`` is the standalone path that
     tokenizes NEW text against a stored merge table, same shared
     fold).  Tokenization is never per-occurrence: a 100 TB corpus
@@ -6274,8 +6276,13 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated sum.  All counts exact BIGINTs; the oracle is
     the independent pure-Python replica emitting per-doc literals
     (the IVF callable-oracle pattern)."""
-    from graphql_api_etl_spark.operators.text import bpe_merge_table
+    from graphql_api_etl_spark.operators.text import bpe_train_with_segmentation
 
+    # localCheckpoint (not persist, ADVICE r7): the doc-word counts are
+    # read twice (vocab build + the final join), and the eager
+    # checkpoint both materializes them once and lets the context
+    # cleaner reclaim the blocks when the result is dropped — persist()
+    # with no unpersist pinned them for the session lifetime.
     dw = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -6286,15 +6293,13 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     words = dw.groupBy("word").agg(F.sum("cnt").cast("bigint").alias("freq"))
     # Training folds the vocabulary in place each round, so the final
     # segmentation IS the applied tokenizer for this corpus — no
     # second 12-round bpe_apply pass (that operator serves NEW text).
-    _rules, segmented = bpe_merge_table(
-        spark, words, BPE_MERGES, with_segmentation=True
-    )
+    _rules, segmented = bpe_train_with_segmentation(spark, words, BPE_MERGES)
     vocab_sym = segmented.select(
         "word", F.size("seq").cast("bigint").alias("n_sym")
     )
@@ -6309,3 +6314,153 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_saved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode differential (r8, VERDICT r7 ask #6 resolved IN scope:
+# operators/jpeg.py is a pure-stdlib baseline sequential decoder). The
+# exactness trick that lets a LOSSY codec carry a value-hash oracle:
+# constant 8x8 tiles have only a DC coefficient (FDCT gives 8·(v−128),
+# every AC exactly 0), so encode→decode is BIT-exact and plain SQL can
+# replay every tile level from the closed form — no decoder on the
+# oracle side.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mm_jpeg_decode",
+    """
+WITH d AS (
+  SELECT doc_id, 2 AS bw, (1 + doc_id % 3) AS bh FROM documents
+),
+j AS (
+  SELECT doc_id, bw, unnest(generate_series(0, bw * bh - 1)) AS blk FROM d
+),
+v AS (
+  SELECT doc_id,
+         CAST(blk % bw AS BIGINT) AS bx,
+         CAST(blk // bw AS BIGINT) AS by,
+         ((((doc_id * 13 + blk * 29) * 2654435761) % 4294967296) // 16777216) AS lvl
+  FROM j
+)
+SELECT doc_id AS media_id, bx, by,
+       CAST(lvl AS BIGINT) AS lvl_min,
+       CAST(lvl AS BIGINT) AS lvl_max
+FROM v
+""",
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode on REAL entropy-coded payloads: 16-wide,
+    8·(1..3)-tall grayscale JPEGs whose 8x8 tiles carry CLOSED-FORM
+    levels (the closed_form_pixel_bytes hash family over the tile
+    index), synthesized ON EXECUTORS by the pure-stdlib encoder —
+    Huffman-coded with the Annex K tables, byte-stuffed, odd ids with
+    restart markers every 2 MCUs so the RSTn resync path is inside the
+    differential too. The decode stage walks markers, Huffman-decodes
+    DC/AC, dequantizes, runs the separable IDCT, and the entry emits
+    per-tile (bx, by, min, max) channel levels — POSITIONAL, so an
+    MCU-order, predictor-reset, or IDCT bug moves a tile and breaks
+    the hash (see operators/multimodal.image_block_levels).
+
+    Constant tiles make the lossy pipeline exact (DC-only blocks), so
+    DuckDB replays every level with integer arithmetic. Scale shape:
+    synth + decode are both per-row Arrow-batched map stages — no
+    shuffle at all until the (tiny) result."""
+    import pandas as pd
+
+    from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg_gray
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                bw, bh = 2, 1 + i % 3
+                w, h = bw * 8, bh * 8
+                px = bytearray(w * h)
+                for blk in range(bw * bh):
+                    lvl = (((i * 13 + blk * 29) * 2654435761) % 4294967296) >> 24
+                    bx, by = blk % bw, blk // bw
+                    for y in range(8):
+                        base = (by * 8 + y) * w + bx * 8
+                        px[base : base + 8] = bytes([lvl]) * 8
+                return synthesize_jpeg_gray(
+                    w, h, bytes(px), restart_interval=2 if i % 2 else 0
+                )
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_block_levels(media, block=8)
+
+
+@_q(
+    "mm_jpeg_color_420",
+    """
+WITH d AS (
+  SELECT doc_id, 2 AS mw, (1 + doc_id % 2) AS mh FROM documents
+),
+j AS (
+  SELECT doc_id, mw, unnest(generate_series(0, mw * mh - 1)) AS mcu FROM d
+),
+v AS (
+  SELECT doc_id,
+         CAST(mcu % mw AS BIGINT) AS bx,
+         CAST(mcu // mw AS BIGINT) AS by,
+         ((((doc_id * 17 + mcu * 31) * 2654435761) % 4294967296) // 16777216) AS lvl
+  FROM j
+)
+SELECT doc_id AS media_id, bx, by,
+       CAST(lvl AS BIGINT) AS lvl_min,
+       CAST(lvl AS BIGINT) AS lvl_max
+FROM v
+""",
+)
+def mm_jpeg_color_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG 4:2:0 CHROMA path differential: 32-wide, 16·(1..2)-tall
+    THREE-component YCbCr JPEGs, interleaved MCUs (4 luma + 2 chroma
+    blocks each), chroma downsampled 2x2 — the full color machinery of
+    the baseline decoder (per-component Huffman table selection,
+    MCU-interleaved predictors, nearest-neighbour upsample, YCbCr→RGB).
+
+    Exactness for a lossy colorspace pipeline: every 16x16 MCU is a
+    constant GRAY level v (r=g=b=v from the closed form), and gray is
+    a fixed point of JFIF color conversion — Y=v exactly (the three
+    luma weights sum to 1), Cb=Cr=128 exactly (each chroma row sums to
+    0), and back. So luma blocks are DC-only exact, chroma blocks are
+    all-zero exact, upsampling of a constant is itself, and the
+    decoded RGB equals the closed form bit-for-bit — SQL replays it
+    with no colorspace code at all. Emitted per-MCU (16-px tiles),
+    positional like mm_jpeg_decode."""
+    import pandas as pd
+
+    from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                mw, mh = 2, 1 + i % 2
+                w, h = mw * 16, mh * 16
+                rgb = bytearray(w * h * 3)
+                for mcu in range(mw * mh):
+                    lvl = (((i * 17 + mcu * 31) * 2654435761) % 4294967296) >> 24
+                    bx, by = mcu % mw, mcu // mw
+                    for y in range(16):
+                        base = ((by * 16 + y) * w + bx * 16) * 3
+                        rgb[base : base + 48] = bytes([lvl]) * 48
+                return synthesize_jpeg(w, h, bytes(rgb), subsampling="4:2:0")
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_block_levels(media, block=16)

@@ -50,12 +50,20 @@ _EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet is TIMESTAMP(MICROS, isAdjustedToUTC=false); with
-    # NTZ inference pinned off the declared TimestampType reads as UTC
-    # LTZ — identical values to the batch loader and the DuckDB oracle
+def _pin_ntz(spark: SparkSession) -> None:
+    """events.parquet is TIMESTAMP(MICROS, isAdjustedToUTC=false); with
+    NTZ inference pinned off the declared TimestampType reads as UTC
+    LTZ — identical values to the batch loader and the DuckDB oracle.
+    The pin is session-wide ON PURPOSE: sources/registry.load_table
+    sets the same conf for every batch read, so restoring a different
+    prior value here would make streaming and batch reads of the same
+    file disagree within one session (one shared helper, ADVICE r7)."""
     if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_ntz(spark)
     # FileStreamSource requires a DIRECTORY, but the testdata dir holds
     # ALL tables' parquet side by side — stream a temp dir holding a
     # symlink to the events file (zero copy; a real deployment streams
@@ -362,46 +370,58 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     one micro-batch — update mode then emits each window once, fully
     aggregated; the file→batch order is pinned by explicit mtimes;
     and the watermark delay (1 h) is far from both cuts, so the
-    accept/drop boundary never lands near a window edge. The driver-
-    side work is one bounded scalar (max ts) plus three filtered
-    file writes — the harness shape for a landing directory a real
-    deployment already has."""
+    accept/drop boundary never lands near a window edge. The landing
+    directory is built ONCE per testdata fingerprint through the
+    _layout_cache_path/_publish_layout mechanism (ADVICE r7: the
+    mkdtemp version rewrote three full events copies per invocation
+    and never cleaned up) — the harness shape for a landing directory
+    a real deployment already has."""
     import datetime
     import glob as _glob
     import os
     import shutil
-    import tempfile
 
+    from graphql_api_etl_spark.queries import _layout_cache_path, _publish_layout
     from graphql_api_etl_spark.sources.registry import load_table
 
-    ev = load_table(spark, sf_dir, "events")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    tmax = ev.agg(F.max("ts")).first()[0]
-    th = tmax.replace(minute=0, second=0, microsecond=0)
-    c1 = th - datetime.timedelta(hours=48)
-    c2 = th - datetime.timedelta(hours=240)
+    land, cached = _layout_cache_path(sf_dir, "stream_late_land", ["events"])
+    if not cached:
+        ev = load_table(spark, sf_dir, "events")
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        tmax = ev.agg(F.max("ts")).first()[0]
+        th = tmax.replace(minute=0, second=0, microsecond=0)
+        c1 = th - datetime.timedelta(hours=48)
+        c2 = th - datetime.timedelta(hours=240)
 
-    land = tempfile.mkdtemp(prefix="stream_late_land_")
+        def _build(dst_dir: str) -> None:
+            os.makedirs(dst_dir, exist_ok=True)
 
-    def write_one(df: DataFrame, name: str, mtime: int) -> None:
-        tmp = tempfile.mkdtemp()
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(land, name)
-        shutil.move(part, dst)
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+            def write_one(df: DataFrame, name: str, mtime: int) -> None:
+                tmp = os.path.join(dst_dir, f"_build_{name}")
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                dst = os.path.join(dst_dir, name)
+                shutil.move(part, dst)
+                os.utime(dst, (mtime, mtime))
+                shutil.rmtree(tmp, ignore_errors=True)
 
-    write_one(ev.filter(F.col("ts") >= F.lit(c1)).select(*cols), "recent.parquet", 1_700_000_000)
-    write_one(
-        ev.filter((F.col("ts") >= F.lit(c2)) & (F.col("ts") < F.lit(c1))).select(*cols),
-        "mid.parquet",
-        1_700_000_100,
-    )
-    write_one(ev.filter(F.col("ts") < F.lit(c2)).select(*cols), "ancient.parquet", 1_700_000_200)
+            write_one(
+                ev.filter(F.col("ts") >= F.lit(c1)).select(*cols),
+                "recent.parquet", 1_700_000_000,
+            )
+            write_one(
+                ev.filter((F.col("ts") >= F.lit(c2)) & (F.col("ts") < F.lit(c1))).select(*cols),
+                "mid.parquet", 1_700_000_100,
+            )
+            write_one(
+                ev.filter(F.col("ts") < F.lit(c2)).select(*cols),
+                "ancient.parquet", 1_700_000_200,
+            )
+            open(os.path.join(dst_dir, "_SUCCESS"), "w").close()
 
-    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        _publish_layout(_build, land)
+
+    _pin_ntz(spark)
     stream = (
         spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")

@@ -337,15 +337,15 @@ def test_bpe_merge_application_is_greedy_nonoverlapping(spark):
 
 def test_bpe_segmentation_and_apply_agree(spark):
     """The trainer's carried-through segmentation
-    (with_segmentation=True) must equal a standalone bpe_apply of the
+    (bpe_train_with_segmentation) must equal a standalone bpe_apply of the
     emitted rules — the equivalence text_bpe_tokenize relies on when
     it skips the second fold pass — and per-word symbol counts match
     the hand replica on the 'low/lower/lowest' corpus."""
-    from graphql_api_etl_spark.operators.text import bpe_apply, bpe_merge_table
+    from graphql_api_etl_spark.operators.text import bpe_apply, bpe_train_with_segmentation
 
     words = [("low", 3), ("lower", 1), ("lowest", 1)]
     wdf = spark.createDataFrame(words, "word string, freq bigint")
-    table, segmented = bpe_merge_table(spark, wdf, 4, with_segmentation=True)
+    table, segmented = bpe_train_with_segmentation(spark, wdf, 4)
     rules = [
         (r["left_sym"], r["right_sym"], r["merged_sym"])
         for r in table.orderBy("merge_rank").collect()

@@ -192,16 +192,26 @@ def test_prestaged_r9_window_is_valid_under_both_simulated_histories():
 
     base_lg, base_fg, _misses, newest = load_history(repo, reg_order)
 
+    # The documented round-start act (scripts/window_r9.py): amend the
+    # pre-staged list with the real r8 misses FIRST, then any entries
+    # registered after the list was staged (never-checked at r9 start),
+    # displacing refresh fills from the tail.
+    def round_start_window(sim_misses: list[str], lg: dict[str, int]) -> list[str]:
+        never = [n for n in names if n not in lg and n not in sim_misses]
+        return amend_window(PRIORITY_R9, sim_misses + never)
+
     # History 1: round 8 goes all-green over the live window.
     lg = dict(base_lg)
     fg = dict(base_fg)
     for n in names[:50]:
         lg[n] = newest + 1
         fg.setdefault(n, newest + 1)
-    problems = check_window(PRIORITY_R9, names, lg, fg, [], newest + 1)
+    w1 = round_start_window([], lg)
+    problems = check_window(w1, names, lg, fg, [], newest + 1)
     assert problems == [], "all-green r8 history:\n" + "\n".join(problems)
-    # After the all-green r8, nothing is left never-checked at all.
-    assert [n for n in names if n not in lg] == []
+    # After the all-green r8, the amended window covers every entry
+    # that is still never-checked.
+    assert [n for n in names if n not in lg and n not in set(w1)] == []
 
     # History 2: round 8 produces misses — the round-start act amends
     # the pre-staged list, and the AMENDED window must be green.
@@ -214,7 +224,7 @@ def test_prestaged_r9_window_is_valid_under_both_simulated_histories():
             continue
         lg2[n] = newest + 1
         fg2.setdefault(n, newest + 1)
-    amended = amend_window(PRIORITY_R9, sim_misses)
+    amended = round_start_window(sim_misses, lg2)
     assert len(amended) == 50 and amended[:2] == sim_misses
     problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
     assert problems2 == [], "misses-present r8 history:\n" + "\n".join(problems2)
