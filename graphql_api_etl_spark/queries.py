@@ -10099,3 +10099,218 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(ties)).select(
         F.col("grp").alias("priority"), "n", "sum_double_rank", "tie_cubic"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — exact-integer concordance census (r8)
+# ---------------------------------------------------------------------------
+
+_KENDALL_TAU_SQL = """
+WITH m AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.n_name,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM m a JOIN m b ON a.n_name = b.n_name AND a.mon < b.mon
+)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+       CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+       CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_x,
+       CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_y,
+       CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_both
+FROM p GROUP BY n_name
+"""
+
+
+@_q("a_kendall_tau", _KENDALL_TAU_SQL)
+def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b concordance census per nation between the two
+    monthly series the Mann-Kendall / Theil-Sen entries use one of:
+    order count (x) vs revenue cents (y). Emits the five exact pair
+    classes — concordant, discordant, x-only tie, y-only tie, both
+    tied — from which tau-b is one driver-side expression
+    ((nc − nd) / sqrt((n0−n1)(n0−n2))); the frame itself never floats,
+    the same discipline as a_mann_kendall (sign() over exact BIGINTs
+    cannot waver on engine-specific float summation; revenue is cents).
+
+    Plan: month-grain rollup (broadcast dims + partial agg), then the
+    C(n_months, 2) pair join per nation, broadcast on the right —
+    bounded by the CALENDAR, not the fact table, like the Mann-Kendall
+    and lead-lag entries. Spearman (a_spearman_corr) ranks VALUES;
+    Kendall counts PAIR INVERSIONS — complementary rank statistics."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sgn = lambda l, r: F.when(r > l, 1).when(r < l, -1).otherwise(0)  # noqa: E731
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.mon") < F.col("b.mon")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        sgn(F.col("a.x"), F.col("b.x")).alias("sx"),
+        sgn(F.col("a.y"), F.col("b.y")).alias("sy"),
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return pairs.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        c(F.col("sx") * F.col("sy") == 1).alias("n_concordant"),
+        c(F.col("sx") * F.col("sy") == -1).alias("n_discordant"),
+        c((F.col("sx") == 0) & (F.col("sy") != 0)).alias("n_tie_x"),
+        c((F.col("sy") == 0) & (F.col("sx") != 0)).alias("n_tie_y"),
+        c((F.col("sx") == 0) & (F.col("sy") == 0)).alias("n_tie_both"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-line JSON source + dynamic partition overwrite sink (r8)
+# ---------------------------------------------------------------------------
+
+_JSON_MULTILINE_SQL = """
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 101 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@_q("source_json_multiline", _JSON_MULTILINE_SQL)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON source (one pretty-printed ARRAY per file — the
+    API-export / config-dump shape): unlike JSONL (source_jsonl_
+    roundtrip), records span lines, so the reader MUST parse whole
+    documents (``multiLine=true``) — the mode where Spark gives up
+    line-level splitting and parallelizes per FILE. The landing file
+    is written with the stdlib json module from a deterministic ~1%
+    order subset (integer cents — no float rendering in the fixture),
+    so the differential checks Spark's document-mode JSON parser
+    against the parquet originals, not one JSON writer against itself.
+
+    Scale note stated by the entry itself: a multi-line JSON file is
+    one task — the 100 TB answer is many files (or JSONL), and this
+    single-fixture scan is the documented worst case, not the
+    recommended layout."""
+    import json as _json
+    import os as _os
+
+    path, cached = _layout_cache_path(sf_dir, "orders_json_multiline", ["orders"])
+    if not cached:
+        rows = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 101 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("prio"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+            .collect()  # bounded: ~1% of orders, a fixture write
+        )
+
+        def _build(tmp: str) -> None:
+            _os.makedirs(tmp, exist_ok=True)
+            doc = [{"k": r["k"], "prio": r["prio"], "cents": r["cents"]} for r in rows]
+            with open(_os.path.join(tmp, "orders.json"), "w") as f:
+                _json.dump(doc, f, indent=2)  # records SPAN lines
+            open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        _publish_layout(_build, path)
+    j = spark.read.option("multiLine", "true").json(path)
+    return j.groupBy(F.col("prio")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+_DPO_SQL = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT * FROM base WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT * FROM base WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+)
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY o_orderpriority
+"""
+
+
+@_q("sink_dynamic_partition_overwrite", _DPO_SQL)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite semantics — the idempotent-backfill
+    sink contract every partitioned lake job relies on: with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, an
+    ``overwrite`` write replaces ONLY the partitions present in the
+    incoming frame and leaves every other partition's files untouched
+    (static mode would truncate the whole table first — the classic
+    lost-data footgun). The fixture writes all five priority
+    partitions, then overwrites just '1-URGENT' with its even-key
+    subset; the differential checks the FINAL table state, so both a
+    too-wide overwrite (other partitions truncated) and a too-narrow
+    one (old urgent files surviving) break the match.
+
+    The conf is set around the write and restored — at scale this is
+    a per-job writer option, not a session default."""
+    import shutil as _shutil
+
+    path, cached = _layout_cache_path(sf_dir, "orders_dpo", ["orders"])
+    if not cached:
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+
+        def _build(tmp: str) -> None:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    base.filter(
+                        (F.col("o_orderpriority") == "1-URGENT")
+                        & (F.col("o_orderkey") % 2 == 0)
+                    )
+                    .write.partitionBy("o_orderpriority")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+        _publish_layout(_build, path)
+    final = spark.read.parquet(path)
+    return final.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -156,7 +156,7 @@ PR_SCALE = 10**9  # rank micro-units; 85·SCALE·w stays far below int64
 PR_ITERS = 5
 
 _PR_EDGES_SQL = """
-edges AS (
+edges AS MATERIALIZED (
   SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -1257,4 +1257,146 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_sources"),
             F.sum(F.expr("1000000 DIV dist")).cast("bigint").alias("harmonic_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — nation trade graph (r8)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**6  # max-normalized scores in [0, SCALE]; see overflow note
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled integer HITS (Kleinberg 1999): per round, authority =
+    edge-weighted sum of hubs then hub = edge-weighted sum of
+    authorities, each MAX-normalized back to [0, SCALE] with floor
+    division — the integer-deterministic twin of the usual L2
+    normalization (power iteration converges to the same direction;
+    the max norm keeps every quantity a BIGINT with one rendering).
+    Same unrolled-CTE scheme as the PageRank oracles."""
+    head = """
+WITH big AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000),
+edges AS MATERIALIZED (
+  SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN big ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY c_nationkey, s_nationkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)""".format(scale=HITS_SCALE)
+    parts = [head]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""", ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+), a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((coalesce(ar.raw, 0) * {HITS_SCALE}) // (SELECT max(raw) FROM ar{i}) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node
+), hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+), h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((coalesce(hr.raw, 0) * {HITS_SCALE}) // (SELECT max(raw) FROM hr{i}) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node
+)"""
+        )
+    parts.append(
+        f" SELECT CAST(n.node AS BIGINT) AS node_id, h.h AS hub_scaled, a.a AS auth_scaled"
+        f" FROM nodes n JOIN h{HITS_ITERS} h ON n.node = h.node"
+        f" JOIN a{HITS_ITERS} a ON n.node = a.node"
+    )
+    return "".join(parts)
+
+
+@_q("graph_hits", _hits_oracle)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation→nation trade graph
+    (customer nation = hub side, supplier nation = authority side;
+    edge weight = high-value lineitem count) — the OTHER classic
+    eigenvector pair next to graph_pagerank: PageRank ranks by random-
+    walk mass, HITS separates "points at good things" (hub) from "is
+    pointed at by good things" (authority), the bipartite-role
+    decomposition a marketplace / citation pipeline wants.
+
+    Determinism: scores are BIGINT in [0, SCALE=1e6] with MAX
+    normalization each half-round — ``(raw · SCALE) div max(raw)`` is
+    floor arithmetic, so partial-sum order cannot perturb the result
+    and the unrolled DuckDB CTE matches bit-for-bit (the PR_SCALE
+    convention; L2 norm would need sqrt and floats). Overflow headroom
+    at the tested SFs: raw ≤ SCALE·Σw ≈ 1e6·3e5 and raw·SCALE ≈ 3e17 <
+    2⁶³; a graph with Σw ≥ ~1e7 would first rescale w (divide by its
+    gcd or bucket) — noted here because the invariant is load-bearing.
+
+    Plan: the derivation is one fact shuffle + broadcast dims (tpch_q5
+    shape); each half-round is edges⋈scores → groupBy → left join +
+    broadcast 1-row max (the dangling-mass pattern — the scalar never
+    visits the driver); per-round localCheckpoint bounds lineage like
+    every iterative entry here."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("s"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a = _hits_half_round(nodes, edges, h, "src", "dst")
+        h = _hits_half_round(nodes, edges, a, "dst", "src")
+    return (
+        nodes.join(h.withColumnRenamed("s", "hub_scaled"), "node")
+        .join(a.withColumnRenamed("s", "auth_scaled"), "node")
+        .select(
+            F.col("node").cast("bigint").alias("node_id"),
+            "hub_scaled",
+            "auth_scaled",
+        )
+    )
+
+
+def _hits_half_round(
+    nodes: DataFrame, edges: DataFrame, scores: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """One HITS half-update: propagate ``scores`` (keyed by ``node``)
+    across edges from ``from_col`` to ``to_col``, then max-normalize
+    to [0, SCALE] in integer floor arithmetic. The 1-row max joins
+    back via broadcast so the normalizer never visits the driver."""
+    raw = (
+        edges.join(scores, edges[from_col] == scores.node)
+        .select(edges[to_col].alias("n2"), (F.col("s") * F.col("w")).alias("c"))
+        .groupBy("n2")
+        .agg(F.sum("c").cast("bigint").alias("raw"))
+    )
+    mx = raw.agg(F.max("raw").cast("bigint").alias("m"))
+    return (
+        nodes.join(raw, nodes.node == raw.n2, "left_outer")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.expr(f"(coalesce(raw, 0) * {HITS_SCALE}) div m")
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
