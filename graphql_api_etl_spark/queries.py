@@ -10314,3 +10314,201 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — exact-cents running-peak window arithmetic (r8)
+# ---------------------------------------------------------------------------
+
+_MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT n_name, date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT n_name, d,
+         CAST(sum(cents - 400000) OVER
+              (PARTITION BY n_name ORDER BY d) AS BIGINT) AS equity
+  FROM daily
+),
+dd AS (
+  SELECT n_name, d, equity,
+         CAST(max(equity) OVER
+              (PARTITION BY n_name ORDER BY d) AS BIGINT) AS peak
+  FROM cum
+)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(equity) AS BIGINT) AS final_peak_cents
+FROM dd GROUP BY n_name
+"""
+
+
+@_q("events_max_drawdown", _MAX_DRAWDOWN_SQL)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per nation — the risk metric every financial /
+    SLO time series wants: deepest peak-to-trough drop of a cumulative
+    equity curve (daily revenue cents minus a fixed burn), i.e.
+    ``max over t of (running-peak − equity_t)``. Inexpressible as one
+    aggregate (it nests two prefix scans) but exactly two stacked
+    window functions: running SUM for the equity curve, running MAX
+    for the peak, then one ordinary aggregate over their difference —
+    no self-join, no per-key sort beyond the one shuffle both windows
+    share (same partitionBy+orderBy ⇒ one Window exchange+sort).
+
+    All arithmetic is exact BIGINT cents (the ewma_trailing_cents
+    discipline), so prefix sums are order-deterministic and the
+    differential is a value hash, not a tolerance check. At 100 TB the
+    day-grain rollup absorbs the fact table; the window runs on a
+    |keys|×|days| frame."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("d")
+    cum = daily.withColumn(
+        "equity",
+        F.sum(F.col("cents") - F.lit(400000)).over(w).cast("bigint"),
+    )
+    dd = cum.withColumn("peak", F.max("equity").over(w).cast("bigint"))
+    return dd.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.col("peak") - F.col("equity")).cast("bigint").alias("max_drawdown_cents"),
+        F.max("equity").cast("bigint").alias("final_peak_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-accelerated distinct counting (r8) — Spark's bitmap aggregate
+# family (3.5+), the warehouse technique for exact COUNT(DISTINCT) at
+# scale without the distinct-explosion shuffle
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@_q("a_bitmap_distinct", _BITMAP_DISTINCT_SQL)
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via Spark's BITMAP aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count, SQL since 3.5) — the
+    warehouse-native alternative to COUNT(DISTINCT): keys map to
+    (bucket, bit) positions, each group×bucket folds into a 4 KB
+    bitmap on the map side, and the final count is a popcount SUM.
+    The aggregation is ASSOCIATIVE (bitmaps OR together), so unlike
+    count(distinct) it composes with partial aggregation, rollup
+    layers, and incremental refresh — precisely why bitmap indexes are
+    the standard exact-distinct path at 100 TB, and the exact
+    complement to the HLL sketch entries (a_approx_count_distinct,
+    a_hll_registers): same shape, no error bound.
+
+    The oracle is plain COUNT(DISTINCT) — a green row proves the whole
+    bucket/bit/popcount pipeline loses and invents nothing. n_events
+    rides along from the same pass (a second aggregate, not a second
+    scan)."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+            F.lit(1).alias("one"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n_distinct"),
+            F.sum("one").cast("bigint").alias("n_rows"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("n_distinct").cast("bigint").alias("n_users"),
+        F.sum("n_rows").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV writer/reader quoting roundtrip (r8) — the egress surface the
+# clean-data entries never stress
+# ---------------------------------------------------------------------------
+
+# NOTE: the \n below is interpreted by PYTHON (non-raw string), so the
+# SQL literal contains a REAL newline inside the quotes — matching the
+# real newline Spark's F.lit(",\nx") injects. Do not "fix" it to \\n:
+# DuckDB regular string literals do not interpret backslash escapes.
+_CSV_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       concat('v"', substr(text, 1, 20), ',\nx') AS hostile
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@_q("sink_csv_roundtrip", _CSV_ROUNDTRIP_SQL)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip under HOSTILE field content: every
+    value is wrapped with an embedded double quote, comma, and literal
+    newline — the three characters that break naive CSV emitters —
+    then written by Spark's CSV sink (RFC-4180 quoting) and read back
+    with ``multiLine=true`` (quoted newlines span physical lines, so
+    line-splitting parallelism is forfeit: same documented trade-off
+    as source_json_multiline). The differential compares the ROUNDTRIP
+    against the parquet-derived oracle, so a quoting, escaping, or
+    newline-handling bug on either side of the sink/source pair breaks
+    the value hash — this is the egress surface the reference's seven
+    CSV report sinks (ETL:K1) rely on and no clean-data entry
+    stresses.
+
+    The landing dir is layout-cached (fingerprinted; one write per
+    testdata generation). escape='"' pins RFC-4180 doubled-quote
+    style explicitly — Spark's default escape is backslash, which
+    DuckDB-style readers would misparse."""
+    path, cached = _layout_cache_path(sf_dir, "docs_csv_hostile", ["documents"])
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    hostile = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.concat(
+            F.lit('v"'), F.substring("text", 1, 20), F.lit(",\nx")
+        ).alias("hostile"),
+    )
+    if not cached:
+        _publish_layout(
+            lambda tmp: hostile.write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(tmp),
+            path,
+        )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id bigint, n_chars bigint, hostile string")
+        .csv(path)
+    )
+    return back
