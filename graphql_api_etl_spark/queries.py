@@ -10512,3 +10512,153 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return back
+
+
+# ---------------------------------------------------------------------------
+# Null-aware anti join + ordered string_agg + codec roundtrip (r8)
+# ---------------------------------------------------------------------------
+
+_NAAJ_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT CASE WHEN o_totalprice > 400000 THEN NULL ELSE o_custkey END
+  FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@_q("j_null_aware_anti", _NAAJ_SQL)
+def j_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE subquery — the three-valued-logic trap
+    every SQL engine must special-case: if the subquery produces even
+    ONE NULL, ``x NOT IN (...)`` is never TRUE (x <> NULL is UNKNOWN),
+    so the whole result is empty-or-filtered in a way a plain anti
+    join gets WRONG. Spark plans this as a dedicated physical join —
+    null-aware anti join (BroadcastHashJoin with isNullAwareAntiJoin,
+    SPARK-32290) — and this entry pins its semantics against DuckDB's
+    independent implementation: the subquery emits NULL for very large
+    orders, so engines that degrade to a naive anti join return
+    nonsense counts and break the hash. (The companion
+    j_left_anti_unmatched covers the null-FREE fast path.)
+
+    Expressed through spark.sql so the planner actually sees NOT IN
+    (the DataFrame anti-join API would bypass the null-aware path).
+    The CASE keeps the NULL injection deterministic and data-derived.
+    Scale: the subquery side broadcasts (it must — NAAJ requires a
+    broadcastable right side); the probe is one scan."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"naaj_{t}")
+    return spark.sql(_NAAJ_SQL.replace("FROM customer", "FROM naaj_customer")
+                     .replace("FROM orders", "FROM naaj_orders"))
+
+
+_STRING_AGG_SQL = """
+WITH top_suppliers AS (
+  SELECT n_name, s_name,
+         row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_name) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name AS nation,
+       string_agg(s_name, ',' ORDER BY s_name) AS top3_csv,
+       CAST(count(*) AS BIGINT) AS n
+FROM top_suppliers WHERE rk <= 3
+GROUP BY n_name
+"""
+
+
+@_q("a_string_agg_ordered", _STRING_AGG_SQL)
+def a_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG / string_agg — the report-formatting
+    aggregate that is nondeterministic by default on every distributed
+    engine (collect order = partition arrival order) and therefore
+    MUST be pinned with an explicit order to be reproducible. Spark
+    has no ordered string_agg, so the engine-native spelling is
+    ``concat_ws(',', array_sort(collect_list(x)))`` — collect in any
+    order, sort inside the aggregate buffer, then join; DuckDB uses
+    its native ``string_agg(... ORDER BY ...)``. A hash match proves
+    the distributed collect+sort equals the engine-ordered aggregate —
+    exactly the determinism discipline the reference's CSV report
+    sinks need when they emit grouped lists (ETL: report formatting).
+
+    Top-3 by account balance per nation keeps the lists bounded
+    (window rank, TakeOrdered shape) — collect_list over an UNBOUNDED
+    group would be the memory antipattern; ranking first is the scale
+    answer."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "s_name", "s_acctbal")
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_name")
+    top = sup.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return top.groupBy(F.col("n_name").alias("nation")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("top3_csv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+_CODEC_SQL = """
+SELECT 'gzip' AS codec, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'snappy', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'zstd', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@_q("layout_compression_codecs", _CODEC_SQL)
+def layout_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec roundtrip: the same order subset
+    written under gzip, snappy, and zstd (the three codecs a lake
+    actually chooses between — ratio vs CPU vs decode speed), read
+    back and aggregated per codec; a hash match proves every codec
+    path is LOSSLESS through Spark's writer and reader. Codec choice
+    is a first-order 100 TB lever (zstd typically ~30% smaller than
+    snappy at similar decode cost, gzip smaller still but CPU-bound
+    on write) and this entry pins that switching it can never change
+    query results. File sizes deliberately NOT emitted — they vary by
+    codec library build and would make the differential brittle; the
+    lossless property is the invariant worth gating."""
+    path, cached = _layout_cache_path(sf_dir, "orders_codecs", ["orders"])
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    codecs = ("gzip", "snappy", "zstd")
+    if not cached:
+
+        def _build(tmp: str) -> None:
+            import os as _os
+
+            for c in codecs:
+                sub.write.option("compression", c).mode("overwrite").parquet(
+                    _os.path.join(tmp, c)
+                )
+            open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        _publish_layout(_build, path)
+    parts = []
+    for c in codecs:
+        parts.append(
+            spark.read.parquet(f"{path}/{c}").agg(
+                F.lit(c).alias("codec"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            ).select("codec", "n_rows", "total_cents")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

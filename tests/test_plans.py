@@ -180,3 +180,48 @@ def test_session_sets_codegen_guards():
     s = get_spark("conf-guard")
     assert s.conf.get("spark.sql.codegen.cache.maxEntries") == "10000"
     assert s.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """j_null_aware_anti must plan the DEDICATED null-aware anti join
+    (SPARK-32290) — a BroadcastHashJoin LeftAnti whose
+    isNullAwareAntiJoin flag is set (the trailing `true` in its
+    toString) — not a naive anti join, whose semantics differ the
+    moment the subquery emits a NULL."""
+    df = _run("j_null_aware_anti", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert joins, plan
+    assert any("LeftAnti, BuildRight, true" in ln for ln in joins), "\n".join(joins)
+
+
+def test_runtime_bloom_filter_injects_on_selective_smj(spark, sf_dir):
+    """AQE runtime-filter evidence for the 100 TB story: when a
+    sort-merge join's build side is selective, Spark injects a Bloom
+    filter on the probe side (bloom_filter_agg → might_contain,
+    SPARK-32268) so the big scan drops non-joining rows before the
+    shuffle. Default applicationSideScanSizeThreshold is 10 GB —
+    correct in production, so the test lowers it to simulate the big
+    probe scan the feature exists for (and restores it)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ shape
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 350000
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
