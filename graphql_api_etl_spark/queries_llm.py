@@ -6464,3 +6464,66 @@ def mm_jpeg_color_420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.image_block_levels(media, block=16)
+
+
+@_q(
+    "text_ngram_novelty",
+    r"""
+WITH toks AS (
+  SELECT doc_id % 4 AS shard,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT shard, unnest(
+    list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+  ) AS gram
+  FROM toks
+),
+counts AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY shard),
+firsts AS (SELECT gram, CAST(min(shard) AS BIGINT) AS first_shard FROM g GROUP BY gram),
+nov AS (SELECT first_shard AS shard, CAST(count(*) AS BIGINT) AS n_novel
+        FROM firsts GROUP BY first_shard)
+SELECT counts.shard, counts.n_grams, coalesce(nov.n_novel, 0) AS n_novel
+FROM counts LEFT JOIN nov ON counts.shard = nov.shard
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY curve across crawl shards — the diminishing-
+    returns measurement behind every "is another crawl worth it"
+    decision (and the shard-level twin of the dedup yield curve):
+    per shard (doc_id mod 4 stands in for crawl order), how many
+    distinct 5-grams appear, and how many appear for the FIRST time.
+    The load-bearing reformulation: "novel in shard k" ⇔ "min shard
+    of the gram is k", so instead of an O(shards²) anti-join cascade
+    the whole curve is ONE groupBy(gram).min(shard) over the deduped
+    (shard, gram) frame plus two tiny rollups — the same
+    first-occurrence trick keepers/selection entries use, and the
+    shape that survives a 100 TB corpus (everything shuffles on the
+    gram key once; no shard ever compares against another pairwise).
+
+    Token/gram chain is the shared TX.norm_text→tokens→ngrams
+    formulation, mirrored exactly by the oracle's
+    string_split_regex/list_transform chain (the bloom entry's
+    precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            (F.col("doc_id") % 4).alias("shard"),
+            F.explode(
+                F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 5))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    counts = g.groupBy("shard").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    firsts = g.groupBy("gram").agg(F.min("shard").cast("bigint").alias("first_shard"))
+    nov = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    return counts.join(nov, "shard", "left_outer").select(
+        "shard",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+    )

@@ -557,3 +557,48 @@ def stream_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(threshold_crossing_events(ev), "append")
     return out.select("user_id", "event_id", "alert_ts", "cum_cents", "level")
+
+
+@_q(
+    "stream_append_closed_windows",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events CROSS JOIN wm
+GROUP BY 1
+HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= max(w)
+""",
+)
+def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregate — the third and last output mode
+    (complete: stream_hourly_counts; update: stream_late_data_drop):
+    append emits a window exactly once, only after the watermark CLOSES
+    it (window.end <= watermark), which is the mode a parquet/kafka
+    sink requires (immutable rows, no upserts). Under availableNow the
+    final no-data micro-batch flushes every window closed by the
+    end-of-stream watermark max(ts) − 1h, so the sink deterministically
+    holds ALL hourly windows except those within the last hour of the
+    stream — exactly what the batch oracle states with its HAVING
+    window_end <= watermark clause. A green row pins the eviction
+    boundary semantics (end <= wm, not <) against an independent
+    reimplementation — the row the complete-mode entry can't check
+    because complete re-emits everything.
+
+    Same scale notes as the other availableNow gates: watermark bounds
+    state; the memory sink holds an hourly rollup, report-sized by
+    construction."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").alias("window_start"), "n_events", "total_value"
+    )
