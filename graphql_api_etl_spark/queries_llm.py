@@ -6366,6 +6366,15 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays every level with integer arithmetic. Scale shape:
     synth + decode are both per-row Arrow-batched map stages — no
     shuffle at all until the (tiny) result."""
+    media = _jpeg_gray_tiles_media(spark, sf_dir)
+    return MM.image_block_levels(media, block=8)
+
+
+def _jpeg_gray_tiles_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the gray-JPEG entries: 16-wide, 8·(1..3)-tall
+    grayscale JPEGs with closed-form constant 8x8 tiles (level =
+    closed_form hash of doc_id·13 + blk·29), encoded on executors;
+    odd ids carry restart markers every 2 MCUs."""
     import pandas as pd
 
     from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg_gray
@@ -6394,8 +6403,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
             )
 
-    media = docs.mapInPandas(make, "media_id bigint, payload binary")
-    return MM.image_block_levels(media, block=8)
+    return docs.mapInPandas(make, "media_id bigint, payload binary")
 
 
 @_q(
@@ -6526,4 +6534,52 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "n_grams",
         F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+    )
+
+
+@_q(
+    "mm_jpeg_thumbnail",
+    """
+WITH d AS (SELECT doc_id, (1 + doc_id % 3) AS bh FROM documents),
+pos AS (
+  SELECT doc_id, bh, ty, tx
+  FROM d CROSS JOIN (VALUES (0), (1)) tys(ty) CROSS JOIN (VALUES (0), (1)) txs(tx)
+),
+v AS (
+  SELECT doc_id,
+         CAST(ty * 2 + tx AS BIGINT) AS idx,
+         ((ty * bh) // 2) * 2 + tx AS blk
+  FROM pos
+)
+SELECT doc_id AS media_id, idx,
+       CAST((((doc_id * 13 + blk * 29) * 2654435761) % 4294967296) // 16777216 AS BIGINT) AS lvl
+FROM v
+""",
+)
+def mm_jpeg_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-over-JPEG through the driver gate: the 2×2 nearest-
+    neighbour grayscale thumbnail of each gray-tile JPEG
+    (_jpeg_gray_tiles_media — same payloads mm_jpeg_decode gates), via
+    the shared thumbnail_features mapInPandas operator. Because every
+    payload is constant 8x8 tiles and the thumbnail samples pixel
+    (ty·h//2, tx·w//2), each thumbnail cell equals the level of tile
+    (by, bx) = ((ty·bh)//2, tx) EXACTLY — and gray levels are
+    power-of-two-exact through the float pipeline (lvl/256 is a dyadic
+    rational; ×256 recovers the integer bit-for-bit), so the entry
+    re-emits integer levels and the oracle replays them from the
+    closed form with pure integer arithmetic: decode + resample +
+    float feature path, all under one value hash.
+
+    mm_thumbnails gates dims over the text-byte corpus; this gates the
+    PIXEL VALUES the resize actually samples, over a compressed
+    container."""
+    media = _jpeg_gray_tiles_media(spark, sf_dir)
+    thumbs = MM.thumbnail_features(media, tw=2, th=2)
+    return thumbs.select(
+        "media_id",
+        F.posexplode("thumb").alias("idx", "g"),
+    ).select(
+        "media_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        (F.col("g") * 256).cast("bigint").alias("lvl"),
     )
