@@ -326,7 +326,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, 
         from graphql_api_etl_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
-    raise NotImplementedError("image decode implemented for BMP/PNG/JPEG payloads only")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from graphql_api_etl_spark.operators.gif import decode_gif_pixels
+
+        return decode_gif_pixels(payload)
+    raise NotImplementedError(
+        "image decode implemented for BMP/PNG/JPEG/GIF payloads only"
+    )
 
 
 def decode_image_stream(payload: bytes) -> tuple[int, int, bytes]:
@@ -428,19 +434,17 @@ def _decode_media(payload: bytes) -> tuple[int | None, int | None, int | None, l
     if payload[:8] == _PNG_SIG:
         w, h, feats = decode_png(payload)
         return w, h, None, feats
-    if payload[:2] == b"\xff\xd8":
-        from graphql_api_etl_spark.operators.jpeg import decode_jpeg_pixels
-
-        w, h, rows = decode_jpeg_pixels(payload)
+    if payload[:2] == b"\xff\xd8" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rows = decode_image_pixels(payload)
         flat = bytes(c for row in rows for px in row for c in px)
         return w, h, None, _chunk_means(flat)
     if payload[:4] == b"RIFF":
         dur, feats = decode_wav(payload)
         return None, None, dur, feats
     raise NotImplementedError(
-        "media decode implemented for BMP/PNG/baseline-JPEG/WAV only; other "
-        "formats (progressive JPEG/MP4/…) need an image/audio library not "
-        "present in this container (use fake=True for the deterministic stub)"
+        "media decode implemented for BMP/PNG/baseline-JPEG/GIF/WAV only; "
+        "other formats (progressive JPEG/MP4/…) need an image/audio library "
+        "not present in this container (use fake=True for the stub)"
     )
 
 
@@ -932,3 +936,95 @@ def image_block_levels(media: DataFrame, block: int = 8) -> DataFrame:
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
     return media.select("media_id", "payload").mapInPandas(run, BLOCK_LEVEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law audio (r8) — the compressed-telephony twin of the PCM16
+# WAV path: logarithmic 8-bit companding, format code 7 in the RIFF
+# fmt chunk. Both directions are pure integer arithmetic (ITU-T G.711
+# tables expressed as shifts), so a SQL oracle can replay the full
+# decode(encode(x)) quantization exactly.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode_sample(x: int) -> int:
+    """PCM16 sample → mu-law byte (G.711): sign + 3-bit segment +
+    4-bit mantissa, ones-complemented."""
+    sign = 0x80 if x < 0 else 0
+    a = min(-x if x < 0 else x, _ULAW_CLIP) + _ULAW_BIAS
+    seg = 7
+    for s in range(8):
+        if a < (1 << (s + 8)):
+            seg = s
+            break
+    mant = (a >> (seg + 3)) & 0xF
+    return ~(sign | (seg << 4) | mant) & 0xFF
+
+
+def ulaw_decode_byte(b: int) -> int:
+    """mu-law byte → PCM16 sample (exact G.711 expansion)."""
+    b = ~b & 0xFF
+    seg = (b >> 4) & 7
+    mant = b & 0xF
+    mag = (((mant << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return -mag if b & 0x80 else mag
+
+
+def synthesize_ulaw_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Wrap PCM16 samples as a mu-law (format 7, 8-bit) RIFF/WAVE."""
+    data = bytes(ulaw_encode_sample(s) for s in samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_ulaw_samples(payload: bytes) -> list[int]:
+    """Parse a format-7 WAV and expand every mu-law byte to PCM16.
+    Non-mu-law formats raise at the marked boundary."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV payload")
+    pos, audio_format, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = struct.unpack_from("<H", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if audio_format != 7:
+        raise NotImplementedError(
+            f"wav_ulaw_samples expects G.711 mu-law (format 7), got {audio_format}"
+        )
+    return [ulaw_decode_byte(b) for b in data]
+
+
+ULAW_SCHEMA = (
+    "media_id bigint, n_samples bigint, sum_dec bigint, sum_abs bigint, "
+    "v_min bigint, v_max bigint"
+)
+
+
+def audio_ulaw_stats(media: DataFrame) -> DataFrame:
+    """Decode mu-law payloads and emit exact integer sample statistics
+    — Arrow-batched like every decode stage; the differential proves
+    the companding expansion bit-for-bit (the oracle replays the
+    encode→decode quantization in pure SQL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "sum_dec", "sum_abs", "v_min", "v_max")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vs = wav_ulaw_samples(bytes(payload))
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(vs))
+                out["sum_dec"].append(sum(vs))
+                out["sum_abs"].append(sum(abs(v) for v in vs))
+                out["v_min"].append(min(vs))
+                out["v_max"].append(max(vs))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return media.select("media_id", "payload").mapInPandas(run, ULAW_SCHEMA)

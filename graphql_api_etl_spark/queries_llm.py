@@ -6583,3 +6583,146 @@ def mm_jpeg_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx").cast("bigint").alias("idx"),
         (F.col("g") * 256).cast("bigint").alias("lvl"),
     )
+
+
+@_q(
+    "mm_gif_decode",
+    """
+WITH d AS (
+  SELECT doc_id, 2 AS bw, (1 + doc_id % 3) AS bh FROM documents
+),
+j AS (
+  SELECT doc_id, bw, unnest(generate_series(0, bw * bh - 1)) AS blk FROM d
+),
+v AS (
+  SELECT doc_id,
+         CAST(blk % bw AS BIGINT) AS bx,
+         CAST(blk // bw AS BIGINT) AS by,
+         ((((doc_id * 19 + blk * 23) * 2654435761) % 4294967296) // 16777216) AS lvl
+  FROM j
+)
+SELECT doc_id AS media_id, bx, by,
+       CAST(lvl AS BIGINT) AS lvl_min,
+       CAST(lvl AS BIGINT) AS lvl_max
+FROM v
+""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode differential — third compressed image container
+    (PNG r7, JPEG r8): 16-wide, 8·(1..3)-tall gray-tile GIFs with
+    closed-form levels, LZW-encoded on executors (variable-width
+    LSB-first codes, clear/EOI, dictionary resets) — odd ids
+    INTERLACED, so the 4-pass row reordering sits inside the
+    positional differential: a deinterlace bug transposes tiles and
+    breaks the hash where a multiset check would pass. GIF is
+    lossless, so unlike the JPEG entries no DC-only trick is needed;
+    the same image_block_levels harness gates exact (bx, by, level)
+    replay. Synth + decode are per-row Arrow map stages — no shuffle
+    until the tiny result."""
+    import pandas as pd
+
+    from graphql_api_etl_spark.operators.gif import synthesize_gif
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                bw, bh = 2, 1 + i % 3
+                w, h = bw * 8, bh * 8
+                rows = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        blk = (y // 8) * bw + (x // 8)
+                        lvl = (((i * 19 + blk * 23) * 2654435761) % 4294967296) >> 24
+                        row.append((lvl, lvl, lvl))
+                    rows.append(row)
+                return synthesize_gif(w, h, rows, interlace=bool(i % 2))
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_block_levels(media, block=8)
+
+
+@_q(
+    "mm_audio_ulaw",
+    """
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 5) * 100 AS n FROM documents
+),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d
+),
+s AS (
+  SELECT doc_id,
+         ((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768 AS v
+  FROM i
+),
+q AS (
+  SELECT doc_id, v,
+         least(abs(v), 32635) + 132 AS a
+  FROM s
+),
+seg AS (
+  SELECT doc_id, v, a,
+         CASE WHEN a < 256 THEN 0 WHEN a < 512 THEN 1 WHEN a < 1024 THEN 2
+              WHEN a < 2048 THEN 3 WHEN a < 4096 THEN 4 WHEN a < 8192 THEN 5
+              WHEN a < 16384 THEN 6 ELSE 7 END AS sg
+  FROM q
+),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN v < 0 THEN -1 ELSE 1 END
+           * ((((a // (8 * (1 << sg))) % 16) * 8 + 132) * (1 << sg) - 132) AS dv
+  FROM seg
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(dv) AS BIGINT) AS sum_dec,
+       CAST(sum(abs(dv)) AS BIGINT) AS sum_abs,
+       CAST(min(dv) AS BIGINT) AS v_min,
+       CAST(max(dv) AS BIGINT) AS v_max
+FROM dec GROUP BY doc_id
+""",
+)
+def mm_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law audio differential — the compressed-telephony
+    format next to the PCM16 WAV entries: the closed-form waveform is
+    COMPANDED to 8-bit mu-law on executors (sign/segment/mantissa,
+    ones-complemented), wrapped as a format-7 RIFF/WAVE, then the
+    decode stage expands every byte back to PCM16 and emits exact
+    integer sample statistics. The oracle replays the full
+    encode→decode QUANTIZATION in pure SQL — segment by range CASE,
+    mantissa by shift arithmetic, bias 132 — so a single off-by-one in
+    either companding direction breaks the value hash (both directions
+    are pure integer shifts; G.711 is an exact spec, not a tolerance).
+
+    Same scale shape as every decode entry: synth and expand are
+    per-row Arrow map stages, no shuffle until the per-media rollup.
+    8-bit mu-law is also the 'media columns can be recompressed 2x
+    with a known quality contract' lever a 100 TB audio corpus
+    actually uses."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                n = 600 + i % 5 * 100
+                return MM.synthesize_ulaw_wav(MM.closed_form_samples(i, n))
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.audio_ulaw_stats(media)
