@@ -252,3 +252,105 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, in
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02X}")
     raise NotImplementedError("GIF contains no image descriptor")
+
+
+def synthesize_gif_animation(
+    width: int,
+    height: int,
+    frames: list[list[list[tuple[int, int, int]]]],
+    delay_cs: int = 10,
+) -> bytes:
+    """Multi-frame GIF89a: one GLOBAL palette over all frames, a
+    graphic-control extension + full-rect image descriptor per frame,
+    NETSCAPE2.0 loop extension — the animation layout every frame
+    sampler meets in the wild (full-rect, disposal 'none')."""
+    palette: dict[tuple[int, int, int], int] = {}
+    for fr in frames:
+        for row in fr:
+            for px in row:
+                if px not in palette:
+                    palette[px] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors exceed GIF's 256-entry palette")
+    bits = max(1, (len(palette) - 1).bit_length())
+    size = 1 << bits
+    table = bytearray()
+    inv = {i: c for c, i in palette.items()}
+    for i in range(size):
+        r, g, b = inv.get(i, (0, 0, 0))
+        table += bytes((r, g, b))
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += table
+    # NETSCAPE looping extension (loop forever)
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0" + bytes([3, 1, 0, 0, 0])
+    for fr in frames:
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay_cs) + bytes([0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        indices = bytes(palette[px] for row in fr for px in row)
+        lzw = lzw_encode(indices, mcs)
+        out += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
+    """Decode EVERY full-rect frame of a (possibly animated) GIF to
+    top-down (r, g, b) rows per frame. Same support boundary as
+    decode_gif_pixels (global palette, optional interlace, extensions
+    skipped; sub-rectangle frames / local tables raise)."""
+    if payload[:6] not in _GIF_SIGS:
+        raise NotImplementedError("not a GIF payload")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for i in range(n):
+            r, g, b = payload[pos + i * 3 : pos + i * 3 + 3]
+            gct.append((r, g, b))
+        pos += n * 3
+    frames: list[list[list[tuple[int, int, int]]]] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, ix, iy, iw, ih, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+            pos += 10
+            if iflags & 0x80:
+                raise NotImplementedError("local color tables unsupported")
+            if (ix, iy, iw, ih) != (0, 0, width, height):
+                raise NotImplementedError("sub-rectangle frames unsupported")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = lzw_decode(bytes(lzw), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("LZW stream shorter than the frame")
+            raw_rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+            if iflags & 0x40:
+                raw_rows = _deinterlace(raw_rows, ih)
+            frames.append([[gct[i] for i in row] for row in raw_rows])
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02X}")
+    if not frames:
+        raise NotImplementedError("GIF contains no image descriptor")
+    return width, height, frames

@@ -1028,3 +1028,47 @@ def audio_ulaw_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
     return media.select("media_id", "payload").mapInPandas(run, ULAW_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = (
+    "media_id bigint, frame bigint, bx bigint, by bigint, "
+    "lvl_min bigint, lvl_max bigint"
+)
+
+
+def gif_frame_levels(media: DataFrame, every_k: int = 2, block: int = 8) -> DataFrame:
+    """Frame sampling over a REAL video-ish container (animated GIF,
+    operators/gif.py) — the every-k-th-frame decode a multimodal
+    pipeline runs before per-frame featurization, previously only
+    exercised on the concatenated-BMP toy container
+    (split_video_frames). Per sampled frame, per block-sized tile:
+    positional (frame, bx, by, min, max) channel levels — so a frame-
+    ORDER bug (LZW state bleeding between frames, palette misread,
+    wrong descriptor walk) breaks the differential, not just a pixel
+    bug. Arrow-batched mapInPandas like every decode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphql_api_etl_spark.operators.gif import decode_gif_frames
+
+        cols = ("media_id", "frame", "bx", "by", "lvl_min", "lvl_max")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_gif_frames(bytes(payload))
+                for fi in range(0, len(frames), every_k):
+                    px = np.array(frames[fi], dtype=np.int64)
+                    for by in range((h + block - 1) // block):
+                        for bx in range((w + block - 1) // block):
+                            tile = px[by * block : (by + 1) * block,
+                                      bx * block : (bx + 1) * block]
+                            out["media_id"].append(mid)
+                            out["frame"].append(fi)
+                            out["bx"].append(bx)
+                            out["by"].append(by)
+                            out["lvl_min"].append(int(tile.min()))
+                            out["lvl_max"].append(int(tile.max()))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return media.select("media_id", "payload").mapInPandas(run, GIF_FRAME_SCHEMA)

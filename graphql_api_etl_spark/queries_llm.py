@@ -6726,3 +6726,74 @@ def mm_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.audio_ulaw_stats(media)
+
+
+@_q(
+    "mm_gif_frame_sample",
+    """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame FROM d
+),
+b AS (
+  SELECT doc_id, frame, unnest(generate_series(0, 1)) AS bx FROM f
+),
+v AS (
+  SELECT doc_id, frame, bx,
+         ((((doc_id * 41 + frame * 59 + bx * 29) * 2654435761) % 4294967296) // 16777216) AS lvl
+  FROM b
+)
+SELECT doc_id AS media_id,
+       CAST(frame AS BIGINT) AS frame,
+       CAST(bx AS BIGINT) AS bx,
+       CAST(0 AS BIGINT) AS by,
+       CAST(lvl AS BIGINT) AS lvl_min,
+       CAST(lvl AS BIGINT) AS lvl_max
+FROM v
+""",
+)
+def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over ANIMATED GIFs — frame fan-out on
+    a real multi-image container (NETSCAPE loop extension, per-frame
+    graphic-control blocks, one global palette, fresh LZW stream per
+    frame): 16x8 frames of two constant 8x8 tiles whose level is a
+    closed form over (doc_id, frame, tile), 2..4 frames per doc. The
+    oracle replays the SAMPLED (even) frames only, so both an
+    off-by-one in the frame walk and state bleeding between per-frame
+    LZW streams break the hash — the concatenated-BMP video entry
+    (mm_frame_sample) checks fan-out plumbing; this one checks a real
+    container's frame DECODE."""
+    import pandas as pd
+
+    from graphql_api_etl_spark.operators.gif import synthesize_gif_animation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                n_frames = 2 + i % 3
+                frames = []
+                for fr in range(n_frames):
+                    rows = []
+                    for y in range(8):
+                        row = []
+                        for x in range(16):
+                            bx = x // 8
+                            lvl = (((i * 41 + fr * 59 + bx * 29) * 2654435761)
+                                   % 4294967296) >> 24
+                            row.append((lvl, lvl, lvl))
+                        rows.append(row)
+                    frames.append(rows)
+                return synthesize_gif_animation(16, 8, frames)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.gif_frame_levels(media, every_k=2, block=8)

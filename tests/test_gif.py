@@ -94,3 +94,18 @@ def test_foreign_encoded_gif_decodes():
         "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
     )
     assert decode_gif_pixels(g) == (1, 1, [[(0, 0, 0)]])
+
+
+def test_animation_roundtrip_every_frame():
+    from graphql_api_etl_spark.operators.gif import (
+        decode_gif_frames,
+        synthesize_gif_animation,
+    )
+
+    frames = [
+        [[((f * 50 + (x // 8) * 30) % 256,) * 3 for x in range(16)] for _ in range(8)]
+        for f in range(4)
+    ]
+    w, h, back = decode_gif_frames(synthesize_gif_animation(16, 8, frames))
+    assert (w, h) == (16, 8)
+    assert back == frames  # every frame, in order, from fresh LZW streams
