@@ -1072,3 +1072,86 @@ def gif_frame_levels(media: DataFrame, every_k: int = 2, block: int = 8) -> Data
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
     return media.select("media_id", "payload").mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
+# A-law: G.711's other companding law (European trunks). Same shift
+# discipline as mu-law; mask 0x55, 13-bit domain (sample >> 3).
+
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def alaw_encode_sample(x: int) -> int:
+    mask = 0xD5 if x >= 0 else 0x55
+    m = x >> 3
+    if m < 0:
+        m = -m - 1
+    if m > 0xFFF:
+        m = 0xFFF
+    seg = 7
+    for s, end in enumerate(_ALAW_SEG_END):
+        if m <= end:
+            seg = s
+            break
+    aval = seg << 4
+    aval |= (m >> (1 if seg < 2 else seg)) & 0xF
+    return aval ^ mask
+
+
+def alaw_decode_byte(b: int) -> int:
+    b ^= 0x55
+    t = (b & 0xF) << 4
+    seg = (b & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if b & 0x80 else -t
+
+
+def synthesize_alaw_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Wrap PCM16 samples as an A-law (format 6, 8-bit) RIFF/WAVE."""
+    data = bytes(alaw_encode_sample(s) for s in samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 6, 1, sample_rate, sample_rate, 1, 8)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_alaw_samples(payload: bytes) -> list[int]:
+    """Parse a format-6 WAV and expand every A-law byte to PCM16."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV payload")
+    pos, audio_format, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = struct.unpack_from("<H", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if audio_format != 6:
+        raise NotImplementedError(
+            f"wav_alaw_samples expects G.711 A-law (format 6), got {audio_format}"
+        )
+    return [alaw_decode_byte(b) for b in data]
+
+
+def audio_alaw_stats(media: DataFrame) -> DataFrame:
+    """A-law twin of audio_ulaw_stats (same schema, format 6)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "sum_dec", "sum_abs", "v_min", "v_max")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vs = wav_alaw_samples(bytes(payload))
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(vs))
+                out["sum_dec"].append(sum(vs))
+                out["sum_abs"].append(sum(abs(v) for v in vs))
+                out["v_min"].append(min(vs))
+                out["v_max"].append(max(vs))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return media.select("media_id", "payload").mapInPandas(run, ULAW_SCHEMA)

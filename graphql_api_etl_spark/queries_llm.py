@@ -6797,3 +6797,85 @@ def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.gif_frame_levels(media, every_k=2, block=8)
+
+
+@_q(
+    "mm_audio_alaw",
+    """
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 5) * 100 AS n FROM documents
+),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM d
+),
+s AS (
+  SELECT doc_id,
+         ((((doc_id * 31 + i * 17) * 2654435761) % 4294967296) // 65536) - 32768 AS v
+  FROM i
+),
+q AS (
+  -- NB: DuckDB's // TRUNCATES toward zero while the codec's >> 3
+  -- floors; the negative branch therefore divides a POSITIVE operand:
+  -- m = -floor(v/8) - 1 = (-v - 1) // 8 for v < 0.
+  SELECT doc_id, v,
+         least(CASE WHEN v >= 0 THEN v // 8 ELSE (-v - 1) // 8 END, 4095) AS m
+  FROM s
+),
+seg AS (
+  SELECT doc_id, v, m,
+         CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1 WHEN m <= 127 THEN 2
+              WHEN m <= 255 THEN 3 WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+              WHEN m <= 2047 THEN 6 ELSE 7 END AS sg
+  FROM q
+),
+mant AS (
+  SELECT doc_id, v, sg,
+         (m // (CASE WHEN sg < 2 THEN 2 ELSE 1 << sg END)) % 16 AS mt
+  FROM seg
+),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN v >= 0 THEN 1 ELSE -1 END
+           * (CASE WHEN sg = 0 THEN mt * 16 + 8
+                   WHEN sg = 1 THEN mt * 16 + 264
+                   ELSE (mt * 16 + 264) * (1 << (sg - 1)) END) AS dv
+  FROM mant
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(dv) AS BIGINT) AS sum_dec,
+       CAST(sum(abs(dv)) AS BIGINT) AS sum_abs,
+       CAST(min(dv) AS BIGINT) AS v_min,
+       CAST(max(dv) AS BIGINT) AS v_max
+FROM dec GROUP BY doc_id
+""",
+)
+def mm_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-LAW audio differential — the European companding law
+    next to mm_audio_ulaw (mask 0x55, 13-bit domain, different
+    segment-0/1 structure): closed-form waveform → A-law bytes →
+    format-6 RIFF/WAVE → expand → exact integer sample statistics,
+    with the oracle replaying the encode→decode quantization in pure
+    SQL (note the v//8 floor-division negative handling — Python's
+    arithmetic shift and DuckDB's // both floor, which is exactly the
+    ~x of the reference C). Code-point identity encode(decode(b))==b
+    holds for ALL 256 bytes (A-law has no negative-zero fold, unlike
+    mu-law) — unit-tested; this entry gates the distributed path."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                n = 600 + i % 5 * 100
+                return MM.synthesize_alaw_wav(MM.closed_form_samples(i, n))
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.audio_alaw_stats(media)

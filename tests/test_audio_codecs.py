@@ -54,3 +54,45 @@ def test_wav_format7_roundtrip_and_boundary():
 
     with pytest.raises(NotImplementedError, match="format 7.*got 1"):
         wav_ulaw_samples(synthesize_wav(100))
+
+
+def test_alaw_codepoint_identity_all_256():
+    """A-law has NO negative-zero fold: encode(decode(b)) == b for
+    every code point — stronger than mu-law's 255/256."""
+    from graphql_api_etl_spark.operators.multimodal import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+    )
+
+    assert all(
+        alaw_encode_sample(alaw_decode_byte(b)) == b for b in range(256)
+    )
+
+
+def test_alaw_wav_roundtrip_and_boundary():
+    from graphql_api_etl_spark.operators.multimodal import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+        synthesize_alaw_wav,
+        synthesize_ulaw_wav,
+        wav_alaw_samples,
+    )
+
+    samples = closed_form_samples(13, 650)
+    decoded = wav_alaw_samples(synthesize_alaw_wav(samples))
+    assert decoded == [alaw_decode_byte(alaw_encode_sample(s)) for s in samples]
+    with pytest.raises(NotImplementedError, match="format 6.*got 7"):
+        wav_alaw_samples(synthesize_ulaw_wav(samples[:10]))
+
+
+def test_alaw_segment_error_bound():
+    from graphql_api_etl_spark.operators.multimodal import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+    )
+
+    for x in list(range(-32768, 32768, 331)) + [0, 1, -1, -8, 8, 32767, -32768]:
+        d = alaw_decode_byte(alaw_encode_sample(x))
+        m = min(x // 8 if x >= 0 else (-x - 1) // 8, 4095)
+        seg = max(0, m.bit_length() - 5)
+        assert abs(d - x) <= (16 << seg), (x, d, seg)
