@@ -10662,3 +10662,81 @@ def layout_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@_q(
+    "events_asof_tolerance",
+    """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+a AS (
+  SELECT l.user_id, l.ts AS lts, l.event_id AS click_id,
+         r.ts AS rts, r.event_id AS purchase_id, r.value
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT user_id,
+       strftime(lts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       click_id,
+       CASE WHEN rts >= lts - INTERVAL 6 HOUR THEN purchase_id END AS purchase_id,
+       CASE WHEN rts >= lts - INTERVAL 6 HOUR THEN round(value, 2) END AS purchase_value,
+       CAST(count(purchase_id) OVER () AS BIGINT) AS n_raw_matches,
+       CAST(count(CASE WHEN rts >= lts - INTERVAL 6 HOUR THEN 1 END) OVER () AS BIGINT)
+         AS n_fresh_matches
+FROM a
+""",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (max staleness): each click gets the
+    user's latest purchase at-or-before it ONLY if that purchase is
+    within the last 6 hours — matches older than the tolerance become
+    NULL. This is the operator parameter the base events_asof_join
+    can't see (operators/asof.py applies it as a post-filter on the
+    carried timestamp, so the plan is IDENTICAL — one union shuffle +
+    window, no extra join), and the attribution-window semantics every
+    marketing/causal pipeline actually wants (an unbounded as-of
+    credits a purchase from last month to today's click).
+
+    The two window-total columns make the differential quantitative:
+    n_raw_matches vs n_fresh_matches pins exactly how many matches the
+    tolerance nulls out, so a tolerance applied with the wrong
+    comparison (>/>=) or on the wrong side shifts a count, not just
+    one row's NULL."""
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    strict = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["event_id", "value"]
+    )
+    tol = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "value"],
+        tolerance=F.expr("INTERVAL 6 HOURS"),
+    )
+    w = W.partitionBy()
+    n_raw = strict.agg(
+        F.count("event_id_right").cast("bigint").alias("n")
+    )
+    out = tol.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("purchase_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+        F.count("event_id_right").over(w).cast("bigint").alias("n_fresh_matches"),
+    )
+    return out.crossJoin(F.broadcast(n_raw)).select(
+        "user_id",
+        "click_ts",
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        F.col("n").alias("n_raw_matches"),
+        "n_fresh_matches",
+    )
