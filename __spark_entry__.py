@@ -23,70 +23,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-8 window: the pre-staged scripts/window_r8.py list AMENDED per
-# its own round-start policy (rotate_window.amend_window) with the one
-# real r7 miss — x_decimal_money_exact (hash-fail in CORRECTNESS_r07,
-# reshaped this round to representation-proof BIGINT fixed-point per
-# VERDICT r7 ask #2) moves to the FRONT and the last refresh fill
-# (j_left_semi_matched, green r3) drops from the tail. The other 49
-# slots are the 48 entries that had never been driver-checked (34
-# pre-r7 registrations + 14 mid-r7 additions) plus one r3 refresh
-# fill; after this round, EVERY catalog entry has a driver row
-# (tests/test_entry_contract.py asserts the invariant against the
-# committed CORRECTNESS_r01..r07 history). Entries outside the window
-# stay green on the local driver-replica gate
+# Round-9 window: CORRECTNESS_r08 had ZERO misses (50/50 green), so
+# rotate_window.amend_window is a no-op this round; the window is the
+# scripts/rotate_window.py suggestion over the real r1–r8 history:
+# the 20 entries registered mid-r8 (after window_r8 froze) that have
+# never been driver-checked — JPEG/GIF/G.711 codecs, HITS, Kendall
+# tau-b, null-aware anti join, multiLine JSON, dynamic partition
+# overwrite, max drawdown, bitmap distinct, hostile-CSV roundtrip,
+# n-gram novelty, append-mode closed windows, ordered string_agg,
+# compression codecs, as-of tolerance — prepended per
+# scripts/window_r9.py:21-24's own policy, then 30 oldest-green (r3)
+# round-robin refresh fills. After this round, EVERY one of the 307
+# catalog entries has a driver CORRECTNESS row
+# (tests/test_entry_contract.py asserts the invariant). Entries
+# outside the window stay green on the local driver-replica gate
 # (tests/test_oracle_diff.py) at sf0.01 before each commit.
 _PRIORITY = [
-    "x_decimal_money_exact",  # MISS r7 (re-check the fix first)
-    "mm_audio_zero_crossings",  # never-checked
-    "mm_image_edge_density",  # never-checked
-    "text_bpe_merges",  # never-checked
-    "text_bpe_tokenize",  # never-checked
-    "graph_pagerank_dangling",  # never-checked
-    "graph_kcore",  # never-checked
-    "graph_harmonic_centrality",  # never-checked
-    "stream_late_data_drop",  # never-checked
-    "stream_stream_interval_join",  # never-checked
-    "stream_threshold_crossings",  # never-checked
-    "a_adoption_curve",  # never-checked
-    "a_repeat_purchase_rate",  # never-checked
-    "a_kmv_distinct_sketch",  # never-checked
-    "a_hll_registers",  # never-checked
-    "a_mannwhitney_u",  # never-checked
-    "a_gini_concentration",  # never-checked
-    "dq_functional_deps",  # never-checked
-    "a_poisson_bootstrap_ci",  # never-checked
-    "dq_psi_drift",  # never-checked
-    "a_ks_two_sample",  # never-checked
-    "events_theilsen_trend",  # never-checked
-    "events_attribution_credit",  # never-checked
-    "a_ab_cuped_adjust",  # never-checked
-    "a_ab_power_analysis",  # never-checked
-    "a_order_to_ship_latency",  # never-checked
-    "sink_snapshot_diff",  # never-checked
-    "x_largest_remainder_alloc",  # never-checked
-    "a_spearman_corr",  # never-checked
-    "a_runs_test",  # never-checked
-    "events_haar_energy",  # never-checked
-    "a_laspeyres_price_index",  # never-checked
-    "a_skyline_pareto_2d",  # never-checked
-    "dq_referential_integrity",  # never-checked
-    "a_wasserstein_1d",  # never-checked
-    "a_did_estimate",  # never-checked
-    "events_circular_hour_stats",  # never-checked
-    "a_simpsons_detector",  # never-checked
-    "events_entropy_rate",  # never-checked
-    "events_user_streaks",  # never-checked
-    "a_hhi_concentration",  # never-checked
-    "source_parquet_metadata",  # never-checked
-    "x_fiscal_445_calendar",  # never-checked
-    "a_abc_xyz_matrix",  # never-checked
-    "events_lead_lag_xcorr",  # never-checked
-    "x_interval_coalesce",  # never-checked
-    "a_mann_kendall",  # never-checked
-    "source_csv_corrupt_recovery",  # never-checked
-    "a_kruskal_wallis",  # never-checked
-    "j_left_anti_unmatched",  # green r3 refresh
+    "mm_jpeg_decode",  # never-checked (mid-r8)
+    "mm_jpeg_color_420",  # never-checked (mid-r8)
+    "text_ngram_novelty",  # never-checked (mid-r8)
+    "mm_jpeg_thumbnail",  # never-checked (mid-r8)
+    "mm_gif_decode",  # never-checked (mid-r8)
+    "mm_audio_ulaw",  # never-checked (mid-r8)
+    "mm_gif_frame_sample",  # never-checked (mid-r8)
+    "mm_audio_alaw",  # never-checked (mid-r8)
+    "graph_hits",  # never-checked (mid-r8)
+    "stream_append_closed_windows",  # never-checked (mid-r8)
+    "a_kendall_tau",  # never-checked (mid-r8)
+    "source_json_multiline",  # never-checked (mid-r8)
+    "sink_dynamic_partition_overwrite",  # never-checked (mid-r8)
+    "events_max_drawdown",  # never-checked (mid-r8)
+    "a_bitmap_distinct",  # never-checked (mid-r8)
+    "sink_csv_roundtrip",  # never-checked (mid-r8)
+    "j_null_aware_anti",  # never-checked (mid-r8)
+    "a_string_agg_ordered",  # never-checked (mid-r8)
+    "layout_compression_codecs",  # never-checked (mid-r8)
+    "events_asof_tolerance",  # never-checked (mid-r8)
+    "j_left_semi_matched",  # green r3 refresh
+    "j_cross_product",  # green r3 refresh
+    "j_broadcast_dims",  # green r3 refresh
+    "p_transform_chain",  # green r3 refresh
+    "f_filter_chain",  # green r3 refresh
+    "x_string_functions",  # green r3 refresh
+    "p_rownum_synth",  # green r3 refresh
+    "a_bool_all_guard",  # green r3 refresh
+    "a_collect_set_per_group",  # green r3 refresh
+    "x_hierarchy_closure",  # green r3 refresh
+    "a_hierarchy_levels",  # green r3 refresh
+    "layout_zorder_prune",  # green r3 refresh
+    "layout_compacted_scan",  # green r3 refresh
+    "events_interval_join",  # green r3 refresh
+    "events_range_join_left",  # green r3 refresh
+    "x_hierarchy_deep_levels",  # green r3 refresh
+    "w_window_suite",  # green r3 refresh
+    "events_gapfill",  # green r3 refresh
+    "events_funnel",  # green r3 refresh
+    "events_cohort_retention",  # green r3 refresh
+    "events_asof_join",  # green r3 refresh
+    "a_percentiles",  # green r3 refresh
+    "a_pivot_status_priority",  # green r3 refresh
+    "events_json_typed",  # green r3 refresh
+    "dedup_exact_groups",  # green r3 refresh
+    "dedup_ngram_jaccard",  # green r3 refresh
+    "dedup_simhash_pairs",  # green r3 refresh
+    "text_quality_stats",  # green r3 refresh
+    "text_token_counts",  # green r3 refresh
+    "text_lang_id",  # green r3 refresh
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]
