@@ -260,13 +260,30 @@ def main() -> None:
             if d_med_total else None
         )
     blob = json.dumps(compact)
-    if len(blob) >= 2000:  # the driver keeps only the LAST 2000 chars
-        # of stdout; a grown HEADLINE list must fail loud, not silently
-        # truncate the artifact (ADVICE r6).
+    # The driver keeps only the LAST 2000 chars of stdout; an
+    # over-budget line would truncate the recorded artifact from the
+    # front. Degrade deterministically instead (ADVICE r8): drop
+    # spread entries for the FASTEST queries first (least adjudicable
+    # loss) and record which were dropped; if the line still doesn't
+    # fit with zero spread entries, the contract keys themselves are
+    # over budget — fail loud.
+    if len(blob) >= 2000 and "spread" in compact:
+        by_speed = sorted(compact["spread"], key=lambda n: timings.get(n, 0.0))
+        dropped: list[str] = []
+        while len(blob) >= 2000 and by_speed:
+            dropped.append(by_speed.pop(0))
+            compact["spread"] = {
+                n: v for n, v in compact["spread"].items() if n not in dropped
+            }
+            compact["spread_dropped"] = dropped
+            blob = json.dumps(compact)
+    if len(blob) >= 2000:
         sys.stderr.write(
-            f"bench: compact summary line is {len(blob)} chars (>= 2000); "
-            "trim HEADLINE or drop a map\n"
+            f"bench: compact summary line is {len(blob)} chars (>= 2000) "
+            "even with every spread entry dropped; trim HEADLINE\n"
         )
+        print(blob)
+        sys.exit(1)
     print(blob)
 
 
@@ -371,11 +388,55 @@ def _probe_floors(spark, sf_dir: str) -> dict:
         # bucket stage alone (the linear, map-only part of the plan —
         # r5: the 48-plane Arrow-vectorized code, same as the query)
         b1 = _noop_best(S.with_hyperplane_bucket(emb, n_planes=_EC_PLANES, dim=64))
+        # 8x-corpus marginal vs DuckDB (VERDICT r8 ask #3): run the
+        # SAME query in BOTH engines on the same 8x-replicated corpus
+        # (remapped ids; replicas collide in every band, so candidates
+        # grow quadratically — identical extra work for both engines)
+        # and compare per-extra-row marginals. Settles whether the
+        # sub-second sf0.1 gap is fixed cost: measured r9, Spark
+        # 0.68 s -> 1.99 s while DuckDB went 0.49 s -> 14.5 s —
+        # marginal ratio ~0.09x, i.e. Spark is ~10x FASTER per row
+        # once the corpus is big enough to dominate the ~0.6 s
+        # plan+schedule intercept. Best-of-2 (the 8x DuckDB run alone
+        # is ~14 s; the 7x signal dwarfs sample noise).
+        s8 = _noop_best(_emb_cosine_dedup(emb8), n=2)
+        import duckdb
+
+        from graphql_api_etl_spark.queries_llm import _emb_cosine_dedup_sql
+
+        ec_sql = _emb_cosine_dedup_sql(0.4)
+
+        def _duck_best(view_sql: str, n_tries: int = 2) -> float:
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW embeddings AS {view_sql}")
+            best = float("inf")
+            for _ in range(n_tries):
+                t0 = time.time()
+                con.execute(ec_sql).fetchall()
+                best = min(best, time.time() - t0)
+            con.close()
+            return best
+
+        src = f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        dk1 = _duck_best(src)
+        dk8 = _duck_best(
+            f"SELECT e.vec_id + r.range * ({n} + 1) AS vec_id, e.embedding "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') e CROSS JOIN range({rep}) r"
+        )
+        extra = n * (rep - 1)
+        sm = (s8 - d1) / extra * 1e6 if s8 > d1 else None
+        dm = (dk8 - dk1) / extra * 1e6 if dk8 > dk1 else None
         out["dedup_embedding_cosine"] = {
             "construct_sec": round(cd, 3),
             "sec": round(d1, 3),
             "empty_plan_sec": round(de, 3),
             "bucket_stage_sec": round(b1, 3),
+            "sec_8x_corpus": round(s8, 3),
+            "duck_sec": round(dk1, 3),
+            "duck_sec_8x_corpus": round(dk8, 3),
+            "marginal_us_per_row": round(sm, 2) if sm else None,
+            "duck_marginal_us_per_row": round(dm, 2) if dm else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
         }
     except Exception as exc:  # noqa: BLE001
         out["_error"] = repr(exc)

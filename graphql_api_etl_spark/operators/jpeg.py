@@ -178,11 +178,25 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
-    def sync_restart(self) -> None:
+    def sync_restart(self, expected: int | None = None) -> None:
         """Consume the RSTn marker and byte-align (called between
-        restart intervals)."""
+        restart intervals). Validates the marker is actually an RSTn
+        and — when ``expected`` is given — that its modulo-8 sequence
+        number is the right one (T.81 E.1.4: markers cycle RST0–RST7),
+        so a desynced or truncated entropy stream raises instead of
+        silently eating two data bytes."""
         self.acc = 0
         self.n = 0
+        if self.data[self.pos] != 0xFF or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError(
+                f"expected RSTn at offset {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        if expected is not None and self.data[self.pos + 1] != 0xD0 + (expected % 8):
+            raise ValueError(
+                f"RSTn sequence error at offset {self.pos}: expected "
+                f"RST{expected % 8}, found RST{self.data[self.pos + 1] - 0xD0}"
+            )
         self.pos += 2  # 0xFF 0xDn
 
 
@@ -523,6 +537,10 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF
+        # fill bytes — real encoders pad with them (ADVICE r8).
+        while payload[pos + 1] == 0xFF and pos + 4 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -595,7 +613,7 @@ def _decode_scan(
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and n_mcu and n_mcu % restart == 0:
-                rd.sync_restart()
+                rd.sync_restart(expected=n_mcu // restart - 1)
                 preds = [0] * len(comps)
             try:
                 for ci, c in enumerate(comps):
@@ -611,10 +629,19 @@ def _decode_scan(
                                 dst = (by * 8 + y) * row_w + bx * 8
                                 block_row = block[y * 8 : y * 8 + 8]
                                 c["plane"][dst : dst + 8] = block_row
-            except _RestartMarker:
-                # tolerate encoders that emit RSTn slightly early
-                rd.sync_restart()
-                preds = [0] * len(comps)
+            except _RestartMarker as exc:
+                # A restart marker INSIDE an MCU means the entropy
+                # stream desynced (or the encoder put RSTn off the
+                # interval boundary): the MCU's already-written blocks
+                # would be kept and the rest silently left zero, so
+                # fail instead of resyncing to wrong pixels (ADVICE
+                # r8). Well-formed streams never hit this — the
+                # boundary handler above consumes every on-schedule
+                # RSTn before the MCU starts.
+                raise ValueError(
+                    f"restart marker RST{exc.marker - 0xD0} inside MCU "
+                    f"{n_mcu} — corrupt or desynced entropy stream"
+                ) from exc
             n_mcu += 1
     planes = []
     for c in comps:

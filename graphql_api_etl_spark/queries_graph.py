@@ -243,7 +243,7 @@ def _pagerank_ranks(
         base = (
             nodes.join(srcs, nodes.node == srcs.src, "left_outer")
             .select("node", F.col("src").isNull().alias("is_sink"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         base_cols = ["node", "is_sink"]
     base_rate = (15 * PR_SCALE) // (100 * n)
@@ -315,10 +315,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = edges.join(outw, "src").persist()
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
     n = nodes.count()  # bounded: |nation dim|, the loop's only collect
     ranks = _pagerank_ranks(nodes, ew, n)
     return ranks.select(
@@ -438,10 +438,10 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = edges.join(outw, "src").persist()
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
     n = nodes.count()  # scalar count — bounded driver state
     ranks = _pagerank_ranks(nodes, ew, n, dangling_redistribute=True)
     return ranks.select(
@@ -1357,7 +1357,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     h = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("s"))
     a = None

@@ -153,3 +153,176 @@ def test_quant_table_roundtrips_through_dqt():
 def test_zigzag_is_a_permutation():
     assert sorted(ZIGZAG) == list(range(64))
     assert QTABLE_FINE[0] == 8 and all(q == 1 for q in QTABLE_FINE[1:])
+
+
+# --- Foreign-encoder fixtures (VERDICT r8 ask #5) -------------------------
+# Generated once with OpenJDK 17's javax.imageio JPEG plugin (an encoder
+# and decoder wholly independent of this codec): a 16x16 grayscale
+# gradient ((x*13 + y*7) % 256) and a 16x16 RGB ramp (r=x*16, g=y*16,
+# b=((x+y)*8)%256) written with default quality — JFIF APP0 segment,
+# standard Annex-K-shaped tables, and 4:2:0 chroma on the color one.
+# The *_JAVA_DEC references are what Java's OWN decoder returns for the
+# same bytes, so the assertion is decoder-vs-decoder on a stream our
+# encoder did not produce (a mirrored encoder/decoder Huffman bug cannot
+# survive this, unlike the roundtrip tests above).
+
+_FOREIGN_GRAY_HEX = (
+    "ffd8ffe000104a46494600010200000100010000ffdb00430008060607060508070707090908"
+    "0a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c303134"
+    "34341f27393d38323c2e333432ffc0000b080010001001011100ffc4001f0000010501010101"
+    "010100000000000000000102030405060708090a0bffc400b510000201030302040305050404"
+    "0000017d01020300041105122131410613516107227114328191a1082342b1c11552d1f02433"
+    "627282090a161718191a25262728292a3435363738393a434445464748494a53545556575859"
+    "5a636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5"
+    "a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6"
+    "e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f00e17c2fa57dcf96bda3c2fa57dcf9"
+    "6b8ff0be95f73e5aea3c75aeff00c221e0697ecd2797a9ea19b5b4dad874c8f9e41860c36af4"
+    "619c33267ad7ffd9"
+)
+_FOREIGN_GRAY_JAVA_DEC = [
+    1, 12, 27, 40, 52, 66, 81, 91, 105, 116, 131, 144, 156, 170, 185, 195, 7,
+    18, 33, 46, 58, 71, 86, 97, 111, 122, 137, 150, 162, 175, 190, 201, 15,
+    26, 41, 54, 66, 79, 95, 105, 119, 130, 145, 158, 170, 183, 199, 209, 22,
+    33, 48, 61, 73, 86, 101, 112, 126, 137, 152, 165, 177, 190, 205, 216, 28,
+    39, 54, 67, 79, 92, 107, 118, 132, 143, 158, 171, 183, 196, 211, 222, 35,
+    45, 61, 74, 86, 99, 114, 125, 139, 149, 165, 178, 190, 203, 218, 229, 43,
+    54, 69, 82, 94, 107, 122, 133, 147, 158, 173, 186, 198, 211, 226, 237, 49,
+    59, 74, 88, 100, 113, 128, 139, 153, 163, 178, 192, 204, 217, 232, 243,
+    57, 68, 83, 96, 108, 122, 137, 147, 163, 173, 182, 202, 208, 220, 241,
+    251, 63, 74, 89, 102, 114, 127, 142, 153, 149, 194, 191, 211, 215, 236,
+    244, 0, 71, 82, 97, 110, 122, 135, 151, 161, 197, 174, 197, 221, 220, 252,
+    248, 8, 78, 89, 104, 117, 129, 142, 157, 168, 172, 199, 210, 214, 231,
+    235, 9, 13, 84, 95, 110, 123, 135, 148, 163, 174, 195, 211, 205, 224, 255,
+    251, 8, 24, 91, 101, 117, 130, 142, 155, 170, 181, 196, 185, 233, 229,
+    230, 9, 30, 27, 99, 110, 125, 138, 150, 163, 178, 189, 206, 214, 228, 250,
+    255, 0, 24, 33, 105, 115, 130, 144, 156, 169, 184, 195, 209, 228, 226,
+    253, 0, 24, 33, 45
+]
+_FOREIGN_COLOR_HEX = (
+    "ffd8ffe000104a46494600010200000100010000ffdb00430008060607060508070707090908"
+    "0a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c303134"
+    "34341f27393d38323c2e333432ffdb0043010909090c0b0c180d0d1832211c21323232323232"
+    "3232323232323232323232323232323232323232323232323232323232323232323232323232"
+    "323232323232ffc00011080010001003012200021101031101ffc4001f000001050101010101"
+    "0100000000000000000102030405060708090a0bffc400b51000020103030204030505040400"
+    "00017d01020300041105122131410613516107227114328191a1082342b1c11552d1f0243362"
+    "7282090a161718191a25262728292a3435363738393a434445464748494a535455565758595a"
+    "636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5a6"
+    "a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7"
+    "e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f010003010101010101010101000000000000010203"
+    "0405060708090a0bffc400b51100020102040403040705040400010277000102031104052131"
+    "061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a"
+    "262728292a35363738393a434445464748494a535455565758595a636465666768696a737475"
+    "767778797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7"
+    "b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9"
+    "faffda000c03010002110311003f00f37d3b40e9f2575da7681d3e4fd2ba4d3b40e9f27e95d7"
+    "69da074f928a554321cfb6d4ffd9"
+)
+# (r, g, b) triples flattened row-major
+_FOREIGN_COLOR_JAVA_DEC = [
+    2, 2, 2, 10, 4, 6, 23, 6, 14, 39, 7, 20, 57, 5, 28, 74, 5, 36, 90, 5, 44,
+    104, 5, 52, 123, 6, 61, 137, 4, 69, 154, 4, 76, 171, 4, 84, 187, 2, 93,
+    203, 3, 99, 217, 5, 108, 226, 6, 112, 7, 13, 11, 15, 15, 15, 29, 16, 23,
+    44, 18, 29, 61, 16, 36, 79, 16, 43, 96, 16, 53, 110, 15, 59, 131, 20, 73,
+    144, 18, 79, 162, 18, 88, 179, 18, 96, 195, 17, 103, 211, 18, 111, 225,
+    19, 119, 233, 21, 123, 12, 29, 21, 19, 32, 25, 33, 33, 33, 49, 34, 41, 66,
+    32, 48, 82, 33, 55, 99, 32, 65, 113, 31, 71, 131, 33, 82, 146, 31, 88,
+    162, 31, 97, 179, 31, 105, 198, 31, 113, 214, 31, 121, 227, 34, 127, 235,
+    35, 131, 12, 44, 31, 19, 47, 35, 33, 48, 41, 49, 49, 49, 67, 47, 56, 82,
+    48, 64, 100, 47, 73, 114, 47, 80, 130, 47, 89, 145, 45, 95, 161, 46, 105,
+    179, 46, 112, 197, 45, 120, 213, 46, 128, 226, 48, 134, 234, 50, 138, 7,
+    59, 37, 17, 62, 42, 31, 63, 48, 45, 65, 56, 63, 63, 63, 80, 63, 71, 97,
+    63, 80, 111, 61, 86, 131, 66, 100, 145, 64, 105, 162, 64, 115, 179, 64,
+    123, 197, 64, 130, 212, 64, 138, 227, 66, 144, 235, 68, 148, 7, 76, 45,
+    15, 78, 49, 30, 79, 57, 44, 81, 64, 62, 79, 71, 79, 79, 79, 96, 79, 89,
+    110, 77, 94, 129, 81, 107, 143, 79, 113, 160, 79, 122, 177, 79, 130, 194,
+    79, 138, 210, 80, 144, 225, 81, 151, 233, 83, 155, 9, 94, 55, 16, 96, 59,
+    31, 98, 67, 46, 99, 73, 64, 97, 80, 80, 97, 87, 97, 97, 97, 111, 96, 103,
+    128, 97, 113, 143, 95, 119, 159, 95, 129, 176, 95, 136, 193, 93, 143, 209,
+    94, 151, 222, 96, 159, 231, 98, 163, 8, 107, 60, 15, 111, 65, 30, 112, 72,
+    46, 113, 80, 62, 112, 87, 79, 112, 95, 96, 111, 104, 110, 110, 110, 130,
+    114, 124, 144, 113, 129, 161, 113, 139, 178, 113, 147, 194, 111, 153, 210,
+    112, 159, 225, 114, 167, 231, 116, 171, 9, 124, 69, 15, 126, 73, 30, 128,
+    81, 46, 129, 87, 62, 127, 93, 79, 127, 101, 96, 127, 111, 110, 126, 116,
+    130, 130, 130, 144, 129, 136, 161, 128, 145, 178, 128, 153, 194, 127, 160,
+    210, 128, 168, 225, 129, 175, 232, 133, 180, 9, 142, 77, 18, 144, 81, 31,
+    146, 89, 47, 147, 97, 64, 145, 104, 81, 145, 111, 97, 145, 121, 112, 143,
+    127, 129, 144, 137, 143, 143, 143, 160, 143, 153, 176, 143, 160, 194, 141,
+    167, 209, 142, 173, 224, 144, 181, 231, 146, 185, 7, 157, 85, 15, 159, 89,
+    30, 160, 96, 46, 161, 102, 63, 161, 110, 80, 161, 118, 97, 161, 127, 111,
+    159, 133, 130, 163, 146, 144, 161, 151, 161, 161, 161, 178, 161, 169, 196,
+    159, 176, 210, 161, 183, 225, 162, 191, 233, 164, 195, 5, 172, 92, 13,
+    174, 96, 28, 176, 102, 43, 176, 110, 61, 176, 117, 78, 176, 125, 95, 176,
+    135, 109, 174, 140, 129, 179, 154, 143, 177, 160, 160, 177, 169, 177, 177,
+    177, 195, 175, 184, 209, 177, 192, 223, 178, 198, 233, 181, 203, 6, 190,
+    102, 14, 192, 106, 27, 194, 112, 43, 195, 120, 61, 194, 128, 79, 194, 135,
+    95, 195, 145, 110, 193, 151, 126, 193, 160, 140, 193, 167, 158, 192, 176,
+    173, 193, 184, 191, 191, 191, 207, 192, 199, 221, 193, 205, 228, 196, 209,
+    5, 205, 109, 13, 206, 113, 26, 209, 119, 42, 209, 127, 61, 209, 135, 78,
+    209, 143, 94, 209, 152, 109, 207, 158, 127, 209, 169, 141, 208, 175, 158,
+    207, 185, 174, 208, 192, 191, 206, 199, 207, 207, 207, 221, 208, 215, 228,
+    211, 219, 7, 219, 117, 15, 221, 121, 29, 222, 129, 45, 223, 137, 61, 222,
+    144, 78, 222, 152, 96, 222, 161, 109, 220, 167, 130, 225, 181, 144, 224,
+    187, 161, 224, 197, 179, 224, 204, 196, 222, 211, 211, 224, 217, 225, 225,
+    225, 233, 227, 229, 14, 234, 128, 23, 235, 132, 37, 237, 141, 53, 238,
+    147, 69, 236, 156, 86, 236, 164, 103, 236, 171, 117, 234, 179, 136, 235,
+    188, 150, 235, 196, 166, 235, 204, 183, 235, 212, 201, 233, 220, 217, 234,
+    226, 230, 236, 234, 238, 238, 238
+]
+
+
+def test_foreign_encoded_gray_jpeg_decodes():
+    """Decode a grayscale baseline JPEG from an independent encoder:
+    dims exact; samples within +-1 of the foreign decoder (T.81 allows
+    per-sample IDCT rounding variance; both decoders are conformant)."""
+    payload = bytes.fromhex(_FOREIGN_GRAY_HEX)
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (16, 16) and len(planes) == 1
+    diffs = [abs(a - b) for a, b in zip(planes[0], _FOREIGN_GRAY_JAVA_DEC)]
+    assert max(diffs) <= 1
+    assert sum(diffs) / len(diffs) < 0.05  # near-all samples exact
+
+
+def test_foreign_encoded_color_420_jpeg_decodes():
+    """Decode a 4:2:0 color baseline JPEG from an independent encoder.
+    Wider tolerance than gray: Java upsamples chroma bilinearly while
+    this codec uses nearest-neighbour (both spec-legal), so chroma
+    ramps differ by a few codes at block edges — bounded, not drifting."""
+    payload = bytes.fromhex(_FOREIGN_COLOR_HEX)
+    w, h, rows = decode_jpeg_pixels(payload)
+    assert (w, h) == (16, 16)
+    flat = [v for row in rows for px in row for v in px]
+    diffs = [abs(a - b) for a, b in zip(flat, _FOREIGN_COLOR_JAVA_DEC)]
+    assert max(diffs) <= 16
+    assert sum(diffs) / len(diffs) < 4.0
+
+
+def test_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker; real
+    encoders pad with them (ADVICE r8)."""
+    j = synthesize_jpeg_gray(8, 8, bytes([90] * 64))
+    padded = j[:2] + b"\xff\xff" + j[2:]  # fill bytes before DQT
+    w, h, planes = decode_jpeg(padded)
+    assert (w, h) == (8, 8) and planes[0] == [90] * 64
+
+
+def test_rstn_sequence_error_raises():
+    """A wrong RSTn sequence number (RST5 where RST0 belongs) means the
+    stream lost sync — must fail, not decode wrong pixels."""
+    j = bytearray(synthesize_jpeg_gray(16, 16, bytes(range(256)), restart_interval=1))
+    at = j.index(b"\xff\xd0", j.index(b"\xff\xda"))
+    j[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="RSTn sequence"):
+        decode_jpeg(bytes(j))
+
+
+def test_unscheduled_restart_marker_raises():
+    """An RSTn the decoder wasn't expecting (here: DRI stripped, so the
+    markers the encoder emitted are all off-schedule) used to be
+    silently tolerated mid-MCU, yielding a half-written block (ADVICE
+    r8); it must raise."""
+    j = synthesize_jpeg_gray(16, 16, bytes(range(256)), restart_interval=1)
+    dri_at = j.index(b"\xff\xdd")
+    stripped = j[:dri_at] + j[dri_at + 6 :]  # drop the 6-byte DRI segment
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(stripped)
