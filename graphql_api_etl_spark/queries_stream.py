@@ -200,19 +200,31 @@ def stream_latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             red = latest(state.unionByName(red))
         red.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .select(*cols)
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    import shutil
+
     try:
-        q.awaitTermination(600)
+        q = (
+            _events_stream(spark, sf_dir)
+            .select(*cols)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
+        # Pin the final state BEFORE the temp dirs go away (the frame
+        # is per-user latest state, |users| rows) so both mkdtemp dirs
+        # can be removed here instead of leaking per invocation — the
+        # same finally discipline as the late-drop fix (ADVICE r7/r8).
+        final = spark.read.parquet(
+            os.path.join(state_dir, f"v{versions()[-1]}")
+        ).localCheckpoint(eager=True)
     finally:
-        q.stop()
-    final = spark.read.parquet(os.path.join(state_dir, f"v{versions()[-1]}"))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return final.select(
         "user_id",
         F.col("ts").alias("last_ts"),
