@@ -303,6 +303,20 @@ def _encode_block(
     return q[0]
 
 
+def _huff(rd: _BitReader, tab: dict[tuple[int, int], int]) -> int:
+    """Decode one Huffman symbol from the bit stream (canonical
+    (length, code) → symbol table) — shared by the baseline block
+    decoder and the progressive scan decoders."""
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | rd.bit()
+        ln += 1
+        sym = tab.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
 def _decode_block(
     rd: _BitReader,
     dc_tab: dict[tuple[int, int], int],
@@ -311,14 +325,7 @@ def _decode_block(
     pred: int,
 ) -> tuple[list[int], int]:
     def huff(tab: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 17:
-            code = (code << 1) | rd.bit()
-            ln += 1
-            sym = tab.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+        return _huff(rd, tab)
 
     zz = [0] * 64
     size = huff(dc_tab)
@@ -408,6 +415,160 @@ def synthesize_jpeg_gray(
             _seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0))),  # SOS
             bytes(scan),
             b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def synthesize_jpeg_gray_progressive(
+    width: int, height: int, pixels: bytes, qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a grayscale image as a PROGRESSIVE JPEG (SOF2): four
+    scans exercising spectral selection, EOB-run coding, DC successive
+    approximation, and per-scan restart intervals —
+
+      1. DC first       (Ss=0 Se=0  Ah=0 Al=1)
+      2. AC band 1–5    (Ss=1 Se=5  Ah=0 Al=0, EOB-run coded)
+      3. AC band 6–63   (Ss=6 Se=63 Ah=0 Al=0)
+      4. DC refinement  (Ss=0 Se=0  Ah=1 Al=0, one raw bit per block)
+
+    The coefficients are identical to the baseline encoder's (same
+    FDCT, same quantization), so ``decode_jpeg`` of the progressive
+    stream equals ``decode_jpeg`` of ``synthesize_jpeg_gray`` of the
+    same pixels bit-for-bit."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel byte count does not match dimensions")
+    qtab = qtable or QTABLE_FINE
+    plane = list(pixels)
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    # Progressive AC scans need EOBn symbols (RRRR<<4 with SSSS=0 for
+    # run lengths 2^1..2^14), which the baseline Annex K table does not
+    # define. Ship a flat canonical table instead: all 176 run/size
+    # symbols — EOB0..EOB14 (0x00..0xE0), ZRL (0xF0), and every
+    # (run, size 1..10) pair — at code length 8 (176 < 255, so the
+    # reserved all-ones code never occurs). Suboptimal compression,
+    # fully valid, and the decoder reads it from the DHT like any table.
+    ac_prog_vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_prog_bits = [0] * 16
+    ac_prog_bits[7] = len(ac_prog_vals)
+    ac_codes = _canonical_codes(ac_prog_bits, ac_prog_vals)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+
+    def quant(v: int, q: int) -> int:
+        if q == 1:
+            return v
+        return (v + q // 2) // q if v >= 0 else -((-v + q // 2) // q)
+
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = _fdct(_block_of(plane, width, height, bx, by))
+            blocks.append([quant(coefs[ZIGZAG[i]], qtab[i]) for i in range(64)])
+
+    def join_rst(segs: list[bytes]) -> bytes:
+        scan = bytearray(segs[0])
+        for k, seg in enumerate(segs[1:]):
+            scan += bytes((0xFF, 0xD0 + (k % 8)))
+            scan += seg
+        return bytes(scan)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        wr = _BitWriter()
+        segs: list[bytes] = []
+        pred = 0
+        for n, zz in enumerate(blocks):
+            if restart_interval and n and n % restart_interval == 0:
+                segs.append(wr.flush())
+                wr = _BitWriter()
+                pred = 0
+            if ah == 0:  # first scan: diffs of the point-transformed DC
+                v = zz[0] >> al  # arithmetic shift (T.81 A.4)
+                size, raw = _magnitude(v - pred)
+                pred = v
+                code, ln = dc_codes[size]
+                wr.write(code, ln)
+                if size:
+                    wr.write(raw, size)
+            else:  # refinement: the next lower bit, raw
+                wr.write((zz[0] >> al) & 1, 1)
+        segs.append(wr.flush())
+        return join_rst(segs)
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        wr = _BitWriter()
+        segs: list[bytes] = []
+        eob = 0
+
+        def flush_eob() -> None:
+            nonlocal eob
+            if eob:
+                r = eob.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                wr.write(code, ln)
+                if r:
+                    wr.write(eob - (1 << r), r)
+                eob = 0
+
+        for n, zz in enumerate(blocks):
+            if restart_interval and n and n % restart_interval == 0:
+                flush_eob()
+                segs.append(wr.flush())
+                wr = _BitWriter()
+            # AC point transform rounds toward zero (G.1.1.1.2)
+            band = [
+                (zz[k] >> al) if zz[k] >= 0 else -((-zz[k]) >> al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eob += 1
+                if eob == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                size, raw = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                wr.write(code, ln)
+                wr.write(raw, size)
+                run = 0
+            if nz[-1] < len(band) - 1:
+                eob += 1  # trailing zeros: merge into a forward EOB run
+        flush_eob()
+        segs.append(wr.flush())
+        return join_rst(segs)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _seg(0xDB, bytes([0]) + bytes(qtab[i] for i in range(64))),
+            _seg(
+                0xC2,
+                struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)),
+            ),  # SOF2: 1 component, 1x1 sampling, qtable 0
+            _seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)),
+            _seg(0xC4, bytes([0x10]) + bytes(ac_prog_bits) + bytes(ac_prog_vals)),
+        ]
+        + ([_seg(0xDD, struct.pack(">H", restart_interval))] if restart_interval else [])
+        + [
+            sos(0, 0, 0, 1), dc_scan(0, 1),
+            sos(1, 5, 0, 0), ac_first_scan(1, 5, 0),
+            sos(6, 63, 0, 0), ac_first_scan(6, 63, 0),
+            sos(0, 0, 1, 0), dc_scan(1, 0),
+            b"\xff\xd9",
         ]
     )
 
@@ -519,12 +680,16 @@ def synthesize_jpeg(
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JPEG → (width, height, component planes).
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG →
+    (width, height, component planes).
 
     Grayscale returns ``[y_plane]``; color returns ``[y, cb, cr]``
-    planes each already upsampled to full resolution. Raises
-    ``NotImplementedError`` for non-baseline modes (progressive,
-    arithmetic, 12-bit) — the marked library-integration boundary."""
+    planes each already upsampled to full resolution. Progressive
+    streams accumulate coefficients across scans (spectral selection,
+    successive approximation, EOB runs — see the G.2 block below) and
+    reconstruct once at EOI. Raises ``NotImplementedError`` for the
+    remaining modes (arithmetic coding, hierarchical, 12-bit) — the
+    marked library-integration boundary."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -534,6 +699,8 @@ def decode_jpeg(payload: bytes):
     width = height = None
     comps: list[dict] = []
     restart = 0
+    progressive = False
+    prog_ready = False  # coefficient arrays allocated (first SOS seen)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -547,10 +714,10 @@ def decode_jpeg(payload: bytes):
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         data = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} unsupported: baseline sequential "
-                "(SOF0) only — progressive/arithmetic/hierarchical need libjpeg"
+                f"JPEG SOF marker 0x{marker:02X} unsupported: baseline (SOF0) and "
+                "progressive (SOF2) only — arithmetic/hierarchical need libjpeg"
             )
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             p = 0
@@ -560,7 +727,8 @@ def decode_jpeg(payload: bytes):
                     raise NotImplementedError("16-bit quant tables unsupported")
                 qtabs[tq] = list(data[p + 1 : p + 65])
                 p += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2 (same segment layout)
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -584,11 +752,23 @@ def decode_jpeg(payload: bytes):
             for s in range(ns):
                 cs, tabs = data[1 + s * 2], data[2 + s * 2]
                 scan_sel.append((cs, tabs >> 4, tabs & 0xF))
-            return _decode_scan(
-                payload, pos, width, height, comps, scan_sel,
-                qtabs, dc_tabs, ac_tabs, restart,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, width, height, comps, scan_sel,
+                    qtabs, dc_tabs, ac_tabs, restart,
+                )
+            if not prog_ready:
+                _prog_alloc(width, height, comps)
+                prog_ready = True
+            ss, se = data[1 + ns * 2], data[2 + ns * 2]
+            ahal = data[3 + ns * 2]
+            pos = _decode_progressive_scan(
+                payload, pos, comps, scan_sel, dc_tabs, ac_tabs,
+                restart, ss, se, ahal >> 4, ahal & 0xF,
             )
         # APPn/COM/others: skipped
+    if progressive and prog_ready:
+        return _prog_reconstruct(width, height, comps, qtabs)
     raise ValueError("no SOS marker found")
 
 
@@ -658,6 +838,219 @@ def _decode_scan(
                 for x in range(width)
             ]
         planes.append(plane)
+    return width, height, planes
+
+
+# --- Progressive (SOF2) decoding — T.81 G.2 / G.1.2 -----------------------
+#
+# A progressive stream carries the SAME quantized DCT coefficients as a
+# baseline stream, split across several scans: each scan covers a
+# zig-zag band [Ss, Se] (spectral selection) at a bit precision window
+# [Ah, Al] (successive approximation). Decoding therefore accumulates
+# per-block coefficient arrays across scans and runs dequantize + IDCT
+# once at the end — the reconstruction math is shared with baseline.
+# DC scans (Ss = 0) may interleave components in MCU order; AC scans
+# cover exactly one component in its own block-raster order (G.1.2.2).
+# First scans (Ah = 0) Huffman-code magnitudes shifted left by Al; AC
+# first scans add EOB-run codes (RRRR with SSSS = 0: 2^R + ext bits
+# all-zero-band blocks). Refinement scans (Ah > 0) append one bit of
+# precision per coefficient: a raw bit for DC, and for AC the
+# correction-bit discipline of G.1.2.3 (every already-nonzero
+# coefficient crossed by the scan consumes one bit; newly-nonzero
+# coefficients arrive as ±2^Al).
+
+
+def _prog_alloc(width: int, height: int, comps: list[dict]) -> None:
+    """Allocate per-component coefficient storage (zig-zag order, one
+    64-slot row per block, padded to whole-MCU dimensions so interleaved
+    and single-component scans index the same arrays)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = [0] * (c["bw"] * c["bh"] * 64)
+        # single-component scan block grid: ceil(component samples / 8)
+        c["nbw"] = (width * c["h"] + 8 * hmax - 1) // (8 * hmax)
+        c["nbh"] = (height * c["v"] + 8 * vmax - 1) // (8 * vmax)
+    comps[0]["_mcux"] = mcux
+    comps[0]["_mcuy"] = mcuy
+
+
+def _next_marker_pos(payload: bytes, p: int) -> int:
+    """Position of the next real marker at/after ``p``: skips entropy
+    bytes, 0xFF00 stuffing, and 0xFF fill padding."""
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] != 0xFF:
+            p += 1
+        elif payload[p + 1] == 0x00:
+            p += 2
+        elif payload[p + 1] == 0xFF:
+            p += 1
+        else:
+            return p
+    raise ValueError("unterminated entropy-coded segment")
+
+
+def _refine_nonzero(rd: _BitReader, coef: list[int], at: int, p1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (G.1.2.3): if the appended bit is 1 and the 2^Al position is still
+    empty, grow the magnitude away from zero."""
+    if rd.bit() and (coef[at] & p1) == 0:
+        coef[at] += p1 if coef[at] > 0 else -p1
+
+
+def _decode_progressive_scan(
+    payload, pos, comps, scan_sel, dc_tabs, ac_tabs, restart, ss, se, ah, al
+):
+    """Decode one progressive scan into the components' coefficient
+    arrays; returns the payload offset of the next marker."""
+    rd = _BitReader(payload, pos)
+    in_scan = [next(c for c in comps if c["id"] == cs) for cs, _, _ in scan_sel]
+    for (cs, td, ta), c in zip(scan_sel, in_scan):
+        if ss == 0:
+            c["_dc"] = dc_tabs[td]
+        else:
+            c["_ac"] = ac_tabs[ta]
+    if ss > 0 and len(in_scan) != 1:
+        raise ValueError("progressive AC scan must cover exactly one component")
+    mcux, mcuy = comps[0]["_mcux"], comps[0]["_mcuy"]
+    interleaved = len(in_scan) > 1
+
+    # Per-MCU work list: (comp, block offset) in scan order. For a
+    # single-component scan the MCU is ONE block in the component's own
+    # raster (G.1.2.2), with row stride bw (the padded interleaved width).
+    if interleaved:
+        n_units = mcux * mcuy
+
+        def unit_blocks(u: int):
+            mx, my = u % mcux, u // mcux
+            for c in in_scan:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        yield c, ((my * c["v"] + dy) * c["bw"] + mx * c["h"] + dx) * 64
+    else:
+        c0 = in_scan[0]
+        n_units = c0["nbw"] * c0["nbh"]
+
+        def unit_blocks(u: int):
+            yield c0, ((u // c0["nbw"]) * c0["bw"] + u % c0["nbw"]) * 64
+
+    preds = {id(c): 0 for c in in_scan}
+    eobrun = 0
+    p1 = 1 << al
+    for u in range(n_units):
+        if restart and u and u % restart == 0:
+            rd.sync_restart(expected=u // restart - 1)
+            preds = {id(c): 0 for c in in_scan}
+            eobrun = 0
+        for c, off in unit_blocks(u):
+            coef = c["coef"]
+            if ss == 0 and ah == 0:  # DC first
+                size = _huff(rd, c["_dc"])
+                diff = _extend(rd.bits(size), size) if size else 0
+                preds[id(c)] += diff
+                coef[off] = preds[id(c)] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if rd.bit():
+                    coef[off] |= p1
+            elif ah == 0:  # AC first (EOB-run coded band)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff(rd, c["_ac"])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band end")
+                    coef[off + k] = _extend(rd.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3 correction bits)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff(rd, c["_ac"])
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.bits(r)
+                                break
+                            # ZRL: r = 15 zero-history coefficients skipped
+                        else:
+                            if s != 1:
+                                raise ValueError("AC refinement size must be 1")
+                            val = p1 if rd.bit() else -p1
+                        while k <= se:
+                            at = off + k
+                            if coef[at] != 0:
+                                _refine_nonzero(rd, coef, at, p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError("AC refinement run past band end")
+                            coef[off + k] = val
+                        k += 1
+                if eobrun:
+                    while k <= se:  # EOB region: correction bits only
+                        at = off + k
+                        if coef[at] != 0:
+                            _refine_nonzero(rd, coef, at, p1)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker_pos(payload, rd.pos)
+
+
+def _prog_reconstruct(width, height, comps, qtabs):
+    """Dequantize + IDCT the accumulated coefficient arrays — the same
+    per-block math and crop/upsample tail as the baseline path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        qtab = qtabs[c["tq"]]
+        row_w = c["bw"] * 8
+        plane = [0] * (row_w * c["bh"] * 8)
+        coef = c["coef"]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                off = (by * c["bw"] + bx) * 64
+                coefs = [0.0] * 64
+                for i in range(64):
+                    coefs[ZIGZAG[i]] = coef[off + i] * qtab[i]
+                block = _idct(coefs)
+                for y in range(8):
+                    dst = (by * 8 + y) * row_w + bx * 8
+                    plane[dst : dst + 8] = block[y * 8 : y * 8 + 8]
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        if sx == 1 and sy == 1:
+            out = [plane[y * row_w + x] for y in range(height) for x in range(width)]
+        else:  # nearest-neighbour chroma upsample
+            out = [
+                plane[(y // sy) * row_w + (x // sx)]
+                for y in range(height)
+                for x in range(width)
+            ]
+        planes.append(out)
     return width, height, planes
 
 
