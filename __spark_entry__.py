@@ -32,10 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # overwrite, max drawdown, bitmap distinct, hostile-CSV roundtrip,
 # n-gram novelty, append-mode closed windows, ordered string_agg,
 # compression codecs, as-of tolerance — prepended per
-# scripts/window_r9.py:21-24's own policy, plus the one mid-r9
-# registration (mm_jpeg_progressive, the SOF2 decoder entry), then 29
+# scripts/window_r9.py:21-24's own policy, plus the four mid-r9
+# registrations (mm_jpeg_progressive/SOF2, dropDuplicatesWithinWatermark,
+# mojibake repair, Kaplan-Meier), then 26
 # oldest-green (r3) round-robin refresh fills. After this round, EVERY
-# one of the 308 catalog entries has a driver CORRECTNESS row
+# one of the 311 catalog entries has a driver CORRECTNESS row
 # (tests/test_entry_contract.py asserts the invariant). Entries
 # outside the window stay green on the local driver-replica gate
 # (tests/test_oracle_diff.py) at sf0.01 before each commit.
@@ -61,6 +62,9 @@ _PRIORITY = [
     "layout_compression_codecs",  # never-checked (mid-r8)
     "events_asof_tolerance",  # never-checked (mid-r8)
     "mm_jpeg_progressive",  # never-checked (NEW mid-r9: SOF2 decode)
+    "stream_dedup_within_watermark",  # never-checked (NEW mid-r9)
+    "text_mojibake_repair",  # never-checked (NEW mid-r9)
+    "events_kaplan_meier",  # never-checked (NEW mid-r9)
     "j_left_semi_matched",  # green r3 refresh
     "j_cross_product",  # green r3 refresh
     "j_broadcast_dims",  # green r3 refresh
@@ -87,9 +91,6 @@ _PRIORITY = [
     "events_json_typed",  # green r3 refresh
     "dedup_exact_groups",  # green r3 refresh
     "dedup_ngram_jaccard",  # green r3 refresh
-    "dedup_simhash_pairs",  # green r3 refresh
-    "text_quality_stats",  # green r3 refresh
-    "text_token_counts",  # green r3 refresh
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -10750,3 +10750,108 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_raw_matches",
         "n_fresh_matches",
     )
+
+
+@_q(
+    "events_kaplan_meier",
+    """
+WITH lat AS (
+  SELECT o_orderkey,
+         (CAST(epoch(min(l_shipdate)) AS BIGINT)
+          - CAST(epoch(o_orderdate) AS BIGINT)) // 86400 AS days
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate
+),
+obs AS (
+  SELECT CASE WHEN days <= 30 + o_orderkey % 31 THEN days
+              ELSE 30 + o_orderkey % 31 END AS t,
+         (days <= 30 + o_orderkey % 31) AS ev
+  FROM lat
+),
+g AS (
+  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM obs GROUP BY t
+),
+r AS (
+  SELECT t, d,
+         CAST(sum(d + c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM g
+),
+km AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM r WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days, n_risk AS n_at_risk, d AS n_events,
+       round(s, 6) AS survival
+FROM km
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over order-to-first-shipment
+    latency with RIGHT CENSORING — the time-to-event analysis behind
+    every fulfilment-SLA, churn, and incident-MTTR dashboard that a
+    plain percentile report (a_order_to_ship_latency) gets wrong the
+    moment observations are cut off: each order is administratively
+    censored at 30 + o_orderkey % 31 days, so an order still unshipped
+    at its cutoff contributes to every risk set it survived through
+    but never to an event count. Output is the classic KM table — per
+    event time t: n_at_risk (subjects with observation time >= t,
+    computed as ONE descending cumulative sum over the day grain),
+    n_events, and S(t) = prod(1 - d/n) as the cumulative product over
+    event times.
+
+    Determinism: risk sets and event counts are exact BIGINTs; the
+    product is exp(cumsum(ln(1 - d/n))) — the SAME expression on both
+    engines (never each engine's product()/aggregate internals) with
+    round(6) absorbing float-sum order, the text_zipf_fit discipline.
+    Ties between events and censorings at the same t follow the
+    standard convention (censored-at-t remain at risk for events at t)
+    by construction of the descending cumulative risk sum.
+
+    Plan: one shuffle for the order-grain min (partial-aggregated),
+    one to the DAY-VALUE grain (~latency-range + 31 rows), then two
+    unpartitioned-but-dim-sized windows over that grain — the
+    a_order_to_ship_latency discipline: windows never see the fact
+    table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "(CAST(unix_timestamp(first_ship) AS BIGINT)"
+                " - CAST(unix_timestamp(o_orderdate) AS BIGINT)) div 86400"
+            ).alias("days"),
+        )
+    )
+    cutoff = F.lit(30) + F.col("o_orderkey") % 31
+    obs = lat.select(
+        F.when(F.col("days") <= cutoff, F.col("days")).otherwise(cutoff).alias("t"),
+        (F.col("days") <= cutoff).alias("ev"),
+    )
+    g = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("ev"), 0).otherwise(1)).cast("bigint").alias("c"),
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select(
+        "t", "d",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).cast("bigint").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    surv = F.exp(
+        F.sum(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))).over(w_asc)
+    )
+    return r.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.round(surv, 6).alias("survival"),
+    )

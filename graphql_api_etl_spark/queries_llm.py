@@ -6953,3 +6953,111 @@ def mm_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(make, "media_id bigint, payload binary")
     return MM.audio_alaw_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# r9 text addition: mojibake repair (the UTF-8-as-Latin-1 double-encoding
+# every web crawl contains).
+# ---------------------------------------------------------------------------
+
+# Mojibake fixtures: UTF-8 text mis-decoded as Latin-1 — the classic
+# double-encoding corruption ("caf\u00e9" -> "caf\u00c3\u00a9"). The
+# corrupted literals are precomputed at import (encode utf-8 -> decode
+# latin-1) so the injection is a pure JVM CASE expression; the
+# per-variant non-ASCII char counts are what the closed-form oracle
+# replays.
+_MOJI_CLEAN = [
+    "caf\u00e9",
+    "na\u00efve d\u00e9j\u00e0 vu",
+    "\u00fcber se\u00f1or",
+    "t\u00eate-\u00e0-t\u00eate",
+]
+_MOJI_BAD = [w.encode("utf-8").decode("latin-1") for w in _MOJI_CLEAN]
+_MOJI_N = [sum(1 for ch in w if ord(ch) > 127) for w in _MOJI_CLEAN]  # 1,3,2,3
+
+
+@_q(
+    "text_mojibake_repair",
+    f"""
+SELECT doc_id,
+       (doc_id % 5 = 0) AS had_mojibake,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN
+         CASE doc_id % 4 WHEN 0 THEN {_MOJI_N[0]} WHEN 1 THEN {_MOJI_N[1]}
+                         WHEN 2 THEN {_MOJI_N[2]} ELSE {_MOJI_N[3]} END
+       ELSE 0 END AS BIGINT) AS n_moji_pairs,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN
+         CASE doc_id % 4 WHEN 0 THEN {_MOJI_N[0]} WHEN 1 THEN {_MOJI_N[1]}
+                         WHEN 2 THEN {_MOJI_N[2]} ELSE {_MOJI_N[3]} END
+       ELSE 0 END AS BIGINT) AS n_chars_recovered,
+       (doc_id % 5 = 0) AS repaired_ok
+FROM documents
+""",
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair — the UTF-8-read-as-Latin-1 double
+    encoding that every web crawl contains and every training-data
+    pipeline must fix before tokenization. The differential uses the
+    closed-form-injection trick from the JPEG entries: docs with
+    doc_id % 5 = 0 get a known accented phrase APPENDED IN CORRUPTED
+    FORM (a JVM CASE over precomputed literals), then the pipeline
+    under test must (1) DETECT it — the classic [C2 C3][80-BF]
+    char-pair signature counted with pure JVM length-diff/regexp (no
+    UDF in the detection path), and (2) REPAIR it — the real
+    encode('latin-1') -> decode('utf-8') roundtrip inside an
+    Arrow-batched mapInPandas with a strict-errors fallback (text that
+    is NOT mojibake fails latin-1 encoding and passes through
+    untouched). The oracle replays the expected pair counts, recovered
+    char counts, and repair success from the closed form — a detection
+    regex off by one char class, a repair that mangles the phrase, or
+    a fallback that eats clean text each breaks a different column.
+
+    Scale shape: injection/detection are codegen'd expressions; repair
+    is one Arrow map stage; no shuffle at all until the (row-per-doc)
+    result — the same per-row map discipline as the codec entries."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = (F.col("doc_id") % 4).cast("int")
+    bad = F.when(variant == 0, F.lit(_MOJI_BAD[0]))
+    for i in range(1, 4):
+        bad = bad.when(variant == i, F.lit(_MOJI_BAD[i]))
+    corrupt = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" "), bad)
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", corrupt.alias("corrupt"))
+
+    def repair(batches):
+        def fix(s: str) -> str:
+            try:
+                return s.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "corrupt": pdf["corrupt"],
+                    "repaired": pdf["corrupt"].map(fix),
+                }
+            )
+
+    fixed = staged.mapInPandas(repair, "doc_id bigint, corrupt string, repaired string")
+    pair_re = "[\u00c2\u00c3][\u0080-\u00bf]"
+    n_pairs = (
+        (F.length("corrupt") - F.length(F.regexp_replace("corrupt", pair_re, ""))) / 2
+    ).cast("bigint")
+    clean = F.when(variant == 0, F.lit(_MOJI_CLEAN[0]))
+    for i in range(1, 4):
+        clean = clean.when(variant == i, F.lit(_MOJI_CLEAN[i]))
+    return fixed.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("had_mojibake"),
+        n_pairs.alias("n_moji_pairs"),
+        (F.length("corrupt") - F.length("repaired")).cast("bigint").alias(
+            "n_chars_recovered"
+        ),
+        ((F.col("doc_id") % 5 == 0) & F.col("repaired").endswith(clean)).alias(
+            "repaired_ok"
+        ),
+    )

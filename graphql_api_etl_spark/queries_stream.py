@@ -614,3 +614,49 @@ def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "n_events", "total_value"
     )
+
+
+@_q(
+    "stream_dedup_within_watermark",
+    """
+SELECT DISTINCT event_id, user_id, event_type FROM events
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark under REAL redelivery: the landing
+    directory holds the events file TWICE (two symlinks, zero copy) and
+    maxFilesPerTrigger=1 forces two micro-batches, so every row of the
+    second batch is a genuine cross-batch duplicate arriving against
+    populated state — the at-least-once → exactly-once repair every
+    ingestion pipeline needs in front of an append-only sink. Plain
+    dropDuplicates (stream_distinct_user_types) keeps state FOREVER;
+    the WithinWatermark variant is the production form — state for a
+    key is evictable once the watermark passes it. The delay here is
+    deliberately larger than the data span, so no key is evicted and
+    the output is exactly batch DISTINCT — any early eviction
+    re-emits a duplicate and breaks the row count; any over-dedup
+    drops a real key and breaks the hash.
+
+    Scale: state is keyed by event_id and bounded by the watermark
+    horizon in production (the point of the operator); the memory sink
+    holds the key projection, and the differential keys are the full
+    id/user/type triple so a wrong-row keep is visible."""
+    import os
+    import tempfile
+
+    _pin_ntz(spark)
+    src_dir = tempfile.mkdtemp(prefix="events_stream_dup_")
+    for name in ("a_events.parquet", "b_events.parquet"):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/{name}")
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    dedup = (
+        stream.select("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append")
