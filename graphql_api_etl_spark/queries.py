@@ -10858,9 +10858,9 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ORC sink/source roundtrip (r9) — the other columnar format Spark
-# bundles; completes the format matrix (parquet scans everywhere, CSV
-# hostile roundtrip, multiLine JSON, xlsx codec)
+# ORC sink/source roundtrip over TEMPORAL + FLOAT types (r9) — the
+# complement to source_orc_roundtrip (documents: strings/bigints):
+# TIMESTAMP and DOUBLE are the two types ORC bridges actually break on
 # ---------------------------------------------------------------------------
 
 _ORC_ROUNDTRIP_SQL = """
@@ -10871,22 +10871,18 @@ FROM events WHERE event_id % 9 = 0
 
 @_q("sink_orc_roundtrip", _ORC_ROUNDTRIP_SQL)
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink→source roundtrip over the type spread that actually
-    breaks format bridges — BIGINT, TIMESTAMP (the zone-semantics trap:
-    ORC stores local-time + writer zone where parquet stores
-    instant-adjusted micros), STRING, DOUBLE — written with zstd and
-    read back by Spark's vectorized ORC reader. The differential
+    """ORC sink→source roundtrip over the type spread the existing
+    string/bigint ORC gate (source_orc_roundtrip) never stresses:
+    TIMESTAMP (the zone-semantics trap — ORC stores local-time +
+    writer zone where parquet stores instant-adjusted micros) and
+    DOUBLE, written with zstd (the codec the string gate doesn't pin)
+    and read back by Spark's vectorized ORC reader. The differential
     compares the ORC-roundtripped values against DuckDB reading the
     ORIGINAL parquet, so a timestamp-zone shift, a double rounding, or
     a predicate/stats bug on either side of the sink/source pair
     breaks the value hash. The landing dir is layout-cached
     (fingerprinted; one write per testdata generation), matching
-    sink_csv_roundtrip / layout_compression_codecs.
-
-    Scale: ORC is the second columnar interchange format every
-    warehouse migration crosses; both sides here are fully columnar,
-    pushdown-capable scans — the gate pins semantic equivalence, not
-    just schema survival."""
+    sink_csv_roundtrip / layout_compression_codecs."""
     path, cached = _layout_cache_path(sf_dir, "events_orc_zstd", ["events"])
     ev = (
         _t(spark, sf_dir, "events")
