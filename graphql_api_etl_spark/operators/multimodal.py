@@ -155,13 +155,21 @@ def decode_wav(payload: bytes) -> tuple[int, list[float]]:
 
 
 # ---------------------------------------------------------------------------
-# PNG codec (pure stdlib: struct + zlib) — 8-bit truecolor (color type
-# 2), non-interlaced, all five scanline filters. Covers the compressed
-# half of the image boundary BMP can't: real inflate + per-scanline
-# unfilter on executor-side Arrow batches (VERDICT r6 ask #4).
+# PNG codec (pure stdlib: struct + zlib) — 8-bit grayscale (0),
+# truecolor (2), palette (3) and truecolor+alpha (6) color types,
+# non-interlaced AND Adam7-interlaced, all five scanline filters.
+# Covers the compressed half of the image boundary BMP can't: real
+# inflate + per-scanline unfilter on executor-side Arrow batches
+# (VERDICT r6 ask #4; color types + Adam7 added r9).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -181,34 +189,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def synthesize_png(
-    width: int, height: int, pixel_bytes: bytes, row_filters: list[int] | None = None
-) -> bytes:
-    """Build a valid 8-bit truecolor PNG around caller-provided raw
-    RGB scanline bytes (stride 3·width, top-down — no padding, unlike
-    BMP). ``row_filters`` selects each scanline's filter type; the
-    default cycles 0..4 so a synthesized corpus exercises every
-    unfilter path (None/Sub/Up/Average/Paeth), then the filtered
-    stream is zlib-compressed into a single IDAT."""
-    stride = width * 3
-    if len(pixel_bytes) != stride * height:
-        raise ValueError("pixel byte count does not match dimensions")
-    filters = row_filters if row_filters is not None else [y % 5 for y in range(height)]
+def _png_filter_rows(
+    pixel_bytes: bytes, w_px: int, h: int, bpp: int, filters: list[int]
+) -> bytearray:
+    """Filter ``h`` scanlines of ``w_px``-pixel rows (``bpp`` bytes per
+    pixel) into the PNG pre-compression stream (1 filter-type byte +
+    filtered bytes per line) — shared by the sequential encoder and
+    each Adam7 pass."""
+    stride = w_px * bpp
     raw = bytearray()
     prev = bytes(stride)
-    for y in range(height):
+    for y in range(h):
         row = pixel_bytes[y * stride : (y + 1) * stride]
         ft = filters[y]
         raw.append(ft)
         if ft == 0:
             raw += row
         elif ft == 1:  # Sub
-            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride))
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(stride)
+            )
         elif ft == 2:  # Up
             raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
         elif ft == 3:  # Average
             raw += bytes(
-                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
                 for i in range(stride)
             )
         elif ft == 4:  # Paeth
@@ -216,9 +221,9 @@ def synthesize_png(
                 (
                     row[i]
                     - _paeth(
-                        row[i - 3] if i >= 3 else 0,
+                        row[i - bpp] if i >= bpp else 0,
                         prev[i],
-                        prev[i - 3] if i >= 3 else 0,
+                        prev[i - bpp] if i >= bpp else 0,
                     )
                 )
                 & 0xFF
@@ -227,7 +232,85 @@ def synthesize_png(
         else:
             raise ValueError(f"PNG filter type {ft} out of range")
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return raw
+
+
+def _png_unfilter(raw: bytes, off: int, w_px: int, h: int, bpp: int) -> tuple[bytes, int]:
+    """Unfilter ``h`` scanlines starting at ``raw[off]``; returns the
+    reconstructed pixel bytes and the offset just past the consumed
+    data — callable per Adam7 pass (each pass filters independently)."""
+    stride = w_px * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    for _ in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                line[i] = (
+                    line[i] + (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"PNG filter type {ft} unsupported")
+        out += line
+        prev = bytes(line)
+    return bytes(out), off
+
+
+def synthesize_png(
+    width: int,
+    height: int,
+    pixel_bytes: bytes,
+    row_filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Build a valid 8-bit truecolor PNG around caller-provided raw
+    RGB scanline bytes (stride 3·width, top-down — no padding, unlike
+    BMP). ``row_filters`` selects each scanline's filter type; the
+    default cycles 0..4 so a synthesized corpus exercises every
+    unfilter path (None/Sub/Up/Average/Paeth), then the filtered
+    stream is zlib-compressed into a single IDAT. ``interlace=True``
+    writes the seven Adam7 passes instead (each pass filtered
+    independently, per spec) — scanline filters still cycle within
+    each pass."""
+    stride = width * 3
+    if len(pixel_bytes) != stride * height:
+        raise ValueError("pixel byte count does not match dimensions")
+    if not interlace:
+        filters = row_filters if row_filters is not None else [y % 5 for y in range(height)]
+        raw = _png_filter_rows(pixel_bytes, width, height, 3, filters)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytearray()
+            for j in range(ph):
+                for i in range(pw):
+                    src = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+                    sub += pixel_bytes[src : src + 3]
+            filters = row_filters if row_filters is not None else [j % 5 for j in range(ph)]
+            raw += _png_filter_rows(bytes(sub), pw, ph, 3, filters[:ph])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -239,24 +322,31 @@ def synthesize_png(
 def decode_png_stream(payload: bytes) -> tuple[int, int, bytes]:
     """Full PNG decode to the raw top-down RGB scanline byte stream:
     chunk walk, IHDR parse, IDAT concat + zlib inflate, per-scanline
-    unfilter (all five filter types). 8-bit truecolor non-interlaced
-    only — the shape ``synthesize_png`` emits; anything else raises at
-    the marked boundary."""
+    unfilter (all five filter types), Adam7 de-interlacing when the
+    stream is interlaced, and color-type normalization to RGB —
+    grayscale (0) replicates luma, palette (3) resolves through PLTE,
+    truecolor+alpha (6) drops the alpha channel (features/thumbnails
+    read color, not coverage). 8-bit depth only — 16-bit raises at the
+    marked boundary."""
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG payload")
     pos, width, height = 8, None, None
+    color = interlace = 0
+    plte = b""
     idat = bytearray()
     while pos + 8 <= len(payload):
         ln, ctype = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8 : pos + 8 + ln]
         if ctype == b"IHDR":
-            width, height, depth, ctype_code, _comp, _filt, interlace = struct.unpack(
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype_code != 2 or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "PNG decode implemented for 8-bit truecolor non-interlaced only"
+                    "PNG decode implemented for 8-bit color types 0/2/3/6 only"
                 )
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -264,36 +354,41 @@ def decode_png_stream(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + ln
     if width is None:
         raise NotImplementedError("PNG payload missing IHDR chunk")
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     raw = zlib.decompress(bytes(idat))
-    stride = width * 3
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft == 1:
-            for i in range(stride):
-                line[i] = (line[i] + (line[i - 3] if i >= 3 else 0)) & 0xFF
-        elif ft == 2:
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:
-            for i in range(stride):
-                line[i] = (line[i] + (((line[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:
-            for i in range(stride):
-                line[i] = (
-                    line[i]
-                    + _paeth(
-                        line[i - 3] if i >= 3 else 0,
-                        prev[i],
-                        prev[i - 3] if i >= 3 else 0,
-                    )
-                ) & 0xFF
-        elif ft != 0:
-            raise NotImplementedError(f"PNG filter type {ft} unsupported")
-        out += line
-        prev = bytes(line)
+    if interlace == 0:
+        samples, _ = _png_unfilter(raw, 0, width, height, bpp)
+    elif interlace == 1:  # Adam7: each pass filtered independently
+        buf = bytearray(width * height * bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_unfilter(raw, off, pw, ph, bpp)
+            for j in range(ph):
+                for i in range(pw):
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    src = (j * pw + i) * bpp
+                    buf[dst : dst + bpp] = sub[src : src + bpp]
+        samples = bytes(buf)
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace} unsupported")
+    if color == 2:
+        return width, height, samples
+    out = bytearray(width * height * 3)
+    if color == 0:  # grayscale → replicate
+        for i, v in enumerate(samples):
+            out[i * 3 : i * 3 + 3] = bytes((v, v, v))
+    elif color == 3:  # palette lookup
+        if not plte:
+            raise NotImplementedError("palette PNG missing PLTE chunk")
+        for i, v in enumerate(samples):
+            out[i * 3 : i * 3 + 3] = plte[v * 3 : v * 3 + 3]
+    else:  # 6: RGBA → drop alpha
+        for i in range(width * height):
+            out[i * 3 : i * 3 + 3] = samples[i * 4 : i * 4 + 3]
     return width, height, bytes(out)
 
 

@@ -7061,3 +7061,72 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repaired_ok"
         ),
     )
+
+
+@_q(
+    "mm_png_interlaced",
+    """
+WITH d AS (
+  SELECT doc_id, 2 AS bw, (1 + doc_id % 3) AS bh FROM documents
+),
+j AS (
+  SELECT doc_id, bw, unnest(generate_series(0, bw * bh - 1)) AS blk FROM d
+),
+v AS (
+  SELECT doc_id,
+         CAST(blk % bw AS BIGINT) AS bx,
+         CAST(blk // bw AS BIGINT) AS by,
+         ((((doc_id * 23 + blk * 41) * 2654435761) % 4294967296) // 16777216) AS lvl
+  FROM j
+)
+SELECT doc_id AS media_id, bx, by,
+       CAST(lvl AS BIGINT) AS lvl_min,
+       CAST(lvl AS BIGINT) AS lvl_max
+FROM v
+""",
+)
+def mm_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode (r9): the seven-pass pixel scatter
+    most web PNGs older than HTTP/2 actually use, with each pass
+    FILTERED INDEPENDENTLY (cycling None/Sub/Up/Average/Paeth inside
+    every pass) — so a pass-grid, pass-boundary, or per-pass filter
+    state bug scrambles pixels ACROSS tiles and moves a tile's
+    min/max. Streams are synthesized on executors by the in-repo
+    encoder (interlace=True) over closed-form constant 8x8 tiles;
+    PNG is lossless, so the oracle replays every tile level exactly
+    (doc_id*23 + blk*41 hash), positional like the JPEG family. The
+    decoder path under test: chunk walk, IDAT inflate, per-pass
+    unfilter, Adam7 scatter, RGB normalization — decoder also proven
+    against a FOREIGN Adam7 stream (OpenJDK ImageIO progressive mode,
+    tests/test_sources_sinks.py::test_foreign_png_adam7_interlaced_decodes_exact).
+
+    Scale shape: synth + decode are per-row Arrow-batched map stages —
+    no shuffle until the (tiny) result, same as mm_jpeg_decode."""
+    import pandas as pd
+
+    from graphql_api_etl_spark.operators.multimodal import synthesize_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+
+            def build(i: int) -> bytes:
+                bw, bh = 2, 1 + i % 3
+                w, h = bw * 8, bh * 8
+                px = bytearray(w * h * 3)
+                for blk in range(bw * bh):
+                    lvl = (((i * 23 + blk * 41) * 2654435761) % 4294967296) >> 24
+                    bx, by = blk % bw, blk // bw
+                    for y in range(8):
+                        base = ((by * 8 + y) * w + bx * 8) * 3
+                        px[base : base + 24] = bytes([lvl]) * 24
+                return synthesize_png(w, h, bytes(px), interlace=True)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(lambda i: build(int(i)))}
+            )
+
+    media = docs.mapInPandas(make, "media_id bigint, payload binary")
+    return MM.image_block_levels(media, block=8)

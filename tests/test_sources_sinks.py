@@ -466,3 +466,171 @@ def test_multimodal_zero_crossings_hand_waveform(spark):
         for r in audio_zero_crossings(media, window=3).collect()
     }
     assert split == {0: (2, 2), 1: (2, 1)}
+
+
+# --- PNG color types + Adam7 (r9) ------------------------------------------
+
+
+def test_png_adam7_roundtrip_exact():
+    """Adam7 interlaced synthesize→decode is the identity on raw RGB
+    bytes — every pass filtered independently, cycling filters inside
+    each pass, sizes on and off the 8x8 pass grid (incl. degenerate
+    1-wide/1-tall where later passes are empty)."""
+    import random
+
+    from graphql_api_etl_spark.operators.multimodal import (
+        decode_png_stream,
+        synthesize_png,
+    )
+
+    rng = random.Random(3)
+    for (w, h) in [(1, 1), (7, 3), (8, 8), (13, 9), (31, 17), (5, 1), (1, 5)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_png_stream(synthesize_png(w, h, px, interlace=True)) == (w, h, px)
+        assert decode_png_stream(synthesize_png(w, h, px)) == (w, h, px)
+
+
+# Foreign-encoder PNG fixtures (OpenJDK 17 javax.imageio): grayscale
+# (color type 0), palette (3, PLTE chunk), RGBA (6), and an Adam7
+# INTERLACED truecolor stream (progressive mode). PNG is lossless, so
+# every assertion is exact. The RGB references are Java's own decode —
+# except grayscale, where Java's getRGB applies a gray→sRGB color-space
+# conversion the FILE does not contain; the reference there is the raw
+# sample pattern the fixture was written with ((x*29 + y*53) % 256).
+
+_PNG_GRAY_HEX = (
+    "89504e470d0a1a0a0000000d4948445200000009000000070800000000fff038bc0000005149"
+    "444154785e014600b9ff00001d3a577491aecbe80035526f8ca9c6e3001d006a87a4c1defb18"
+    "3552009fbcd9f613304d6a8700d4f10e2b4865829fbc00092643607d9ab7d4f1003e5b7895b2"
+    "cfec09261edd1eae3d64bdc00000000049454e44ae426082"
+)
+_PNG_PAL_HEX = (
+    "89504e470d0a1a0a0000000d4948445200000008000000060803000000c9db2fc90000030050"
+    "4c54450000000000330000660000990000cc0000ff0033000033330033660033990033cc0033"
+    "ff0066000066330066660066990066cc0066ff0099000099330099660099990099cc0099ff00"
+    "cc0000cc3300cc6600cc9900cccc00ccff00ff0000ff3300ff6600ff9900ffcc00ffff330000"
+    "3300333300663300993300cc3300ff3333003333333333663333993333cc3333ff3366003366"
+    "333366663366993366cc3366ff3399003399333399663399993399cc3399ff33cc0033cc3333"
+    "cc6633cc9933cccc33ccff33ff0033ff3333ff6633ff9933ffcc33ffff660000660033660066"
+    "6600996600cc6600ff6633006633336633666633996633cc6633ff6666006666336666666666"
+    "996666cc6666ff6699006699336699666699996699cc6699ff66cc0066cc3366cc6666cc9966"
+    "cccc66ccff66ff0066ff3366ff6666ff9966ffcc66ffff9900009900339900669900999900cc"
+    "9900ff9933009933339933669933999933cc9933ff9966009966339966669966999966cc9966"
+    "ff9999009999339999669999999999cc9999ff99cc0099cc3399cc6699cc9999cccc99ccff99"
+    "ff0099ff3399ff6699ff9999ffcc99ffffcc0000cc0033cc0066cc0099cc00cccc00ffcc3300"
+    "cc3333cc3366cc3399cc33cccc33ffcc6600cc6633cc6666cc6699cc66cccc66ffcc9900cc99"
+    "33cc9966cc9999cc99cccc99ffcccc00cccc33cccc66cccc99ccccccccccffccff00ccff33cc"
+    "ff66ccff99ccffccccffffff0000ff0033ff0066ff0099ff00ccff00ffff3300ff3333ff3366"
+    "ff3399ff33ccff33ffff6600ff6633ff6666ff6699ff66ccff66ffff9900ff9933ff9966ff99"
+    "99ff99ccff99ffffcc00ffcc33ffcc66ffcc99ffccccffccffffff00ffff33ffff66ffff99ff"
+    "ffccffffff1212121818181e1e1e2424242a2a2a3030303636363c3c3c4242424848484e4e4e"
+    "5454545a5a5a6060606666666c6c6c7272727878787e7e7e8484848a8a8a9090909696969c9c"
+    "9ca2a2a2a8a8a8aeaeaeb4b4b4bababac0c0c0c6c6c6ccccccd2d2d2d8d8d8dededee4e4e4ea"
+    "eaeaf0f0f0f6f6f6fcfcfc202962c30000003b49444154785e6364b8e1aba2c2a8c2c0c2c6cc"
+    "c6c6cec0c6c8c8abb281693a832a0390c1a832997933500a28ceccccc6c02c28ca2cf6e04cfc"
+    "7d00b920084a56ea99dd0000000049454e44ae426082"
+)
+_PNG_PAL_RGB = [
+    0, 0, 0, 18, 18, 18, 51, 0, 51, 102, 0, 51, 153, 0, 51, 153, 0, 102, 204,
+    0, 102, 204, 0, 102, 0, 51, 0, 36, 36, 36, 51, 51, 51, 102, 51, 51, 153,
+    51, 102, 153, 51, 102, 204, 51, 102, 204, 51, 153, 0, 102, 51, 51, 102,
+    51, 72, 72, 72, 84, 84, 84, 153, 102, 102, 153, 102, 102, 204, 102, 153,
+    204, 102, 153, 0, 102, 51, 51, 102, 51, 51, 102, 102, 102, 102, 102, 120,
+    120, 120, 138, 138, 138, 204, 102, 153, 204, 102, 153, 0, 153, 51, 51,
+    153, 102, 51, 153, 102, 102, 153, 102, 138, 138, 138, 156, 156, 156, 204,
+    153, 153, 204, 153, 153, 0, 204, 102, 51, 204, 102, 51, 204, 102, 102,
+    204, 153, 153, 204, 153, 153, 204, 153, 192, 192, 192, 204, 204, 204
+]
+_PNG_RGBA_HEX = (
+    "89504e470d0a1a0a0000000d494844520000000a0000000508060000007c647d68000000ae49"
+    "444154785e0dca216e03311005d0cfc2c2022a2d0b5bd641cbc2424cf704d590122bd0c401c6"
+    "66913e368c4c4c4c135430c7a8ef51503ffc00403f002f40704052204780044a03aa017d006f"
+    "4066948317390627a7a4b2e4286752d6d2e4b39a6c7dc865469d518f5e74094ed7a4bae5a857"
+    "52f7d2f4ab9adefad0fb8c9c91272f5c83e32529f71cf94df25e1a1fd5f8ec83af196d465bbc"
+    "d8169ced49ed96a365d29ea5d94f35fbedc3fedeff898952229f7bc7dd0000000049454e44ae"
+    "426082"
+)
+_PNG_RGBA_RGB = [
+    0, 0, 0, 25, 0, 0, 50, 0, 0, 75, 0, 0, 100, 0, 0, 125, 0, 0, 150, 0, 0,
+    175, 0, 0, 200, 0, 0, 225, 0, 0, 0, 50, 0, 25, 50, 7, 50, 50, 14, 75, 50,
+    21, 100, 50, 28, 125, 50, 35, 150, 50, 42, 175, 50, 49, 200, 50, 56, 225,
+    50, 63, 0, 100, 0, 25, 100, 14, 50, 100, 28, 75, 100, 42, 100, 100, 56,
+    125, 100, 70, 150, 100, 84, 175, 100, 98, 200, 100, 112, 225, 100, 126, 0,
+    150, 0, 25, 150, 21, 50, 150, 42, 75, 150, 63, 100, 150, 84, 125, 150,
+    105, 150, 150, 126, 175, 150, 147, 200, 150, 168, 225, 150, 189, 0, 200,
+    0, 25, 200, 28, 50, 200, 56, 75, 200, 84, 100, 200, 112, 125, 200, 140,
+    150, 200, 168, 175, 200, 196, 200, 200, 224, 225, 200, 252
+]
+_PNG_ILACE_HEX = (
+    "89504e470d0a1a0a0000000d494844520000000d0000000b08020000015cd7a0a00000018b49"
+    "444154785e0d8db167a44100477f1c716125ec8859c2cab1868bcbd86a1996706e58775f1352"
+    "ad61c23517b6faa6d92ad57dc254cb115f3be108d36e314dc655d78e49b57fc0986bc3b557dc"
+    "16af785ef100a0df83803efc420394bd34e1a6843340a151d35edd14b501035a20ee2b53a356"
+    "2da25a8385691b3631bc021c8c0f1a3e6af9a4e7d3c8e7852f000b66278d5db476d5db4db4db"
+    "62774005abf3a6aedbbaedeb6bac1f4afd06020840031de081bc1f117e20f850f371c7cf3d9f"
+    "65fe11440d849a6835efd4b557abacbe83d8a1b0336d979dbdf3f631dbdf206124c242877517"
+    "9e7cd8e5f016a48e455deafad0d5175f8f72fd0c5010fa86d103410f1b3ad0f4b8a5c38e9ef4"
+    "74e4e969a4e34cdf153a0124883c647228e46923275a5eb472d6c9cb5e2ebcbc8a7299e5d722"
+    "57800131c7cc8c85b968cc5c9b2fad5976e6b6376b6feea379c8e667315bc081b813e6ce85bb"
+    "6cdcb576b7adbbebdc8fde3d79f71cdd4b767f8afb07249074cad24ca4ab26ad74ba6fd36397"
+    "9efbb4f3e96f4c4739bd2fe9d37ffe29a932bc2fe73a0000000049454e44ae426082"
+)
+_PNG_ILACE_RGB = [
+    0, 0, 0, 19, 0, 0, 38, 0, 0, 57, 0, 0, 76, 0, 0, 95, 0, 0, 114, 0, 0, 133,
+    0, 0, 152, 0, 0, 171, 0, 0, 190, 0, 0, 209, 0, 0, 228, 0, 0, 0, 23, 0, 19,
+    23, 3, 38, 23, 6, 57, 23, 9, 76, 23, 12, 95, 23, 15, 114, 23, 18, 133, 23,
+    21, 152, 23, 24, 171, 23, 27, 190, 23, 30, 209, 23, 33, 228, 23, 36, 0,
+    46, 0, 19, 46, 6, 38, 46, 12, 57, 46, 18, 76, 46, 24, 95, 46, 30, 114, 46,
+    36, 133, 46, 42, 152, 46, 48, 171, 46, 54, 190, 46, 60, 209, 46, 66, 228,
+    46, 72, 0, 69, 0, 19, 69, 9, 38, 69, 18, 57, 69, 27, 76, 69, 36, 95, 69,
+    45, 114, 69, 54, 133, 69, 63, 152, 69, 72, 171, 69, 81, 190, 69, 90, 209,
+    69, 99, 228, 69, 108, 0, 92, 0, 19, 92, 12, 38, 92, 24, 57, 92, 36, 76,
+    92, 48, 95, 92, 60, 114, 92, 72, 133, 92, 84, 152, 92, 96, 171, 92, 108,
+    190, 92, 120, 209, 92, 132, 228, 92, 144, 0, 115, 0, 19, 115, 15, 38, 115,
+    30, 57, 115, 45, 76, 115, 60, 95, 115, 75, 114, 115, 90, 133, 115, 105,
+    152, 115, 120, 171, 115, 135, 190, 115, 150, 209, 115, 165, 228, 115, 180,
+    0, 138, 0, 19, 138, 18, 38, 138, 36, 57, 138, 54, 76, 138, 72, 95, 138,
+    90, 114, 138, 108, 133, 138, 126, 152, 138, 144, 171, 138, 162, 190, 138,
+    180, 209, 138, 198, 228, 138, 216, 0, 161, 0, 19, 161, 21, 38, 161, 42,
+    57, 161, 63, 76, 161, 84, 95, 161, 105, 114, 161, 126, 133, 161, 147, 152,
+    161, 168, 171, 161, 189, 190, 161, 210, 209, 161, 231, 228, 161, 252, 0,
+    184, 0, 19, 184, 24, 38, 184, 48, 57, 184, 72, 76, 184, 96, 95, 184, 120,
+    114, 184, 144, 133, 184, 168, 152, 184, 192, 171, 184, 216, 190, 184, 240,
+    209, 184, 8, 228, 184, 32, 0, 207, 0, 19, 207, 27, 38, 207, 54, 57, 207,
+    81, 76, 207, 108, 95, 207, 135, 114, 207, 162, 133, 207, 189, 152, 207,
+    216, 171, 207, 243, 190, 207, 14, 209, 207, 41, 228, 207, 68, 0, 230, 0,
+    19, 230, 30, 38, 230, 60, 57, 230, 90, 76, 230, 120, 95, 230, 150, 114,
+    230, 180, 133, 230, 210, 152, 230, 240, 171, 230, 14, 190, 230, 44, 209,
+    230, 74, 228, 230, 104
+]
+
+
+def _png_flat(payload_hex: str):
+    from graphql_api_etl_spark.operators.multimodal import decode_png_pixels
+
+    w, h, rows = decode_png_pixels(bytes.fromhex(payload_hex))
+    return w, h, [v for row in rows for px in row for v in px]
+
+
+def test_foreign_png_gray_decodes_exact():
+    w, h, flat = _png_flat(_PNG_GRAY_HEX)
+    assert (w, h) == (9, 7)
+    expected = [v for y in range(7) for x in range(9) for v in ((x * 29 + y * 53) % 256,) * 3]
+    assert flat == expected
+
+
+def test_foreign_png_palette_decodes_exact():
+    w, h, flat = _png_flat(_PNG_PAL_HEX)
+    assert (w, h) == (8, 6) and flat == _PNG_PAL_RGB
+
+
+def test_foreign_png_rgba_drops_alpha_exact():
+    w, h, flat = _png_flat(_PNG_RGBA_HEX)
+    assert (w, h) == (10, 5) and flat == _PNG_RGBA_RGB
+
+
+def test_foreign_png_adam7_interlaced_decodes_exact():
+    payload = bytes.fromhex(_PNG_ILACE_HEX)
+    assert payload[8 + 8 + 12] == 1  # IHDR interlace byte really set
+    w, h, flat = _png_flat(_PNG_ILACE_HEX)
+    assert (w, h) == (13, 11) and flat == _PNG_ILACE_RGB
