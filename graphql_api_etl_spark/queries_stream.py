@@ -660,3 +660,84 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "user_id", "event_type")
     )
     return _run_to_memory(dedup, "append")
+
+
+@_q(
+    "stream_stream_left_outer_join",
+    """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+              - INTERVAL 1 HOUR AS w),
+m AS (SELECT v.view_id, p.purchase_id, v.user_id,
+             CAST(date_diff('second', v.v_ts, p.p_ts) AS BIGINT) AS gap_sec
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+SELECT view_id, purchase_id, user_id, gap_sec FROM m
+UNION ALL
+SELECT v.view_id, NULL AS purchase_id, v.user_id, NULL AS gap_sec
+FROM v CROSS JOIN wm
+WHERE v.v_ts + INTERVAL 1 HOUR < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+""",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-emission
+    semantics the inner variant (stream_stream_interval_join) cannot
+    check: an unmatched view emits its null row only when the GLOBAL
+    watermark (min of both sides' watermarks, each max(ts) − 1 h)
+    closes the view's one-hour join horizon, i.e. on state EVICTION —
+    never earlier (a match could still arrive) and never for views
+    inside the final watermark horizon (their window never closes on
+    a finite stream). This eviction-driven null is what makes outer
+    stream joins subtle in production: rows "missing" from the sink
+    are usually rows whose window the watermark hasn't closed yet.
+
+    The oracle replays both halves: the batch interval join (matched
+    pairs are emission-time-independent) plus the eviction cut for
+    unmatched views — v_ts + 1 h strictly before the end-of-stream
+    global watermark min(max_v, max_p) − 1 h (no view in any testdata
+    SF sits exactly ON the boundary; the value-hash gate at three SFs
+    would surface a comparator flip). availableNow's final no-data
+    micro-batch advances the watermark and flushes the evictable
+    unmatched state — the same final-flush machinery
+    stream_append_closed_windows pins for windows."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
