@@ -9,7 +9,8 @@ sizing, Arrow batch flow, UDF signatures. Decoding has two tiers:
   assumptions — works on any payload, used by the catalog query);
 - ``fake=False``: REAL pure-Python decoders for BMP, PNG and baseline
   JPEG images (PNG: stdlib zlib inflate + all five scanline
-  unfilters, 8-bit truecolor; JPEG: operators/jpeg.py — baseline
+  unfilters, 8-bit gray/truecolor/palette/RGBA, Adam7 interlace;
+  JPEG: operators/jpeg.py — baseline + progressive
   sequential Huffman, grayscale + YCbCr 4:4:4/4:2:0, restart markers)
   and WAV audio (no external libraries): dimensions / duration / bit
   depth parsed from the containers, features from pixel / sample
