@@ -37,17 +37,26 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance: Column | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward (default) or forward.
 
     ``on``: timestamp column name present in both inputs.
     ``by``: equi-key column(s) present in both (optional).
     ``right_cols``: right payload columns to carry (default: all except
     ``on``/``by``).
-    ``tolerance``: max ``left.ts - right.ts`` as an interval column
-    (e.g. ``F.expr("INTERVAL 1 HOUR")``); matches older than this
-    become NULL.
+    ``tolerance``: max staleness as an interval column (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) — backward: ``left.ts - right.ts``;
+    forward: ``right.ts - left.ts``; matches beyond it become NULL.
+    ``direction``: ``"backward"`` pairs each left row with the LATEST
+    right row at-or-before it; ``"forward"`` with the EARLIEST right
+    row at-or-after it (pandas merge_asof's direction axis). Forward
+    is backward under time reversal, so it reuses the same one-shuffle
+    union + ordered-window plan with the sort order flipped — no
+    second formulation to maintain.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction {direction!r}: backward|forward")
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
@@ -67,10 +76,16 @@ def asof_join(
     ).select(*lhs.columns)  # align column order
 
     unioned = lhs.unionByName(rhs)
+    # Backward scans time ascending (carry the last right row seen);
+    # forward scans time DESCENDING — the same "last seen" carry then
+    # yields the earliest right row at-or-after each left row. Side
+    # priority 0-first in both: a right row AT the left row's timestamp
+    # is visible to it.
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
-        W.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        W.partitionBy(*by).orderBy(ts_order, F.col(_SIDE).asc())
         if by
-        else W.orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        else W.orderBy(ts_order, F.col(_SIDE).asc())
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
 
     # Carry the WHOLE right row as one struct: per-column last() would
@@ -90,7 +105,10 @@ def asof_join(
     out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
     match = F.col("__r__")
     if tolerance is not None:
-        stale = match.isNull() | (F.col(on) - tolerance > match["__rts__"])
+        if direction == "backward":
+            stale = match.isNull() | (F.col(on) - tolerance > match["__rts__"])
+        else:
+            stale = match.isNull() | (F.col(on) + tolerance < match["__rts__"])
         match = F.when(stale, F.lit(None)).otherwise(match)
     for p in payload:
         out = out.withColumn(p, match[p])

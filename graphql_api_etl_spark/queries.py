@@ -10900,3 +10900,56 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
         )
     return spark.read.orc(path)
+
+
+@_q(
+    "events_asof_forward",
+    """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       l.event_id AS click_id,
+       r.event_id AS next_purchase_id,
+       round(r.value, 2) AS next_purchase_value,
+       CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS secs_to_purchase
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each click paired with the user's NEXT
+    purchase at-or-after it (time-to-conversion, the mirror of the
+    backward attribution join): pandas merge_asof's direction axis,
+    which the backward-only events_asof_join can't express. The
+    operator (operators/asof.py, direction="forward") is backward
+    under time reversal, so it reuses the identical one-shuffle
+    union + ordered-window plan with the sort flipped — |L|+|R| rows
+    shuffle once on user_id, no range explosion, AQE handles skewed
+    users. Ties are inclusive (a purchase AT the click's timestamp is
+    the next purchase), matching DuckDB's ASOF ... ON l.ts <= r.ts
+    exactly; the seconds-to-purchase gap makes the differential
+    quantitative — a wrong side priority at ties or an off-by-one in
+    the carry shifts gaps, not just NULLs."""
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["event_id", "value", "rts"], direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("next_purchase_id"),
+        F.round("value_right", 2).alias("next_purchase_value"),
+        (F.unix_timestamp("rts_right") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("secs_to_purchase"),
+    )
