@@ -50,13 +50,16 @@ def asof_join(
     forward: ``right.ts - left.ts``; matches beyond it become NULL.
     ``direction``: ``"backward"`` pairs each left row with the LATEST
     right row at-or-before it; ``"forward"`` with the EARLIEST right
-    row at-or-after it (pandas merge_asof's direction axis). Forward
-    is backward under time reversal, so it reuses the same one-shuffle
-    union + ordered-window plan with the sort order flipped — no
-    second formulation to maintain.
+    row at-or-after it; ``"nearest"`` with whichever of the two is
+    closer in time, backward winning exact-distance ties (pandas
+    merge_asof's direction axis, all three values). Forward is
+    backward under time reversal, so it reuses the same one-shuffle
+    union + ordered-window plan with the sort order flipped; nearest
+    evaluates BOTH carries over the same union — one shuffle, two
+    window sorts on the same partitioning — then picks per row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof direction {direction!r}: backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof direction {direction!r}: backward|forward|nearest")
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
@@ -81,12 +84,10 @@ def asof_join(
     # yields the earliest right row at-or-after each left row. Side
     # priority 0-first in both: a right row AT the left row's timestamp
     # is visible to it.
-    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
-    w = (
-        W.partitionBy(*by).orderBy(ts_order, F.col(_SIDE).asc())
-        if by
-        else W.orderBy(ts_order, F.col(_SIDE).asc())
-    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    def window(asc: bool):
+        order = (F.col(on).asc() if asc else F.col(on).desc(), F.col(_SIDE).asc())
+        base = W.partitionBy(*by).orderBy(*order) if by else W.orderBy(*order)
+        return base.rowsBetween(W.unboundedPreceding, W.currentRow)
 
     # Carry the WHOLE right row as one struct: per-column last() would
     # stitch values from different right rows when a newer right row is
@@ -98,18 +99,50 @@ def asof_join(
         F.col(_SIDE) == 0,
         F.struct(F.col(on).alias("__rts__"), *[F.col(p).alias(p) for p in payload]),
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in payload],
-        F.last(rstruct, ignorenulls=True).over(w).alias("__r__"),
-    )
-    out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
-    match = F.col("__r__")
-    if tolerance is not None:
-        if direction == "backward":
-            stale = match.isNull() | (F.col(on) - tolerance > match["__rts__"])
-        else:
-            stale = match.isNull() | (F.col(on) + tolerance < match["__rts__"])
-        match = F.when(stale, F.lit(None)).otherwise(match)
+    keep = [c for c in unioned.columns if c not in payload]
+    if direction in ("backward", "forward"):
+        carried = unioned.select(
+            *keep,
+            F.last(rstruct, ignorenulls=True)
+            .over(window(asc=direction == "backward"))
+            .alias("__r__"),
+        )
+        out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+        match = F.col("__r__")
+        if tolerance is not None:
+            if direction == "backward":
+                stale = match.isNull() | (F.col(on) - tolerance > match["__rts__"])
+            else:
+                stale = match.isNull() | (F.col(on) + tolerance < match["__rts__"])
+            match = F.when(stale, F.lit(None)).otherwise(match)
+    else:  # nearest: both carries over the same union — one shuffle,
+        # two window sorts on the same hash partitioning — then pick
+        # the closer side per row (backward wins exact ties, pandas
+        # convention). Tolerance bounds |gap| on the chosen side.
+        carried = unioned.select(
+            *keep,
+            F.last(rstruct, ignorenulls=True).over(window(asc=True)).alias("__b__"),
+            F.last(rstruct, ignorenulls=True).over(window(asc=False)).alias("__f__"),
+        )
+        out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+        back, fwd = F.col("__b__"), F.col("__f__")
+        back_gap = F.col(on).cast("double") - back["__rts__"].cast("double")
+        fwd_gap = fwd["__rts__"].cast("double") - F.col(on).cast("double")
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(back_gap <= fwd_gap, back)
+            .otherwise(fwd)
+        )
+        if tolerance is not None:
+            stale = (
+                match.isNull()
+                | (match["__rts__"] > F.col(on) + tolerance)
+                | (match["__rts__"] < F.col(on) - tolerance)
+            )
+            match = F.when(stale, F.lit(None)).otherwise(match)
     for p in payload:
         out = out.withColumn(p, match[p])
+    if direction == "nearest":
+        return out.drop("__b__", "__f__")
     return out.drop("__r__")

@@ -10953,3 +10953,73 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("secs_to_purchase"),
     )
+
+
+@_q(
+    "events_asof_nearest",
+    """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT l.event_id AS click_id, r.event_id AS pid, r.ts AS rts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.event_id AS click_id, r.event_id AS pid, r.ts AS rts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       l.event_id AS click_id,
+       CASE WHEN b.pid IS NULL THEN f.pid
+            WHEN f.pid IS NULL THEN b.pid
+            WHEN epoch_us(l.ts) - epoch_us(b.rts)
+                 <= epoch_us(f.rts) - epoch_us(l.ts) THEN b.pid
+            ELSE f.pid END AS nearest_purchase_id,
+       CAST(CASE WHEN b.pid IS NULL THEN epoch_us(f.rts) - epoch_us(l.ts)
+                 WHEN f.pid IS NULL THEN epoch_us(b.rts) - epoch_us(l.ts)
+                 WHEN epoch_us(l.ts) - epoch_us(b.rts)
+                      <= epoch_us(f.rts) - epoch_us(l.ts)
+                 THEN epoch_us(b.rts) - epoch_us(l.ts)
+                 ELSE epoch_us(f.rts) - epoch_us(l.ts) END AS BIGINT) AS gap_us
+FROM l
+LEFT JOIN b ON l.event_id = b.click_id
+LEFT JOIN f ON l.event_id = f.click_id
+""",
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each click paired with the temporally
+    CLOSEST purchase in either direction, backward winning exact-
+    distance ties (pandas merge_asof direction='nearest', completing
+    the backward/forward/nearest axis on operators/asof.py). The
+    operator computes BOTH carries over one union — a single shuffle
+    on user_id, two window sorts on the same hash partitioning — and
+    picks per row; microsecond timestamps make the gap comparison
+    exact-integer on both engines (epoch micros fit double's 53 bits,
+    and the oracle's two native ASOF joins + CASE replay the identical
+    tie rule). The SIGNED gap_us output makes the differential
+    quantitative: a flipped tie rule, a wrong carry side, or a
+    boundary off-by-one shifts a gap's sign or magnitude, not just a
+    NULL."""
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["event_id", "rts"], direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("nearest_purchase_id"),
+        (F.unix_micros("rts_right") - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )

@@ -99,3 +99,54 @@ def test_asof_no_by_key(spark):
     out = asof_join(left, right, on="ts")
     got = {r["lv"]: r["rv_right"] for r in out.collect()}
     assert got == {"l1": "r1", "l2": "r2"}
+
+
+def test_asof_forward_and_nearest_directions(spark):
+    """pandas merge_asof's direction axis: forward pairs the earliest
+    right row at-or-after (ties inclusive), nearest picks the closer
+    side with backward winning exact ties; tolerance bounds the gap on
+    the chosen side in every direction."""
+    from pyspark.sql import functions as F
+
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10), (1, 18), (1, 20), (1, 35), (2, 5)], "k int, ts int")
+    r = spark.createDataFrame([(1, 15, 100), (1, 20, 200), (1, 50, 500)], "k int, ts int, v int")
+
+    fwd = {
+        (row["k"], row["ts"]): row["v_right"]
+        for row in asof_join(l, r, on="ts", by="k", right_cols=["v"], direction="forward").collect()
+    }
+    assert fwd == {(1, 10): 100, (1, 18): 200, (1, 20): 200, (1, 35): 500, (2, 5): None}
+
+    near = {
+        (row["k"], row["ts"]): row["v_right"]
+        for row in asof_join(l, r, on="ts", by="k", right_cols=["v"], direction="nearest").collect()
+    }
+    # 18: back gap 3 vs fwd gap 2 -> 200; 35: back 15 vs fwd 15 TIE -> backward 200
+    assert near == {(1, 10): 100, (1, 18): 200, (1, 20): 200, (1, 35): 200, (2, 5): None}
+
+    near_tol = {
+        (row["k"], row["ts"]): row["v_right"]
+        for row in asof_join(
+            l, r, on="ts", by="k", right_cols=["v"], direction="nearest", tolerance=F.lit(4)
+        ).collect()
+    }
+    assert near_tol == {(1, 10): None, (1, 18): 200, (1, 20): 200, (1, 35): None, (2, 5): None}
+
+    fwd_tol = {
+        (row["k"], row["ts"]): row["v_right"]
+        for row in asof_join(
+            l, r, on="ts", by="k", right_cols=["v"], direction="forward", tolerance=F.lit(5)
+        ).collect()
+    }
+    assert fwd_tol == {(1, 10): 100, (1, 18): 200, (1, 20): 200, (1, 35): None, (2, 5): None}
+
+
+def test_asof_direction_validation():
+    import pytest as _pytest
+
+    from graphql_api_etl_spark.operators.asof import asof_join
+
+    with _pytest.raises(ValueError, match="backward|forward|nearest"):
+        asof_join(None, None, on="ts", direction="sideways")
