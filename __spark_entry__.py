@@ -32,13 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # overwrite, max drawdown, bitmap distinct, hostile-CSV roundtrip,
 # n-gram novelty, append-mode closed windows, ordered string_agg,
 # compression codecs, as-of tolerance — prepended per
-# scripts/window_r9.py:21-24's own policy, plus the nine mid-r9
+# scripts/window_r9.py:21-24's own policy, plus the ten mid-r9
 # registrations (mm_jpeg_progressive/SOF2, dropDuplicatesWithinWatermark,
 # mojibake repair, Kaplan-Meier, ORC temporal roundtrip, Adam7
-# interlaced PNG, stream-stream LEFT OUTER join, forward + nearest
-# as-of), then 21
+# interlaced PNG, stream-stream LEFT OUTER + FULL OUTER joins,
+# forward + nearest as-of), then 20
 # oldest-green (r3) round-robin refresh fills. After this round, EVERY
-# one of the 316 catalog entries has a driver CORRECTNESS row
+# one of the 317 catalog entries has a driver CORRECTNESS row
 # (tests/test_entry_contract.py asserts the invariant). Entries
 # outside the window stay green on the local driver-replica gate
 # (tests/test_oracle_diff.py) at sf0.01 before each commit.
@@ -72,6 +72,7 @@ _PRIORITY = [
     "stream_stream_left_outer_join",  # never-checked (NEW mid-r9)
     "events_asof_forward",  # never-checked (NEW mid-r9)
     "events_asof_nearest",  # never-checked (NEW mid-r9)
+    "stream_stream_full_outer_join",  # never-checked (NEW mid-r9)
     "j_left_semi_matched",  # green r3 refresh
     "j_cross_product",  # green r3 refresh
     "j_broadcast_dims",  # green r3 refresh
@@ -91,7 +92,6 @@ _PRIORITY = [
     "w_window_suite",  # green r3 refresh
     "events_gapfill",  # green r3 refresh
     "events_funnel",  # green r3 refresh
-    "events_cohort_retention",  # green r3 refresh
     "events_asof_join",  # green r3 refresh
 ]
 def _ordered() -> list[str]:

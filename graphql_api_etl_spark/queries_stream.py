@@ -741,3 +741,85 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("gap_sec"),
     )
+
+
+@_q(
+    "stream_stream_full_outer_join",
+    """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+              - INTERVAL 1 HOUR AS w),
+m AS (SELECT v.view_id, p.purchase_id, v.user_id,
+             CAST(date_diff('second', v.v_ts, p.p_ts) AS BIGINT) AS gap_sec
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+SELECT view_id, purchase_id, user_id, gap_sec FROM m
+UNION ALL
+SELECT v.view_id, NULL, v.user_id, NULL
+FROM v CROSS JOIN wm
+WHERE v.v_ts + INTERVAL 1 HOUR < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+UNION ALL
+SELECT NULL, p.purchase_id, p.user_id, NULL
+FROM p CROSS JOIN wm
+WHERE p.p_ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+""",
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — evictions on BOTH
+    sides emit nulls, completing the streaming join-mode matrix
+    (inner: stream_stream_interval_join; left outer:
+    stream_stream_left_outer_join). The asymmetry the oracle must
+    state exactly: an unmatched VIEW's join horizon is its own
+    timestamp + 1 h (a matching purchase can arrive that late), so it
+    nulls out when v_ts + 1 h passes the global watermark — while an
+    unmatched PURCHASE's horizon is its own timestamp (the join
+    condition only ever pairs it with EARLIER views), so it nulls out
+    as soon as p_ts itself passes the watermark. Getting either
+    horizon wrong in the state-eviction predicate emits too early
+    (a row that could still match) or never — both break the hash.
+
+    Same end-of-stream mechanics as the left-outer entry: global
+    watermark = min(max_v, max_p) − 1 h, strict comparison, flushed by
+    availableNow's final no-data micro-batch."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
