@@ -3,11 +3,11 @@ pattern, VERDICT r7 ask #8 lineage).
 
 Computed by scripts/rotate_window.suggest_window against the committed
 CORRECTNESS_r01..r08 history PLUS a simulated all-green round 9 over
-the round-9 window (the 25 never-checked mid-r8/mid-r9 registrations +
-25 r3 refreshes). After a green r9 the never-checked backlog is zero
-for the first time, so every slot is a round-robin refresh: the 50
-entries whose latest green is OLDEST, in (latest_green, registration)
-order.
+the final round-9 window (20 never-checked mid-r8 registrations, 10
+mid-r9 registrations, 20 r3 refreshes). After a green r9 the
+never-checked backlog is zero for the first time, so every slot is a
+round-robin refresh: the 50 entries whose latest green is OLDEST, in
+(latest_green, registration) order.
 
 At round-10 start the rotation is a one-commit act:
 
@@ -16,16 +16,20 @@ At round-10 start the rotation is a one-commit act:
 
 ``amend_window`` moves any real CORRECTNESS_r09 misses to the front
 and drops displaced refresh fills from the tail. Entries registered
-mid-r9 AFTER this file was staged (there should be none — the five
-mid-r9 additions are inside window_r9 itself) would be never-checked
-at r10 start; if any exist, prepend them after the misses —
-``suggest_window`` over the then-current catalog reproduces the exact
-list. tests/test_entry_contract.py verifies this list under both
-simulated histories (all-green r9, and r9-with-misses amended via
-amend_window).
+mid-r9 AFTER this file was staged (there are none — all ten mid-r9
+additions are inside window_r9 itself) would be never-checked at r10
+start; if any exist, prepend them after the misses — ``suggest_window``
+over the then-current catalog reproduces the exact list.
+tests/test_entry_contract.py verifies this list under both simulated
+histories (all-green r9, and r9-with-misses amended via amend_window).
 """
 
 PRIORITY_R10 = [
+    "events_cohort_retention",  # green r3
+    "a_percentiles",  # green r3
+    "a_pivot_status_priority",  # green r3
+    "events_json_typed",  # green r3
+    "dedup_exact_groups",  # green r3
     "dedup_ngram_jaccard",  # green r3
     "dedup_simhash_pairs",  # green r3
     "text_quality_stats",  # green r3
@@ -71,9 +75,4 @@ PRIORITY_R10 = [
     "tpch_q12_late_shipments",  # green r4
     "tpch_q20_excess_suppliers",  # green r4
     "tpch_q21_waiting_suppliers",  # green r4
-    "a_rollup_counts",  # green r4
-    "events_tumbling_window",  # green r4
-    "events_sessionize",  # green r4
-    "a_cube_counts",  # green r4
-    "a_unpivot_measures",  # green r4
 ]
