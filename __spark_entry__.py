@@ -23,76 +23,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-9 window: CORRECTNESS_r08 had ZERO misses (50/50 green), so
-# rotate_window.amend_window is a no-op this round; the window is the
-# scripts/rotate_window.py suggestion over the real r1–r8 history:
-# the 20 entries registered mid-r8 (after window_r8 froze) that have
-# never been driver-checked — JPEG/GIF/G.711 codecs, HITS, Kendall
-# tau-b, null-aware anti join, multiLine JSON, dynamic partition
-# overwrite, max drawdown, bitmap distinct, hostile-CSV roundtrip,
-# n-gram novelty, append-mode closed windows, ordered string_agg,
-# compression codecs, as-of tolerance — prepended per
-# scripts/window_r9.py:21-24's own policy, plus the ten mid-r9
-# registrations (mm_jpeg_progressive/SOF2, dropDuplicatesWithinWatermark,
-# mojibake repair, Kaplan-Meier, ORC temporal roundtrip, Adam7
-# interlaced PNG, stream-stream LEFT OUTER + FULL OUTER joins,
-# forward + nearest as-of), then 20
-# oldest-green (r3) round-robin refresh fills. After this round, EVERY
-# one of the 317 catalog entries has a driver CORRECTNESS row
-# (tests/test_entry_contract.py asserts the invariant). Entries
-# outside the window stay green on the local driver-replica gate
-# (tests/test_oracle_diff.py) at sf0.01 before each commit.
+# Round-10 window: CORRECTNESS_r09 had ZERO misses (50/50 green) and no
+# entries were registered after scripts/window_r10.py was staged, so
+# the round-start act `amend_window(PRIORITY_R10, [])` is the identity
+# — this list IS the pre-staged scripts/window_r10.py suggestion
+# (verified by tests/test_entry_contract.py's
+# test_current_window_is_the_amended_prestaged_r10_list). After the
+# green r9 the never-checked backlog is ZERO for the first time, so
+# every slot is a round-robin refresh: the 50 entries whose latest
+# green is OLDEST (18 from r3, 32 from r4 — the TPC-H suite and the
+# earliest dedup/text/flagship entries), in (latest_green,
+# registration) order. Entries outside the window stay green on the
+# local driver-replica gate (tests/test_oracle_diff.py) at sf0.01
+# before each commit.
 _PRIORITY = [
-    "mm_jpeg_decode",  # never-checked (mid-r8)
-    "mm_jpeg_color_420",  # never-checked (mid-r8)
-    "text_ngram_novelty",  # never-checked (mid-r8)
-    "mm_jpeg_thumbnail",  # never-checked (mid-r8)
-    "mm_gif_decode",  # never-checked (mid-r8)
-    "mm_audio_ulaw",  # never-checked (mid-r8)
-    "mm_gif_frame_sample",  # never-checked (mid-r8)
-    "mm_audio_alaw",  # never-checked (mid-r8)
-    "graph_hits",  # never-checked (mid-r8)
-    "stream_append_closed_windows",  # never-checked (mid-r8)
-    "a_kendall_tau",  # never-checked (mid-r8)
-    "source_json_multiline",  # never-checked (mid-r8)
-    "sink_dynamic_partition_overwrite",  # never-checked (mid-r8)
-    "events_max_drawdown",  # never-checked (mid-r8)
-    "a_bitmap_distinct",  # never-checked (mid-r8)
-    "sink_csv_roundtrip",  # never-checked (mid-r8)
-    "j_null_aware_anti",  # never-checked (mid-r8)
-    "a_string_agg_ordered",  # never-checked (mid-r8)
-    "layout_compression_codecs",  # never-checked (mid-r8)
-    "events_asof_tolerance",  # never-checked (mid-r8)
-    "mm_jpeg_progressive",  # never-checked (NEW mid-r9: SOF2 decode)
-    "stream_dedup_within_watermark",  # never-checked (NEW mid-r9)
-    "text_mojibake_repair",  # never-checked (NEW mid-r9)
-    "events_kaplan_meier",  # never-checked (NEW mid-r9)
-    "sink_orc_roundtrip",  # never-checked (NEW mid-r9)
-    "mm_png_interlaced",  # never-checked (NEW mid-r9: Adam7)
-    "stream_stream_left_outer_join",  # never-checked (NEW mid-r9)
-    "events_asof_forward",  # never-checked (NEW mid-r9)
-    "events_asof_nearest",  # never-checked (NEW mid-r9)
-    "stream_stream_full_outer_join",  # never-checked (NEW mid-r9)
-    "j_left_semi_matched",  # green r3 refresh
-    "j_cross_product",  # green r3 refresh
-    "j_broadcast_dims",  # green r3 refresh
-    "p_transform_chain",  # green r3 refresh
-    "f_filter_chain",  # green r3 refresh
-    "x_string_functions",  # green r3 refresh
-    "p_rownum_synth",  # green r3 refresh
-    "a_bool_all_guard",  # green r3 refresh
-    "a_collect_set_per_group",  # green r3 refresh
-    "x_hierarchy_closure",  # green r3 refresh
-    "a_hierarchy_levels",  # green r3 refresh
-    "layout_zorder_prune",  # green r3 refresh
-    "layout_compacted_scan",  # green r3 refresh
-    "events_interval_join",  # green r3 refresh
-    "events_range_join_left",  # green r3 refresh
-    "x_hierarchy_deep_levels",  # green r3 refresh
-    "w_window_suite",  # green r3 refresh
-    "events_gapfill",  # green r3 refresh
-    "events_funnel",  # green r3 refresh
-    "events_asof_join",  # green r3 refresh
+    "events_cohort_retention",  # green r3 refresh
+    "a_percentiles",  # green r3 refresh
+    "a_pivot_status_priority",  # green r3 refresh
+    "events_json_typed",  # green r3 refresh
+    "dedup_exact_groups",  # green r3 refresh
+    "dedup_ngram_jaccard",  # green r3 refresh
+    "dedup_simhash_pairs",  # green r3 refresh
+    "text_quality_stats",  # green r3 refresh
+    "text_token_counts",  # green r3 refresh
+    "text_lang_id",  # green r3 refresh
+    "text_fingerprint",  # green r3 refresh
+    "sim_topk_lsh_bucketed",  # green r3 refresh
+    "mm_binary_metadata",  # green r3 refresh
+    "p_hash_sample",  # green r3 refresh
+    "curate_documents",  # green r3 refresh
+    "x_lookup_replace",  # green r3 refresh
+    "x_name_parsing",  # green r3 refresh
+    "events_sliding_window",  # green r3 refresh
+    "flagship_reconcile",  # green r4 refresh
+    "j_outer_provenance_counts",  # green r4 refresh
+    "a_distinct_values",  # green r4 refresh
+    "so_union_distinct",  # green r4 refresh
+    "so_except",  # green r4 refresh
+    "so_intersect",  # green r4 refresh
+    "text_wordcount",  # green r4 refresh
+    "j_salted_skew_join",  # green r4 refresh
+    "v_count_gates",  # green r4 refresh
+    "tpch_q1_pricing_summary",  # green r4 refresh
+    "tpch_q3_shipping_priority",  # green r4 refresh
+    "tpch_q3_bucketed",  # green r4 refresh
+    "tpch_q5_local_volume",  # green r4 refresh
+    "tpch_q6_forecast_revenue",  # green r4 refresh
+    "tpch_q4_order_priority",  # green r4 refresh
+    "tpch_q18_large_orders",  # green r4 refresh
+    "tpch_q10_returned_items",  # green r4 refresh
+    "tpch_q16_supplier_variety",  # green r4 refresh
+    "tpch_q7_nation_volume",  # green r4 refresh
+    "tpch_q13_order_distribution",  # green r4 refresh
+    "tpch_q14_promo_share",  # green r4 refresh
+    "tpch_q15_top_supplier",  # green r4 refresh
+    "tpch_q17_small_quantity",  # green r4 refresh
+    "tpch_q19_or_of_ands",  # green r4 refresh
+    "tpch_q22_idle_rich",  # green r4 refresh
+    "tpch_q2_min_cost_supplier",  # green r4 refresh
+    "tpch_q8_market_share",  # green r4 refresh
+    "tpch_q9_profit_by_nation",  # green r4 refresh
+    "tpch_q11_important_stock",  # green r4 refresh
+    "tpch_q12_late_shipments",  # green r4 refresh
+    "tpch_q20_excess_suppliers",  # green r4 refresh
+    "tpch_q21_waiting_suppliers",  # green r4 refresh
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -244,6 +244,31 @@ def test_duplicate_registration_raises():
         _q(existing, "SELECT 1")(lambda spark, sf_dir: None)
 
 
+def test_current_window_is_the_amended_prestaged_r10_list():
+    """The live round-10 window must equal the pre-staged list amended
+    with the real r9 misses per the documented round-start policy
+    (scripts/window_r10.py:14-16 + rotate_window.amend_window) —
+    proving the rotation really was the mechanical one-commit act.
+    CORRECTNESS_r09 had zero misses and nothing was registered after
+    window_r10.py was staged, so the amendment is the identity."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, load_history
+    from window_r10 import PRIORITY_R10
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    _lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 9:  # guard: only meaningful while r9 is the newest history
+        return
+    assert names[:50] == amend_window(PRIORITY_R10, misses)
+
+
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
     """The window_r9 pattern carried forward: the pre-staged r10 window
     (scripts/window_r10.py) must satisfy the freshness invariant
