@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 _SIDE = "__side__"  # 0 = right (wins ties: value AT ts is visible), 1 = left
 
 
+def _exact_axis(dtype):
+    """Exact distance axis for the nearest-direction tie rule: integer
+    epoch micros for timestamps, integer day ordinals for dates —
+    BIGINTs whose differences are exactly representable — with
+    cast("double") only as the fallback for numeric ``on`` columns."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros
+    if isinstance(dtype, TimestampNTZType):
+        return lambda c: F.unix_micros(c.cast("timestamp"))
+    if isinstance(dtype, DateType):
+        return lambda c: F.unix_date(c).cast("long")
+    return lambda c: c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -126,8 +142,15 @@ def asof_join(
         )
         out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
         back, fwd = F.col("__b__"), F.col("__f__")
-        back_gap = F.col(on).cast("double") - back["__rts__"].cast("double")
-        fwd_gap = fwd["__rts__"].cast("double") - F.col(on).cast("double")
+        # Gap arithmetic must be EXACT: the backward-wins tie rule
+        # compares distances, and a double holds fractional epoch
+        # seconds whose ulp (~0.24 µs at current epochs) can flip an
+        # exact-distance tie to the forward match. Timestamps (and
+        # dates) therefore diff as integer micros/days; cast("double")
+        # remains only for genuinely numeric `on` columns.
+        axis = _exact_axis(left.schema[on].dataType)
+        back_gap = axis(F.col(on)) - axis(back["__rts__"])
+        fwd_gap = axis(fwd["__rts__"]) - axis(F.col(on))
         match = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

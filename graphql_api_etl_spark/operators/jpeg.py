@@ -187,6 +187,10 @@ class _BitReader:
         silently eating two data bytes."""
         self.acc = 0
         self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError(
+                f"truncated entropy stream at RSTn boundary (offset {self.pos})"
+            )
         if self.data[self.pos] != 0xFF or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             raise ValueError(
                 f"expected RSTn at offset {self.pos}, found "

@@ -385,6 +385,14 @@ def decode_png_stream(payload: bytes) -> tuple[int, int, bytes]:
     elif color == 3:  # palette lookup
         if not plte:
             raise NotImplementedError("palette PNG missing PLTE chunk")
+        # An out-of-range index would make the RHS slice 0–2 bytes and
+        # bytearray slice-assignment silently SHRINKS the buffer —
+        # every later pixel shifts. Validate against the PLTE size.
+        if max(samples, default=0) * 3 + 3 > len(plte):
+            raise ValueError(
+                f"palette index {max(samples)} out of range for "
+                f"{len(plte) // 3}-entry PLTE"
+            )
         for i, v in enumerate(samples):
             out[i * 3 : i * 3 + 3] = plte[v * 3 : v * 3 + 3]
     else:  # 6: RGBA → drop alpha

@@ -10994,10 +10994,11 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the backward/forward/nearest axis on operators/asof.py). The
     operator computes BOTH carries over one union — a single shuffle
     on user_id, two window sorts on the same hash partitioning — and
-    picks per row; microsecond timestamps make the gap comparison
-    exact-integer on both engines (epoch micros fit double's 53 bits,
+    picks per row; the operator diffs timestamps as unix_micros
+    BIGINTs (exact — fractional-second doubles have a ~0.24 µs ulp at
+    current epochs, enough to flip an exact-distance tie; r10 ADVICE),
     and the oracle's two native ASOF joins + CASE replay the identical
-    tie rule). The SIGNED gap_us output makes the differential
+    tie rule over the same integer epoch_us axis. The SIGNED gap_us output makes the differential
     quantitative: a flipped tie rule, a wrong carry side, or a
     boundary off-by-one shifts a gap's sign or magnitude, not just a
     NULL."""

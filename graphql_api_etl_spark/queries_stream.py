@@ -646,20 +646,27 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     _pin_ntz(spark)
     src_dir = tempfile.mkdtemp(prefix="events_stream_dup_")
-    for name in ("a_events.parquet", "b_events.parquet"):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/{name}")
-    stream = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    dedup = (
-        stream.select("event_id", "ts", "user_id", "event_type")
-        .withWatermark("ts", "3650 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
-    return _run_to_memory(dedup, "append")
+    try:
+        for name in ("a_events.parquet", "b_events.parquet"):
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/{name}")
+        stream = (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        dedup = (
+            stream.select("event_id", "ts", "user_id", "event_type")
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+        return _run_to_memory(dedup, "append")
+    finally:
+        # the availableNow run completes inside _run_to_memory, so the
+        # landing dir is removable here (upsert-entry discipline, r9)
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
 
 
 @_q(

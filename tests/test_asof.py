@@ -143,6 +143,30 @@ def test_asof_forward_and_nearest_directions(spark):
     assert fwd_tol == {(1, 10): 100, (1, 18): 200, (1, 20): 200, (1, 35): None, (2, 5): None}
 
 
+def test_asof_nearest_microsecond_tie_is_exact_on_timestamps(spark):
+    """r10 ADVICE (medium): nearest-direction gaps on TIMESTAMP columns
+    must diff as integer epoch micros, not fractional-second doubles.
+    At epoch 1704067200.000008 the double ulp (~0.24 µs) rounds the two
+    1 µs gaps to 1.19e-6 vs 0.95e-6 s — cast('double') arithmetic flips
+    the exact tie to the FORWARD match, breaking the documented
+    backward-wins pandas convention (and the events_asof_nearest oracle,
+    which compares exact integer epoch_us)."""
+    from datetime import timezone
+
+    t = datetime.fromtimestamp(1704067200.0, tz=timezone.utc).replace(tzinfo=None)
+    mid = t.replace(microsecond=8)
+    back = t.replace(microsecond=7)
+    fwd = t.replace(microsecond=9)
+    left = spark.createDataFrame([("A", mid, 1)], "sym string, ts timestamp, trade_id int")
+    right = spark.createDataFrame(
+        [("A", back, 100.0), ("A", fwd, 200.0)], "sym string, ts timestamp, px double"
+    )
+    row = asof_join(
+        left, right, on="ts", by="sym", right_cols=["px"], direction="nearest"
+    ).first()
+    assert row["px_right"] == 100.0  # backward wins the exact 1 µs tie
+
+
 def test_asof_direction_validation():
     import pytest as _pytest
 

@@ -328,6 +328,17 @@ def test_unscheduled_restart_marker_raises():
         decode_jpeg(stripped)
 
 
+def test_truncated_at_restart_boundary_raises_valueerror():
+    """A stream cut exactly at an RSTn boundary must raise the
+    ValueError the rest of the validation path produces, not an
+    IndexError from the marker peek (ADVICE r10)."""
+    j = synthesize_jpeg_gray(16, 16, bytes(range(256)), restart_interval=1)
+    at = j.index(b"\xff\xd0", j.index(b"\xff\xda"))
+    for cut in (at, at + 1):  # before the 0xFF, and between 0xFF and 0xD0
+        with pytest.raises(ValueError, match="truncated entropy stream"):
+            decode_jpeg(j[:cut])
+
+
 # --- Progressive (SOF2) decoding ------------------------------------------
 
 

@@ -629,6 +629,34 @@ def test_foreign_png_rgba_drops_alpha_exact():
     assert (w, h) == (10, 5) and flat == _PNG_RGBA_RGB
 
 
+def test_png_palette_index_out_of_range_raises():
+    """r10 ADVICE: an out-of-range palette index made the RHS slice
+    0–2 bytes and bytearray slice-assignment silently SHRANK the
+    output, shifting every later pixel — must raise instead."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from graphql_api_etl_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_stream,
+    )
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)  # 2x1, palette
+    scanline = b"\x00" + bytes([0, 3])  # index 3 vs a 1-entry PLTE
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes([10, 20, 30]))
+        + _png_chunk(b"IDAT", _zlib.compress(scanline))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png_stream(payload)
+
+
 def test_foreign_png_adam7_interlaced_decodes_exact():
     payload = bytes.fromhex(_PNG_ILACE_HEX)
     assert payload[8 + 8 + 12] == 1  # IHDR interlace byte really set
