@@ -186,6 +186,8 @@ def main() -> None:
 
     marginal = _probe_marginal(spark, sf_dir)
     floors = _probe_floors(spark, sf_dir)
+    floors.update(_probe_relational_floors(spark, sf_dir))
+    floors.update(_probe_codec_floors())
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -440,6 +442,278 @@ def _probe_floors(spark, sf_dir: str) -> dict:
         }
     except Exception as exc:  # noqa: BLE001
         out["_error"] = repr(exc)
+    return out
+
+
+def _probe_relational_floors(spark, sf_dir: str) -> dict:
+    """Two-engine replicated-input marginal probes for the RELATIONAL
+    core (VERDICT r9 ask #2) — the same method that settled the
+    dedup_embedding_cosine envelope in r9, applied to the join-shape
+    and scan-agg-shape headline representatives:
+
+    - ``flagship_reconcile``: customer and orders each replicated 24x
+      with join keys offset per replica (replica i of customer joins
+      ONLY replica i of orders, so join work grows linearly, matching
+      a real 24x data-scale), through the entry's OWN plan builder
+      (queries._flagship_report) and its committed oracle SQL on
+      DuckDB over identically-remapped views.
+    - ``tpch_q1_pricing_summary``: lineitem replicated 24x (pure
+      scan-agg — group count is replication-invariant), through
+      queries._q1_summary and the entry's oracle SQL.
+
+    ``marginal_ratio_vs_duckdb`` = (spark_repx − spark_1x) /
+    (duck_repx − duck_1x): per-extra-row cost once the data dominates
+    the fixed plan/schedule intercept — the number that decides
+    whether a nominal sub-second sf0.1 gap survives a 100x scale-up.
+
+    Unlike the cosine probe (where the work is the candidate join and
+    crossJoin-replication is fine), these two queries are SCAN-bound,
+    so the replicated input is MATERIALIZED as real parquet once per
+    run and both engines scan the same files — a crossJoin replica
+    would bill Spark's row-multiplication machinery as if it were
+    query work.
+    """
+    out: dict[str, dict] = {}
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_rel_floors_")
+    try:
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from graphql_api_etl_spark.queries import (
+            _FLAGSHIP_SQL,
+            _flagship_report,
+            _q1_summary,
+            QUERIES,
+        )
+        from graphql_api_etl_spark.sources.registry import load_table
+
+        # 24x, not PROBE_REP=8: at 8x the engine deltas are ~0.3/0.15 s
+        # against a ±30% run-to-run noise band on this VM; tripling the
+        # replica count triples the signal for one extra parquet write.
+        rep = 24
+        K = 100_000_000  # key offset per replica; >> any key at any test SF
+
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        n_c, n_o, n_l = cust.count(), orders.count(), li.count()
+
+        def materialize(df, name: str, key_cols: tuple[str, ...] = ()) -> str:
+            path = f"{tmp}/{name}"
+            (
+                df.crossJoin(spark.range(rep).select(F.col("id").alias("__r")))
+                .select(
+                    *[
+                        (F.col(c) + F.col("__r") * K).alias(c)
+                        if c in key_cols
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            return path
+
+        li8 = materialize(li, "lineitem8")
+        cust8 = materialize(cust, "customer8", ("c_custkey",))
+        ord8 = materialize(orders, "orders8", ("o_custkey", "o_orderkey"))
+
+        con = duckdb.connect()
+
+        def duck_best(sql: str, n_tries: int = 2) -> float:
+            best = float("inf")
+            for _ in range(n_tries):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            return best
+
+        # --- tpch_q1: scan-agg shape --------------------------------
+        q1_sql = QUERIES["tpch_q1_pricing_summary"][1]
+        s1 = _noop_best(_q1_summary(li))
+        s8 = _noop_best(_q1_summary(spark.read.parquet(li8)), n=2)
+        con.execute(
+            f"CREATE OR REPLACE VIEW lineitem AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        d1 = duck_best(q1_sql)
+        con.execute(
+            f"CREATE OR REPLACE VIEW lineitem AS "
+            f"SELECT * FROM read_parquet('{li8}/*.parquet')"
+        )
+        d8 = duck_best(q1_sql)
+        extra = n_l * (rep - 1)
+        sm = (s8 - s1) / extra * 1e6 if s8 - s1 > 0.02 else None
+        dm = (d8 - d1) / extra * 1e6 if d8 - d1 > 0.02 else None
+        out["tpch_q1_pricing_summary"] = {
+            "rows_base": n_l,
+            "rep": rep,
+            "sec_1x": round(s1, 3),
+            "sec_repx": round(s8, 3),
+            "duck_sec_1x": round(d1, 3),
+            "duck_sec_repx": round(d8, 3),
+            "marginal_us_per_row": round(sm, 3) if sm else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+        }
+
+        # --- flagship: full-outer join + agg shape ------------------
+        cust_f = cust.filter(F.col("c_acctbal") > 0)
+        ord_f = orders.filter(F.col("o_totalprice") > 50000)
+        cust8_f = spark.read.parquet(cust8).filter(F.col("c_acctbal") > 0)
+        ord8_f = spark.read.parquet(ord8).filter(F.col("o_totalprice") > 50000)
+        f1 = _noop_best(_flagship_report(cust_f, ord_f))
+        f8 = _noop_best(_flagship_report(cust8_f, ord8_f))
+        # The named alternative (kept OUT of the entry: full-outer
+        # shuffled-hash builds a per-partition map — faster single-node,
+        # but SMJ is the spill-safe 100 TB default): quantified here so
+        # the artifact carries the fix's measured value, not a guess.
+        h1 = _noop_best(_flagship_report(cust_f.hint("SHUFFLE_HASH"), ord_f))
+        h8 = _noop_best(_flagship_report(cust8_f.hint("SHUFFLE_HASH"), ord8_f))
+        con.execute(
+            f"CREATE OR REPLACE VIEW customer AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+        )
+        con.execute(
+            f"CREATE OR REPLACE VIEW orders AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+        )
+        fd1 = duck_best(_FLAGSHIP_SQL)
+        con.execute(
+            f"CREATE OR REPLACE VIEW customer AS "
+            f"SELECT * FROM read_parquet('{cust8}/*.parquet')"
+        )
+        con.execute(
+            f"CREATE OR REPLACE VIEW orders AS "
+            f"SELECT * FROM read_parquet('{ord8}/*.parquet')"
+        )
+        fd8 = duck_best(_FLAGSHIP_SQL)
+        extra = (n_c + n_o) * (rep - 1)
+        sm = (f8 - f1) / extra * 1e6 if f8 - f1 > 0.02 else None
+        dm = (fd8 - fd1) / extra * 1e6 if fd8 - fd1 > 0.02 else None
+        hm = (h8 - h1) / extra * 1e6 if h8 - h1 > 0.02 else None
+        out["flagship_reconcile"] = {
+            "rows_base": n_c + n_o,
+            "rep": rep,
+            "sec_1x": round(f1, 3),
+            "sec_repx": round(f8, 3),
+            "duck_sec_1x": round(fd1, 3),
+            "duck_sec_repx": round(fd8, 3),
+            "marginal_us_per_row": round(sm, 3) if sm else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "shj_hint_marginal_us_per_row": round(hm, 3) if hm else None,
+            "shj_hint_ratio_vs_duckdb": round(hm / dm, 3) if hm and dm else None,
+        }
+        con.close()
+    except Exception as exc:  # noqa: BLE001
+        out["_relational_floors_error"] = repr(exc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _probe_codec_floors() -> dict:
+    """Throughput quantification for the pure-Python multimodal codec
+    interiors (VERDICT r9 ask #4): single-core decode MB/s over an
+    8x replica of the mm entries' own corpus shape, plus one larger
+    image where per-image overhead amortizes. No Spark involved — the
+    Arrow boundary is already plan-audited; the open question was the
+    bytes/sec of the interpreted interiors, i.e. WHERE the documented
+    libjpeg-turbo/libpng integration boundary (operators/jpeg.py:11)
+    starts to matter. Both payload MB/s (what a scan reads) and output
+    pixel MB/s (what the decode produces) are reported."""
+    out: dict[str, dict] = {}
+    try:
+        from graphql_api_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            synthesize_jpeg_gray,
+        )
+        from graphql_api_etl_spark.operators.multimodal import (
+            decode_png_stream,
+            synthesize_png,
+        )
+
+        rep, n_ids = 8, 250
+
+        def jpeg_corpus(i: int) -> tuple[bytes, int]:
+            # mm_jpeg_decode's builder shape: 16-wide, 8*(1..3)-tall
+            # gray, constant closed-form tiles, odd ids with restarts
+            bw, bh = 2, 1 + i % 3
+            w, h = bw * 8, bh * 8
+            px = bytearray(w * h)
+            for blk in range(bw * bh):
+                lvl = (((i * 13 + blk * 29) * 2654435761) % 4294967296) >> 24
+                bx, by = blk % bw, blk // bw
+                for y in range(8):
+                    base = (by * 8 + y) * w + bx * 8
+                    px[base : base + 8] = bytes([lvl]) * 8
+            return (
+                synthesize_jpeg_gray(w, h, bytes(px), restart_interval=2 if i % 2 else 0),
+                w * h,
+            )
+
+        def png_corpus(i: int) -> tuple[bytes, int]:
+            # mm_png_interlaced's builder shape: Adam7 truecolor
+            bw, bh = 2, 1 + i % 3
+            w, h = bw * 8, bh * 8
+            px = bytearray(w * h * 3)
+            for blk in range(bw * bh):
+                lvl = (((i * 23 + blk * 41) * 2654435761) % 4294967296) >> 24
+                bx, by = blk % bw, blk // bw
+                for y in range(8):
+                    base = ((by * 8 + y) * w + bx * 8) * 3
+                    px[base : base + 24] = bytes([lvl]) * 24
+            return synthesize_png(w, h, bytes(px), interlace=True), w * h * 3
+
+        def measure(build, decode, label: str, large) -> None:
+            corpus = [build(i) for i in range(n_ids)] * rep
+            payload_b = sum(len(p) for p, _ in corpus)
+            pixel_b = sum(n for _, n in corpus)
+            t0 = time.time()
+            for p, _ in corpus:
+                decode(p)
+            sec = time.time() - t0
+            row = {
+                "corpus_images": len(corpus),
+                "corpus_payload_mb": round(payload_b / 1e6, 3),
+                "decode_sec_one_core": round(sec, 3),
+                "payload_mb_per_sec_core": round(payload_b / 1e6 / sec, 3),
+                "pixel_mb_per_sec_core": round(pixel_b / 1e6 / sec, 3),
+            }
+            lp, lpix = large
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                decode(lp)
+                best = min(best, time.time() - t0)
+            row["large_image_pixel_mb_per_sec_core"] = round(lpix / 1e6 / best, 3)
+            out[label] = row
+
+        side = 192
+        grad = bytes(((x * 31 + y * 57) % 256) for y in range(side) for x in range(side))
+        large_jpeg = synthesize_jpeg_gray(side, side, grad, restart_interval=4)
+        rgb = bytes(
+            ((x * c1 + y * c2) % 256)
+            for y in range(side)
+            for x in range(side)
+            for c1, c2 in ((31, 57), (17, 43), (7, 29))
+        )
+        large_png = synthesize_png(side, side, rgb, interlace=True)
+        measure(jpeg_corpus, decode_jpeg, "mm_jpeg_decode", (large_jpeg, side * side))
+        measure(
+            png_corpus,
+            decode_png_stream,
+            "mm_png_interlaced",
+            (large_png, side * side * 3),
+        )
+    except Exception as exc:  # noqa: BLE001
+        out["_codec_floors_error"] = repr(exc)
     return out
 
 

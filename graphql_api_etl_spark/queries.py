@@ -77,6 +77,20 @@ GROUP BY c_mktsegment, _merge
 """
 
 
+def _flagship_report(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """The flagship plan on ALREADY-FILTERED inputs — shared by the
+    catalog entry and bench.py's 8x-replicated marginal-floor probe so
+    the probe times the identical code path, not a hand-copied twin."""
+    merged = outer_merge(customer, orders, left_on="c_custkey", right_on="o_custkey")
+    return merged.groupBy("c_mktsegment", "_merge").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        # '|'-joined string, not array<string>: the driver's pandas
+        # canonicalizer cannot sort_values on list cells (round-1 ERR).
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias("priorities"),
+    )
+
+
 @_q("flagship_reconcile", _FLAGSHIP_SQL)
 def flagship_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY §3.3 / §7.2): full-outer join with ``_merge``
@@ -90,14 +104,7 @@ def flagship_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
-    merged = outer_merge(customer, orders, left_on="c_custkey", right_on="o_custkey")
-    return merged.groupBy("c_mktsegment", "_merge").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("o_orderkey").alias("n_orders"),
-        # '|'-joined string, not array<string>: the driver's pandas
-        # canonicalizer cannot sort_values on list cells (round-1 ERR).
-        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias("priorities"),
-    )
+    return _flagship_report(customer, orders)
 
 
 @_q(
@@ -671,7 +678,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical scan→filter→agg plan.
     Eight aggregates in one pass, partial-aggregated map-side; at 100 TB
     this is scan-bound with a tiny shuffle (|groups| ≈ 6)."""
-    li = _t(spark, sf_dir, "lineitem")
+    return _q1_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q1_summary(li: DataFrame) -> DataFrame:
+    """The Q1 plan on a caller-provided lineitem frame — shared by the
+    catalog entry and bench.py's 8x-replicated marginal-floor probe so
+    the probe times the identical code path."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
