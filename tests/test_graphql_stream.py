@@ -84,6 +84,54 @@ def test_stream_unpadded_page_names_keep_committed_offsets(spark, tmp_path):
     assert got2 == {"u11"}  # no re-reads, no drops
 
 
+def test_batch_fetch_is_the_degradation_path(spark, tmp_path):
+    """Where the Python DataSource streaming API is absent
+    (streaming/graphql_stream.py registration guard), the SUPPORTED
+    fallback is the batch pair the pipelines already use:
+    sources.graphql.fetch_connection (cursor-paginated batch scan)
+    driven per run by streaming.IncrementalReconciler — same
+    at-least-once upsert semantics at batch cadence instead of
+    micro-batch cadence (docs/COVERAGE.md, Measured boundaries)."""
+    from pyspark.sql import types as T
+
+    from graphql_api_etl_spark.sources.graphql import LocalPagesClient, fetch_connection
+    from graphql_api_etl_spark.streaming import IncrementalReconciler
+
+    pages = tmp_path / "pages_batch"
+    pages.mkdir()
+    _write_page(pages, 0, ["b0", "b1"])
+    _write_page(pages, 1, ["b2"], has_next=False)
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+    )
+    # fetch_connection flattens the node struct as node_<field>
+    rec = IncrementalReconciler(state_dir=str(tmp_path / "state_batch"), key="node_id")
+
+    # run 1: full batch fetch → upsert as batch 0
+    df1 = fetch_connection(spark, LocalPagesClient(directory=str(pages)), schema)
+    rec.upsert_batch(df1, 0)
+
+    # between runs: a node is UPDATED and a new one lands
+    _write_page(pages, 1, ["b2"])  # re-link page 1 into the chain
+    page2 = {
+        "pageInfo": {"hasNextPage": False, "endCursor": "c2"},
+        "edges": [
+            {"cursor": "e0", "node": {"id": "b1", "name": "n-b1-v2"}},
+            {"cursor": "e1", "node": {"id": "b3", "name": "n-b3"}},
+        ],
+    }
+    (pages / "page-0002.json").write_text(json.dumps(page2))
+
+    # run 2: the batch pattern re-fetches everything (ETL's serial
+    # re-fetch pass); the reconciler's outer-merge makes it an upsert
+    df2 = fetch_connection(spark, LocalPagesClient(directory=str(pages)), schema)
+    rec.upsert_batch(df2, 1)
+
+    state = {r["node_id"]: r["node_name"] for r in rec.current_state(spark).collect()}
+    assert state == {"b0": "n-b0", "b1": "n-b1-v2", "b2": "n-b2", "b3": "n-b3"}
+
+
 def test_stream_empty_directory_yields_nothing(spark, tmp_path):
     register_graphql_stream_source(spark)
     pages = tmp_path / "pages_empty"
