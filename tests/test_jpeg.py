@@ -50,6 +50,47 @@ def test_idct_matches_spec_literal_double_sum():
         assert _idct(coefs) == _naive_idct(coefs)
 
 
+def test_idct_batch_matches_scalar():
+    """r10 vectorization contract: the numpy batch IDCT (einsum —
+    float64 summation/FMA order may differ from the scalar loops in
+    the last ulp) must agree with the pure-Python separable reference
+    within the rounding tie: |diff| <= 1, and differences may occur
+    ONLY where the scalar sum lands within an ulp of an exact .5
+    boundary (both integers are then valid roundings of the same real
+    value; measured rate ~1 block in 400). DC-ONLY blocks — the
+    property every driver-gated oracle relies on — must be EXACT."""
+    import numpy as np
+
+    from graphql_api_etl_spark.operators.jpeg import _idct_batch, _idct_scalar
+
+    rng = random.Random(1234)
+    blocks = []
+    for i in range(400):
+        coefs = [0.0] * 64
+        n_nz = (1, 4, 16, 64)[i % 4]
+        for _ in range(n_nz):
+            coefs[rng.randrange(64)] = float(rng.randint(-1024, 1024))
+        blocks.append(coefs)
+    got = _idct_batch(np.array(blocks, dtype=np.float64))
+    n_diff = 0
+    for i, coefs in enumerate(blocks):
+        ref = _idct_scalar(coefs)
+        diffs = [j for j in range(64) if got[i, j] != ref[j]]
+        n_diff += len(diffs)
+        assert all(abs(int(got[i, j]) - ref[j]) <= 1 for j in diffs), f"block {i}"
+    assert n_diff <= 64  # ties are RARE; a systematic offset trips this
+
+    # DC-only population: exact at every level (the oracle property)
+    dc = []
+    for c0 in range(-1024, 1025, 8):
+        coefs = [0.0] * 64
+        coefs[0] = float(c0)
+        dc.append(coefs)
+    got_dc = _idct_batch(np.array(dc, dtype=np.float64))
+    for i, coefs in enumerate(dc):
+        assert got_dc[i].tolist() == _idct_scalar(coefs), f"dc block {i}"
+
+
 def test_constant_block_dc_only_exact():
     """An 8x8 constant tile decodes bit-exactly (DC-only; the property
     the driver-gated oracles rely on) — every level, not just a few."""
