@@ -23,20 +23,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-10 window: CORRECTNESS_r09 had ZERO misses (50/50 green) and no
-# entries were registered after scripts/window_r10.py was staged, so
-# the round-start act `amend_window(PRIORITY_R10, [])` is the identity
-# — this list IS the pre-staged scripts/window_r10.py suggestion
-# (verified by tests/test_entry_contract.py's
-# test_current_window_is_the_amended_prestaged_r10_list). After the
-# green r9 the never-checked backlog is ZERO for the first time, so
-# every slot is a round-robin refresh: the 50 entries whose latest
-# green is OLDEST (18 from r3, 32 from r4 — the TPC-H suite and the
-# earliest dedup/text/flagship entries), in (latest_green,
-# registration) order. Entries outside the window stay green on the
-# local driver-replica gate (tests/test_oracle_diff.py) at sf0.01
+# Round-10 window: CORRECTNESS_r09 had ZERO misses (50/50 green), so
+# the round-start act was `amend_window(PRIORITY_R10, [])` — the
+# pre-staged scripts/window_r10.py suggestion verbatim (an all-refresh
+# window: after the green r9 the never-checked backlog hit zero for
+# the first time, so every slot went to the entries whose latest green
+# is OLDEST — 18 r3 + 32 r4, the TPC-H suite and the earliest
+# dedup/text/flagship entries, in (latest_green, registration) order).
+# The TWO entries registered mid-r10 (j_shuffle_hash_join,
+# x_try_arithmetic) are prepended per the documented mid-round policy
+# (scripts/window_r10.py:18-21), displacing the two tail refresh
+# fills; tests/test_entry_contract.py's
+# test_current_window_is_the_amended_prestaged_r10_list verifies the
+# live window equals amend_window(PRIORITY_R10, misses +
+# never-checked) exactly. Entries outside the window stay green on
+# the local driver-replica gate (tests/test_oracle_diff.py) at sf0.01
 # before each commit.
 _PRIORITY = [
+    "j_shuffle_hash_join",  # never-checked (NEW mid-r10: SHJ strategy lever)
+    "x_try_arithmetic",  # never-checked (NEW mid-r10: error-safe scalars)
     "events_cohort_retention",  # green r3 refresh
     "a_percentiles",  # green r3 refresh
     "a_pivot_status_priority",  # green r3 refresh
@@ -85,8 +90,6 @@ _PRIORITY = [
     "tpch_q9_profit_by_nation",  # green r4 refresh
     "tpch_q11_important_stock",  # green r4 refresh
     "tpch_q12_late_shipments",  # green r4 refresh
-    "tpch_q20_excess_suppliers",  # green r4 refresh
-    "tpch_q21_waiting_suppliers",  # green r4 refresh
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

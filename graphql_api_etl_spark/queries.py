@@ -11044,3 +11044,95 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+@_q(
+    "j_shuffle_hash_join",
+    """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def j_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash join as an explicit strategy lever (r10): the
+    month-filtered orders side carries a SHUFFLE_HASH hint, so Spark
+    builds a per-partition hash map instead of sorting BOTH fact
+    sides — skipping the two sort passes that dominate
+    sort-merge-join time when the build side's partitions fit in
+    memory. bench.py's flagship floors row quantifies the lever on the
+    full-outer shape (SHJ 0.244 vs SMJ 0.306 marginal µs/row at 24×
+    sf0.1); SMJ stays the repo-wide default because it spills
+    gracefully — the hint is for joins where a selective filter
+    (here: one order month) bounds the build side, the same judgment
+    a 100 TB job makes per join. Plan-asserted as ShuffledHashJoin in
+    tests/test_plans.py (the hint must not silently degrade to SMJ or
+    broadcast)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .hint("SHUFFLE_HASH")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "x_try_arithmetic",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE CAST(floor(o_totalprice / (o_custkey % 7) * 100) AS BIGINT)
+       END AS price_per_bucket_cents,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE CAST(o_orderkey % (o_custkey % 7) AS BIGINT) END AS key_mod_bucket
+FROM orders
+WHERE o_orderkey % 32 = 0
+""",
+)
+def x_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar semantics (§2.8 extension; the reference's
+    pandas arithmetic silently yields NaN/inf where SQL engines throw):
+    try_divide and try_mod return NULL on zero denominators instead of
+    raising (ANSI mode) or minting Inf (the pandas trap the reference
+    inherits at ETL:1044's percentage division); try_cast returns NULL
+    for malformed input ('1-URGENT' as INT) and parses clean digits
+    (the priority's leading digit). The synthesized denominator o_custkey%7
+    hits zero on every 7th customer, so both branches carry real rows
+    at every SF. Map-only, pushdown intact; DuckDB replays the
+    zero-denominator guard as CASE (its / raises on int zero-div) and
+    malformed casts via TRY_CAST — two engines' independent
+    error-handling paths must agree row-for-row. The division is
+    emitted as floor-of-cents BIGINT (house fixed-point convention):
+    round(x, 2) rounds .xx5 boundaries HALF_UP in Spark and half-even
+    in DuckDB, observed as a 1-cent drift on the first differential
+    run."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 32 == 0)
+    bucket = F.col("o_custkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.floor(F.try_divide(F.col("o_totalprice"), bucket) * 100)
+        .cast("bigint")
+        .alias("price_per_bucket_cents"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_as_int"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_num"),
+        F.expr("try_mod(o_orderkey, o_custkey % 7)").cast("bigint").alias("key_mod_bucket"),
+    )

@@ -246,11 +246,11 @@ def test_duplicate_registration_raises():
 
 def test_current_window_is_the_amended_prestaged_r10_list():
     """The live round-10 window must equal the pre-staged list amended
-    with the real r9 misses per the documented round-start policy
-    (scripts/window_r10.py:14-16 + rotate_window.amend_window) —
-    proving the rotation really was the mechanical one-commit act.
-    CORRECTNESS_r09 had zero misses and nothing was registered after
-    window_r10.py was staged, so the amendment is the identity."""
+    per the FULL documented round-start policy (scripts/window_r10.py
+    + rotate_window.amend_window): real r9 misses first (there were
+    none), then entries registered mid-r10 (never-checked — they must
+    not wait outside the window), displacing refresh fills from the
+    tail — proving the rotation really was the mechanical act."""
     import os
     import sys
 
@@ -263,10 +263,13 @@ def test_current_window_is_the_amended_prestaged_r10_list():
 
     names = list(entry.queries())
     reg_order = {n: i for i, n in enumerate(names)}
-    _lg, _fg, misses, newest = load_history(repo, reg_order)
+    lg, _fg, misses, newest = load_history(repo, reg_order)
     if newest != 9:  # guard: only meaningful while r9 is the newest history
         return
-    assert names[:50] == amend_window(PRIORITY_R10, misses)
+    # never-checked in REGISTRATION order (QUERIES dict order), not
+    # window order — the policy tier-2 sort key
+    never = [n for n in QUERIES if n not in lg and n not in misses]
+    assert names[:50] == amend_window(PRIORITY_R10, misses + never)
 
 
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():

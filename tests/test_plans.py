@@ -84,6 +84,16 @@ def test_full_outer_fact_join_is_sort_merge(spark, sf_dir):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
 
 
+def test_shuffle_hash_hint_plans_shj(spark, sf_dir):
+    """j_shuffle_hash_join's SHUFFLE_HASH hint must actually plan a
+    ShuffledHashJoin (r10: the strategy lever the flagship floors row
+    quantifies) — not silently degrade to sort-merge or flip to
+    broadcast."""
+    plan = executed_plan(_run("j_shuffle_hash_join", spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_whole_stage_codegen_in_agg_path(spark, sf_dir):
     df = _run("tpch_q1_pricing_summary", spark, sf_dir)
     df.collect()  # finalize THIS plan's AQE (count() builds a separate QueryExecution)
