@@ -163,7 +163,11 @@ class _BitReader:
                 raise EOFError("marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Truncate consumed high bits (r10): an unmasked accumulator
+        # grows 8 bits per byte read, so every <<8 shifts an
+        # ever-longer Python int — O(stream²) over a long scan. No
+        # consumer looks back more than `n` (< 64) bits.
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFFFFFF
         self.n += 8
 
     def bit(self) -> int:
@@ -173,10 +177,12 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        # batched read (r10): fill whole bytes, then one shift+mask —
+        # the per-bit loop paid method-call overhead per BIT
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def sync_restart(self, expected: int | None = None) -> None:
         """Consume the RSTn marker and byte-align (called between
@@ -351,14 +357,25 @@ def _encode_block(
 def _huff(rd: _BitReader, tab: dict[tuple[int, int], int]) -> int:
     """Decode one Huffman symbol from the bit stream (canonical
     (length, code) → symbol table) — shared by the baseline block
-    decoder and the progressive scan decoders."""
+    decoder and the progressive scan decoders. The walk keeps the
+    reader state in locals (r10): one attribute round-trip per SYMBOL
+    instead of three per BIT."""
     code, ln = 0, 0
+    acc, n = rd.acc, rd.n
+    get = tab.get
     while ln < 17:
-        code = (code << 1) | rd.bit()
+        if n == 0:
+            rd.acc, rd.n = acc, n
+            rd._fill()  # may raise _RestartMarker/EOFError with state synced
+            acc, n = rd.acc, rd.n
+        n -= 1
+        code = (code << 1) | ((acc >> n) & 1)
         ln += 1
-        sym = tab.get((ln, code))
+        sym = get((ln, code))
         if sym is not None:
+            rd.acc, rd.n = acc, n
             return sym
+    rd.acc, rd.n = acc, n
     raise ValueError("invalid Huffman code")
 
 
