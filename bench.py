@@ -485,6 +485,7 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
 
         from graphql_api_etl_spark.queries import (
             _FLAGSHIP_SQL,
+            _broadcast_dims_report,
             _flagship_report,
             _q1_summary,
             QUERIES,
@@ -502,10 +503,10 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
         li = load_table(spark, sf_dir, "lineitem")
         n_c, n_o, n_l = cust.count(), orders.count(), li.count()
 
-        def materialize(df, name: str, key_cols: tuple[str, ...] = ()) -> str:
+        def materialize(df, name: str, key_cols: tuple[str, ...] = (), rep_n: int | None = None) -> str:
             path = f"{tmp}/{name}"
             (
-                df.crossJoin(spark.range(rep).select(F.col("id").alias("__r")))
+                df.crossJoin(spark.range(rep_n or rep).select(F.col("id").alias("__r")))
                 .select(
                     *[
                         (F.col(c) + F.col("__r") * K).alias(c)
@@ -609,6 +610,62 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
             "shj_hint_marginal_us_per_row": round(hm, 3) if hm else None,
             "shj_hint_ratio_vs_duckdb": round(hm / dm, 3) if hm and dm else None,
+        }
+
+        # --- j_broadcast_dims: broadcast-hash-join shape -------------
+        # (the third nominal-ratio headline shape VERDICT r9 named:
+        # 36x best-of at sf0.1 on a 0.1 s absolute). The fact side is
+        # the replicated customer8 files (the custkey remap is inert —
+        # this join keys on c_nationkey); dims stay 1x, as they would
+        # at any scale.
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        # customer is the SMALLEST fact (15 k at sf0.1): at 24x both
+        # engines' deltas sit under the 20 ms noise floor, so this
+        # shape replicates 800x (12 M rows — the write is still cheap).
+        # Even then the Spark delta rides a ±0.15 s scheduling band
+        # (measured: 12 M rows took LESS wall time than 3 M in one
+        # window), so read this row as an upper bound on the marginal,
+        # not a point estimate — the shape's absolute cost is fixed-
+        # dominated at any SF this harness can materialize.
+        rep_bd = 800
+        cust_bd = materialize(cust, "customer_bd", rep_n=rep_bd)
+        g1 = _noop_best(_broadcast_dims_report(cust, nation, region))
+        g8 = _noop_best(
+            _broadcast_dims_report(spark.read.parquet(cust_bd), nation, region), n=2
+        )
+        bd_sql = QUERIES["j_broadcast_dims"][1]
+        con.execute(
+            f"CREATE OR REPLACE VIEW nation AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/nation.parquet')"
+        )
+        con.execute(
+            f"CREATE OR REPLACE VIEW region AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/region.parquet')"
+        )
+        con.execute(
+            f"CREATE OR REPLACE VIEW customer AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+        )
+        gd1 = duck_best(bd_sql)
+        con.execute(
+            f"CREATE OR REPLACE VIEW customer AS "
+            f"SELECT * FROM read_parquet('{cust_bd}/*.parquet')"
+        )
+        gd8 = duck_best(bd_sql)
+        extra = n_c * (rep_bd - 1)
+        sm = (g8 - g1) / extra * 1e6 if g8 - g1 > 0.02 else None
+        dm = (gd8 - gd1) / extra * 1e6 if gd8 - gd1 > 0.02 else None
+        out["j_broadcast_dims"] = {
+            "rows_base": n_c,
+            "rep": rep_bd,
+            "sec_1x": round(g1, 3),
+            "sec_repx": round(g8, 3),
+            "duck_sec_1x": round(gd1, 3),
+            "duck_sec_repx": round(gd8, 3),
+            "marginal_us_per_row": round(sm, 3) if sm else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
         }
         con.close()
     except Exception as exc:  # noqa: BLE001
