@@ -485,6 +485,7 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
 
         from graphql_api_etl_spark.queries import (
             _FLAGSHIP_SQL,
+            _asof_clicks_report,
             _broadcast_dims_report,
             _flagship_report,
             _q1_summary,
@@ -667,6 +668,44 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "duck_marginal_us_per_row": round(dm, 3) if dm else None,
             "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
         }
+        # --- events_asof_join: union + ordered-window shape ----------
+        # (the 4th plan family: no Spark-native ASOF JOIN, so the
+        # operator is one |L|+|R| shuffle on user_id + a window sort;
+        # DuckDB runs its NATIVE ASOF LEFT JOIN — engine-native vs
+        # composed operator, the fairest possible comparison). Users
+        # and event ids offset per replica so per-user as-of work
+        # scales linearly, like real 24x data.
+        ev = load_table(spark, sf_dir, "events")
+        n_e = ev.count()
+        ev24 = materialize(ev, "events24", ("user_id", "event_id"))
+        a1 = _noop_best(_asof_clicks_report(ev))
+        a8 = _noop_best(_asof_clicks_report(spark.read.parquet(ev24)), n=2)
+        asof_sql = QUERIES["events_asof_join"][1]
+        con.execute(
+            f"CREATE OR REPLACE VIEW events AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        ad1 = duck_best(asof_sql)
+        con.execute(
+            f"CREATE OR REPLACE VIEW events AS "
+            f"SELECT * FROM read_parquet('{ev24}/*.parquet')"
+        )
+        ad8 = duck_best(asof_sql)
+        extra = n_e * (rep - 1)
+        sm = (a8 - a1) / extra * 1e6 if a8 - a1 > 0.02 else None
+        dm = (ad8 - ad1) / extra * 1e6 if ad8 - ad1 > 0.02 else None
+        out["events_asof_join"] = {
+            "rows_base": n_e,
+            "rep": rep,
+            "sec_1x": round(a1, 3),
+            "sec_repx": round(a8, 3),
+            "duck_sec_1x": round(ad1, 3),
+            "duck_sec_repx": round(ad8, 3),
+            "marginal_us_per_row": round(sm, 3) if sm else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+        }
+
         con.close()
     except Exception as exc:  # noqa: BLE001
         out["_relational_floors_error"] = repr(exc)

@@ -2451,9 +2451,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/asof.py's union+ordered-window technique — one shuffle of
     |L|+|R| on user_id, no range-join pair explosion. The oracle is
     DuckDB's native ASOF LEFT JOIN."""
+    return _asof_clicks_report(_t(spark, sf_dir, "events"))
+
+
+def _asof_clicks_report(ev: DataFrame) -> DataFrame:
+    """The as-of plan on a caller-provided events frame — shared by the
+    catalog entry and bench.py's replicated marginal-floor probe (one
+    code path, no hand-copied twin)."""
     from graphql_api_etl_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
