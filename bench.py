@@ -489,6 +489,8 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             _broadcast_dims_report,
             _flagship_report,
             _q1_summary,
+            _sessionize_report,
+            _tumbling_report,
             QUERIES,
         )
         from graphql_api_etl_spark.sources.registry import load_table
@@ -705,6 +707,44 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "duck_marginal_us_per_row": round(dm, 3) if dm else None,
             "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
         }
+
+        # --- events_tumbling_window: time-bucket agg shape -----------
+        # and events_sessionize: per-key window (lag + running sum)
+        # shape — the last two headline plan families; both reuse the
+        # materialized events24 (the id remap is inert for tumbling
+        # and gives sessionize linear per-user work, like real data).
+        ev24_df = spark.read.parquet(ev24)
+        for label, builder in (
+            ("events_tumbling_window", _tumbling_report),
+            ("events_sessionize", _sessionize_report),
+        ):
+            t1 = _noop_best(builder(ev))
+            t8 = _noop_best(builder(ev24_df), n=2)
+            q_sql = QUERIES[label][1]
+            con.execute(
+                f"CREATE OR REPLACE VIEW events AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+            )
+            td1 = duck_best(q_sql)
+            con.execute(
+                f"CREATE OR REPLACE VIEW events AS "
+                f"SELECT * FROM read_parquet('{ev24}/*.parquet')"
+            )
+            td8 = duck_best(q_sql)
+            extra = n_e * (rep - 1)
+            sm = (t8 - t1) / extra * 1e6 if t8 - t1 > 0.02 else None
+            dm = (td8 - td1) / extra * 1e6 if td8 - td1 > 0.02 else None
+            out[label] = {
+                "rows_base": n_e,
+                "rep": rep,
+                "sec_1x": round(t1, 3),
+                "sec_repx": round(t8, 3),
+                "duck_sec_1x": round(td1, 3),
+                "duck_sec_repx": round(td8, 3),
+                "marginal_us_per_row": round(sm, 3) if sm else None,
+                "duck_marginal_us_per_row": round(dm, 3) if dm else None,
+                "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            }
 
         con.close()
     except Exception as exc:  # noqa: BLE001

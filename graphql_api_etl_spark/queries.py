@@ -1884,7 +1884,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate (engine-native extension;
     the reference has no temporal operators — SURVEY §2.10). Batch shape
     of the Structured Streaming windowed agg in streaming/windows.py."""
-    ev = _t(spark, sf_dir, "events")
+    return _tumbling_report(_t(spark, sf_dir, "events"))
+
+
+def _tumbling_report(ev: DataFrame) -> DataFrame:
+    """The tumbling-window plan on a caller-provided events frame —
+    shared by the catalog entry and bench.py's marginal-floor probe."""
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -1925,7 +1930,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (engine-native; streaming variant uses session_window). One
     shuffle on user_id serves both window functions and the final agg
     (same partitioning — Catalyst reuses the exchange)."""
-    ev = _t(spark, sf_dir, "events")
+    return _sessionize_report(_t(spark, sf_dir, "events"))
+
+
+def _sessionize_report(ev: DataFrame) -> DataFrame:
+    """The sessionization plan on a caller-provided events frame —
+    shared by the catalog entry and bench.py's marginal-floor probe."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts"))
     flagged = ev.withColumn(
