@@ -371,15 +371,45 @@ def _probe_floors(spark, sf_dir: str) -> dict:
         m8 = _noop_best(S.topk_matmul(qm, emb8, k=5))
         b1s = _noop_best(S.topk_bruteforce(qm, emb, k=5, dim=64))
         b8s = _noop_best(S.topk_bruteforce(qm, emb8, k=5, dim=64))
+        # two-engine side (r10): the committed oracle (brute cosine via
+        # list_dot_product — DuckDB has no ANN) on the same 1x/8x
+        # corpus. View replication (not materialized files) is fair
+        # HERE: the work is the 50x|corpus| dot products, not the scan
+        # — same rationale as the cosine probe below.
+        import duckdb as _ddb
+
+        from graphql_api_etl_spark.queries_llm import _MATMUL_ORACLE
+
+        def _mm_duck(view_sql: str, n_tries: int = 2) -> float:
+            con = _ddb.connect()
+            con.execute(f"CREATE VIEW embeddings AS {view_sql}")
+            best = float("inf")
+            for _ in range(n_tries):
+                t0 = time.time()
+                con.execute(_MATMUL_ORACLE).fetchall()
+                best = min(best, time.time() - t0)
+            con.close()
+            return best
+
+        md1 = _mm_duck(f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+        md8 = _mm_duck(
+            f"SELECT e.vec_id + r.range * ({n} + 1) AS vec_id, e.embedding "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') e CROSS JOIN range({rep}) r"
+        )
+        mm_m = (m8 - m1) / (n * (rep - 1)) * 1e6 if m8 > m1 else None
+        mm_d = (md8 - md1) / (n * (rep - 1)) * 1e6 if md8 > md1 else None
         out["sim_topk_matmul_vs_brute"] = {
             "matmul_sec_1x": round(m1, 3),
             "matmul_sec_8x": round(m8, 3),
             "brute_sec_1x": round(b1s, 3),
             "brute_sec_8x": round(b8s, 3),
-            "matmul_marginal_us_per_row": round((m8 - m1) / (n * (rep - 1)) * 1e6, 2)
-            if m8 > m1 else None,
+            "duck_sec_1x": round(md1, 3),
+            "duck_sec_8x": round(md8, 3),
+            "matmul_marginal_us_per_row": round(mm_m, 2) if mm_m else None,
             "brute_marginal_us_per_row": round((b8s - b1s) / (n * (rep - 1)) * 1e6, 2)
             if b8s > b1s else None,
+            "duck_marginal_us_per_row": round(mm_d, 2) if mm_d else None,
+            "marginal_ratio_vs_duckdb": round(mm_m / mm_d, 3) if mm_m and mm_d else None,
         }
 
         from graphql_api_etl_spark.queries_llm import _EC_PLANES
