@@ -23,73 +23,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-10 window: CORRECTNESS_r09 had ZERO misses (50/50 green), so
-# the round-start act was `amend_window(PRIORITY_R10, [])` — the
-# pre-staged scripts/window_r10.py suggestion verbatim (an all-refresh
-# window: after the green r9 the never-checked backlog hit zero for
-# the first time, so every slot went to the entries whose latest green
-# is OLDEST — 18 r3 + 32 r4, the TPC-H suite and the earliest
-# dedup/text/flagship entries, in (latest_green, registration) order).
-# The TWO entries registered mid-r10 (j_shuffle_hash_join,
-# x_try_arithmetic) are prepended per the documented mid-round policy
-# (scripts/window_r10.py:18-21), displacing the two tail refresh
-# fills; tests/test_entry_contract.py's
-# test_current_window_is_the_amended_prestaged_r10_list verifies the
-# live window equals amend_window(PRIORITY_R10, misses +
-# never-checked) exactly. Entries outside the window stay green on
-# the local driver-replica gate (tests/test_oracle_diff.py) at sf0.01
-# before each commit.
+# Round-11 window: CORRECTNESS_r10 had ZERO misses (50/50 green) and
+# no entries were registered after scripts/window_r11.py was staged,
+# so the round-start act is `amend_window(PRIORITY_R11, [])` — the
+# pre-staged scripts/window_r11.py suggestion verbatim (an all-refresh
+# window: the never-checked backlog has been zero since r9, so every
+# slot goes to the entries whose latest green is OLDEST — the two r4
+# entries the mid-r10 registrations displaced (tpch_q20/q21), the
+# remaining r4 cohort, then the earliest r5 cohort, in
+# (latest_green, registration) order).
+# tests/test_entry_contract.py's
+# test_current_window_is_the_prestaged_r11_list verifies the live
+# window equals amend_window(PRIORITY_R11, misses + never-checked)
+# exactly. Entries outside the window stay green on the local
+# driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
+# each commit.
 _PRIORITY = [
-    "j_shuffle_hash_join",  # never-checked (NEW mid-r10: SHJ strategy lever)
-    "x_try_arithmetic",  # never-checked (NEW mid-r10: error-safe scalars)
-    "events_cohort_retention",  # green r3 refresh
-    "a_percentiles",  # green r3 refresh
-    "a_pivot_status_priority",  # green r3 refresh
-    "events_json_typed",  # green r3 refresh
-    "dedup_exact_groups",  # green r3 refresh
-    "dedup_ngram_jaccard",  # green r3 refresh
-    "dedup_simhash_pairs",  # green r3 refresh
-    "text_quality_stats",  # green r3 refresh
-    "text_token_counts",  # green r3 refresh
-    "text_lang_id",  # green r3 refresh
-    "text_fingerprint",  # green r3 refresh
-    "sim_topk_lsh_bucketed",  # green r3 refresh
-    "mm_binary_metadata",  # green r3 refresh
-    "p_hash_sample",  # green r3 refresh
-    "curate_documents",  # green r3 refresh
-    "x_lookup_replace",  # green r3 refresh
-    "x_name_parsing",  # green r3 refresh
-    "events_sliding_window",  # green r3 refresh
-    "flagship_reconcile",  # green r4 refresh
-    "j_outer_provenance_counts",  # green r4 refresh
-    "a_distinct_values",  # green r4 refresh
-    "so_union_distinct",  # green r4 refresh
-    "so_except",  # green r4 refresh
-    "so_intersect",  # green r4 refresh
-    "text_wordcount",  # green r4 refresh
-    "j_salted_skew_join",  # green r4 refresh
-    "v_count_gates",  # green r4 refresh
-    "tpch_q1_pricing_summary",  # green r4 refresh
-    "tpch_q3_shipping_priority",  # green r4 refresh
-    "tpch_q3_bucketed",  # green r4 refresh
-    "tpch_q5_local_volume",  # green r4 refresh
-    "tpch_q6_forecast_revenue",  # green r4 refresh
-    "tpch_q4_order_priority",  # green r4 refresh
-    "tpch_q18_large_orders",  # green r4 refresh
-    "tpch_q10_returned_items",  # green r4 refresh
-    "tpch_q16_supplier_variety",  # green r4 refresh
-    "tpch_q7_nation_volume",  # green r4 refresh
-    "tpch_q13_order_distribution",  # green r4 refresh
-    "tpch_q14_promo_share",  # green r4 refresh
-    "tpch_q15_top_supplier",  # green r4 refresh
-    "tpch_q17_small_quantity",  # green r4 refresh
-    "tpch_q19_or_of_ands",  # green r4 refresh
-    "tpch_q22_idle_rich",  # green r4 refresh
-    "tpch_q2_min_cost_supplier",  # green r4 refresh
-    "tpch_q8_market_share",  # green r4 refresh
-    "tpch_q9_profit_by_nation",  # green r4 refresh
-    "tpch_q11_important_stock",  # green r4 refresh
-    "tpch_q12_late_shipments",  # green r4 refresh
+    "tpch_q20_excess_suppliers",  # refresh: green r4
+    "tpch_q21_waiting_suppliers",  # refresh: green r4
+    "a_rollup_counts",  # refresh: green r4
+    "events_tumbling_window",  # refresh: green r4
+    "events_sessionize",  # refresh: green r4
+    "a_cube_counts",  # refresh: green r4
+    "a_unpivot_measures",  # refresh: green r4
+    "x_posexplode_tokens",  # refresh: green r4
+    "events_json_props",  # refresh: green r4
+    "a_approx_count_distinct",  # refresh: green r4
+    "a_approx_percentiles",  # refresh: green r4
+    "dedup_minhash_lsh",  # refresh: green r4
+    "dedup_cluster_components",  # refresh: green r4
+    "sim_topk_bruteforce",  # refresh: green r4
+    "sim_topk_ivf",  # refresh: green r4
+    "mm_extract_features",  # refresh: green r4
+    "mm_thumbnails",  # refresh: green r4
+    "mm_frame_sample",  # refresh: green r4
+    "dedup_embedding_cosine",  # refresh: green r4
+    "text_winnowing",  # refresh: green r4
+    "a_two_phase_agg",  # refresh: green r5
+    "source_jsonl_roundtrip",  # refresh: green r5
+    "source_orc_roundtrip",  # refresh: green r5
+    "dedup_cluster_keepers",  # refresh: green r5
+    "text_repetition_stats",  # refresh: green r5
+    "text_pii_scrub",  # refresh: green r5
+    "curate_stratified_best",  # refresh: green r5
+    "curate_decontaminate",  # refresh: green r5
+    "emb_quantize_int8",  # refresh: green r5
+    "curate_winsorize",  # refresh: green r5
+    "curate_domain_mixture",  # refresh: green r5
+    "curate_token_packing",  # refresh: green r5
+    "dedup_span_exact",  # refresh: green r5
+    "curate_global_shuffle",  # refresh: green r5
+    "curate_bloom_decontaminate",  # refresh: green r5
+    "text_unigram_logprob",  # refresh: green r5
+    "curate_quality_logit",  # refresh: green r5
+    "curate_embedding_outliers",  # refresh: green r5
+    "sim_topk_matmul",  # refresh: green r5
+    "curate_training_manifest",  # refresh: green r5
+    "text_hash_embedding",  # refresh: green r5
+    "curate_text_clusters",  # refresh: green r5
+    "curate_mixture_temperature",  # refresh: green r5
+    "dedup_url_canonicalize",  # refresh: green r5
+    "curate_code_filter",  # refresh: green r5
+    "text_tfidf_topterms",  # refresh: green r5
+    "curate_train_split",  # refresh: green r5
+    "text_chunk_windows",  # refresh: green r5
+    "emb_pca_project",  # refresh: green r5
+    "sim_knn_classify",  # refresh: green r5
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -359,7 +359,7 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             "sec_1x": round(s1, 3),
             "sec_8x_corpus": round(s8, 3),
             "empty_plan_sec": round(se, 3),
-            "marginal_us_per_corpus_row": round(marginal_us, 2) if marginal_us else None,
+            "marginal_us_per_corpus_row": round(marginal_us, 2) if marginal_us is not None else None,
             "fixed_overhead_sec": round(s1 - (marginal_us or 0) * 1e-6 * n, 3),
         }
 
@@ -405,11 +405,11 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             "brute_sec_8x": round(b8s, 3),
             "duck_sec_1x": round(md1, 3),
             "duck_sec_8x": round(md8, 3),
-            "matmul_marginal_us_per_row": round(mm_m, 2) if mm_m else None,
+            "matmul_marginal_us_per_row": round(mm_m, 2) if mm_m is not None else None,
             "brute_marginal_us_per_row": round((b8s - b1s) / (n * (rep - 1)) * 1e6, 2)
             if b8s > b1s else None,
-            "duck_marginal_us_per_row": round(mm_d, 2) if mm_d else None,
-            "marginal_ratio_vs_duckdb": round(mm_m / mm_d, 3) if mm_m and mm_d else None,
+            "duck_marginal_us_per_row": round(mm_d, 2) if mm_d is not None else None,
+            "marginal_ratio_vs_duckdb": round(mm_m / mm_d, 3) if mm_m is not None and mm_d else None,
         }
 
         from graphql_api_etl_spark.queries_llm import _EC_PLANES
@@ -466,9 +466,9 @@ def _probe_floors(spark, sf_dir: str) -> dict:
             "sec_8x_corpus": round(s8, 3),
             "duck_sec": round(dk1, 3),
             "duck_sec_8x_corpus": round(dk8, 3),
-            "marginal_us_per_row": round(sm, 2) if sm else None,
-            "duck_marginal_us_per_row": round(dm, 2) if dm else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "marginal_us_per_row": round(sm, 2) if sm is not None else None,
+            "duck_marginal_us_per_row": round(dm, 2) if dm is not None else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
         }
     except Exception as exc:  # noqa: BLE001
         out["_error"] = repr(exc)
@@ -591,9 +591,9 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "sec_repx": round(s8, 3),
             "duck_sec_1x": round(d1, 3),
             "duck_sec_repx": round(d8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
         }
 
         # --- flagship: full-outer join + agg shape ------------------
@@ -638,9 +638,9 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "sec_repx": round(f8, 3),
             "duck_sec_1x": round(fd1, 3),
             "duck_sec_repx": round(fd8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
             "shj_hint_marginal_us_per_row": round(hm, 3) if hm else None,
             "shj_hint_ratio_vs_duckdb": round(hm / dm, 3) if hm and dm else None,
         }
@@ -696,9 +696,9 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "sec_repx": round(g8, 3),
             "duck_sec_1x": round(gd1, 3),
             "duck_sec_repx": round(gd8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
         }
         # --- events_asof_join: union + ordered-window shape ----------
         # (the 4th plan family: no Spark-native ASOF JOIN, so the
@@ -733,9 +733,9 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             "sec_repx": round(a8, 3),
             "duck_sec_1x": round(ad1, 3),
             "duck_sec_repx": round(ad8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
+            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
+            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
         }
 
         # --- events_tumbling_window: time-bucket agg shape -----------
@@ -771,9 +771,9 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
                 "sec_repx": round(t8, 3),
                 "duck_sec_1x": round(td1, 3),
                 "duck_sec_repx": round(td8, 3),
-                "marginal_us_per_row": round(sm, 3) if sm else None,
-                "duck_marginal_us_per_row": round(dm, 3) if dm else None,
-                "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm and dm else None,
+                "marginal_us_per_row": round(sm, 3) if sm is not None else None,
+                "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
+                "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
             }
 
         con.close()

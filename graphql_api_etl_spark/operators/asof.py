@@ -39,7 +39,22 @@ def _exact_axis(dtype):
     if isinstance(dtype, TimestampType):
         return F.unix_micros
     if isinstance(dtype, TimestampNTZType):
-        return lambda c: F.unix_micros(c.cast("timestamp"))
+        # Session-tz-INDEPENDENT axis built from the NTZ fields
+        # directly: day ordinal × µs/day + µs-of-day.  A
+        # cast("timestamp") detour would reinterpret the wall-clock in
+        # the session zone, so two NTZ values straddling a DST
+        # transition would get their gap shifted by the offset change
+        # (possibly flipping the nearest-direction pick), and values
+        # inside a spring-forward gap would be ambiguous (ADVICE r10).
+        def _ntz_micros(c: Column) -> Column:
+            day = F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+            minute_of_day = (F.hour(c) * 60 + F.minute(c)).cast("long") * F.lit(60_000_000)
+            # extract(SECOND) keeps the fraction as DECIMAL(8,6) —
+            # ×1e6 is exact, covering the full micro precision.
+            micros = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+            return day + minute_of_day + micros
+
+        return _ntz_micros
     if isinstance(dtype, DateType):
         return lambda c: F.unix_date(c).cast("long")
     return lambda c: c.cast("double")

@@ -167,6 +167,52 @@ def test_asof_nearest_microsecond_tie_is_exact_on_timestamps(spark):
     assert row["px_right"] == 100.0  # backward wins the exact 1 µs tie
 
 
+def test_asof_ntz_axis_is_session_timezone_independent(spark):
+    """r10 ADVICE (low): the TIMESTAMP_NTZ axis must be the NTZ wall
+    clock itself, not a cast("timestamp") detour that reinterprets it
+    in the session zone.  Across the 2024-03-10 America/Los_Angeles
+    spring-forward (02:00→03:00 skipped), left 03:30 sits 2h wall-clock
+    after right 01:30 and 1.5h before right 05:00 — nearest must pick
+    FORWARD (1.5h < 2h).  The cast detour compresses the backward gap
+    to 1h of epoch time (the skipped hour), flipping the pick."""
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/Los_Angeles")
+    try:
+        mk = lambda h, m: datetime(2024, 3, 10, h, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [("A", mk(3, 30), 1)], "sym string, ts timestamp_ntz, trade_id int"
+        )
+        right = spark.createDataFrame(
+            [("A", mk(1, 30), 100.0), ("A", mk(5, 0), 200.0)],
+            "sym string, ts timestamp_ntz, px double",
+        )
+        row = asof_join(
+            left, right, on="ts", by="sym", right_cols=["px"], direction="nearest"
+        ).first()
+        assert row["px_right"] == 200.0  # forward: 1.5h wall-clock < 2h
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
+def test_asof_ntz_axis_keeps_microsecond_precision(spark):
+    """The field-built NTZ axis (day ordinal + µs-of-day via
+    extract(SECOND)'s DECIMAL(8,6)) must still resolve 1 µs ties the
+    backward-wins way, like the TIMESTAMP axis."""
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [("A", t.replace(microsecond=8), 1)], "sym string, ts timestamp_ntz, trade_id int"
+    )
+    right = spark.createDataFrame(
+        [("A", t.replace(microsecond=7), 100.0), ("A", t.replace(microsecond=9), 200.0)],
+        "sym string, ts timestamp_ntz, px double",
+    )
+    row = asof_join(
+        left, right, on="ts", by="sym", right_cols=["px"], direction="nearest"
+    ).first()
+    assert row["px_right"] == 100.0  # backward wins the exact 1 µs tie
+
+
 def test_asof_direction_validation():
     import pytest as _pytest
 

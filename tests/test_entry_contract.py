@@ -5,6 +5,8 @@ failing callable oracle can only cost its own entry."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry
 from graphql_api_etl_spark.queries import QUERIES
 
@@ -163,8 +165,8 @@ def test_current_window_is_the_amended_prestaged_r8_list():
     names = list(entry.queries())
     reg_order = {n: i for i, n in enumerate(names)}
     _lg, _fg, misses, newest = load_history(repo, reg_order)
-    if newest != 7:  # guard: only meaningful while r7 is the newest history
-        return
+    if newest != 7:
+        pytest.skip("only meaningful while r7 is the newest history")
     assert names[:50] == amend_window(PRIORITY_R8, misses)
 
 
@@ -319,12 +321,39 @@ def test_current_window_is_the_amended_prestaged_r10_list():
     names = list(entry.queries())
     reg_order = {n: i for i, n in enumerate(names)}
     lg, _fg, misses, newest = load_history(repo, reg_order)
-    if newest != 9:  # guard: only meaningful while r9 is the newest history
-        return
+    if newest != 9:
+        pytest.skip("only meaningful while r9 is the newest history")
     # never-checked in REGISTRATION order (QUERIES dict order), not
     # window order — the policy tier-2 sort key
     never = [n for n in QUERIES if n not in lg and n not in misses]
     assert names[:50] == amend_window(PRIORITY_R10, misses + never)
+
+
+def test_current_window_is_the_prestaged_r11_list():
+    """The live round-11 window must equal the pre-staged list amended
+    per the documented round-start policy (scripts/window_r11.py +
+    rotate_window.amend_window): real r10 misses first (there were
+    none), then entries registered after window_r11.py was staged
+    (none — the last registrations, j_shuffle_hash_join and
+    x_try_arithmetic, were already driver-checked in r10), so the
+    window is PRIORITY_R11 verbatim."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, load_history
+    from window_r11 import PRIORITY_R11
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 10:
+        pytest.skip("only meaningful while r10 is the newest history")
+    never = [n for n in QUERIES if n not in lg and n not in misses]
+    assert names[:50] == amend_window(PRIORITY_R11, misses + never)
 
 
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
