@@ -133,6 +133,20 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="bench")
+
+    # `python bench.py --floors` runs ONLY the marginal-floor probes
+    # (skipping the headline suite) so the envelope straddlers can be
+    # re-measured cheaply across runs — the RANGE across invocations,
+    # not any single best run, is what BASELINE.md records (VERDICT
+    # r10 ask #1).
+    if "--floors" in sys.argv:
+        floors = _probe_floors(spark, sf_dir)
+        floors.update(_probe_relational_floors(spark, sf_dir))
+        floors.update(_probe_skew_floors(spark, sf_dir))
+        print(json.dumps({"metric": "floors_probe", "unit": "us_per_row",
+                          "sf": sf, "floors": floors}))
+        return
+
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -187,6 +201,7 @@ def main() -> None:
     marginal = _probe_marginal(spark, sf_dir)
     floors = _probe_floors(spark, sf_dir)
     floors.update(_probe_relational_floors(spark, sf_dir))
+    floors.update(_probe_skew_floors(spark, sf_dir))
     floors.update(_probe_codec_floors())
 
     total = round(sum(timings.values()), 3)
@@ -365,49 +380,88 @@ def _probe_floors(spark, sf_dir: str) -> dict:
 
         # matmul variant of the same top-k: marginal per-pair cost of
         # the Arrow/BLAS path vs the scalar-codegen brute force — the
-        # number that decides which one a 1000-executor job should run
-        qm = emb.filter(F.col("vec_id") < 50)
-        m1 = _noop_best(S.topk_matmul(qm, emb, k=5))
-        m8 = _noop_best(S.topk_matmul(qm, emb8, k=5))
-        b1s = _noop_best(S.topk_bruteforce(qm, emb, k=5, dim=64))
-        b8s = _noop_best(S.topk_bruteforce(qm, emb8, k=5, dim=64))
-        # two-engine side (r10): the committed oracle (brute cosine via
-        # list_dot_product — DuckDB has no ANN) on the same 1x/8x
-        # corpus. View replication (not materialized files) is fair
-        # HERE: the work is the 50x|corpus| dot products, not the scan
-        # — same rationale as the cosine probe below.
+        # number that decides which one a 1000-executor job should run.
+        # r11 (VERDICT ask #1): TWO-POINT slope between 8x and 48x
+        # corpora, both MATERIALIZED as 64-file parquet that BOTH
+        # engines scan — the r10 view-replication was the one
+        # methodological asymmetry left vs the relational probes, and
+        # the base corpus is only ~2k rows at sf0.1 with a ~0.5 s
+        # fixed cost (query collect + Arrow batch startup), so the
+        # endpoints are 64x/512x (~1M rows hi) to put ≥1 s of kernel
+        # slope above the intercept.
+        import shutil as _sh
+        import tempfile as _tf
+
         import duckdb as _ddb
 
         from graphql_api_etl_spark.queries_llm import _MATMUL_ORACLE
 
-        def _mm_duck(view_sql: str, n_tries: int = 2) -> float:
-            con = _ddb.connect()
-            con.execute(f"CREATE VIEW embeddings AS {view_sql}")
-            best = float("inf")
-            for _ in range(n_tries):
-                t0 = time.time()
-                con.execute(_MATMUL_ORACLE).fetchall()
-                best = min(best, time.time() - t0)
-            con.close()
-            return best
+        rep_mm_lo, rep_mm_hi = 64, 512
+        mm_tmp = _tf.mkdtemp(prefix="bench_mm_floors_")
+        try:
 
-        md1 = _mm_duck(f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
-        md8 = _mm_duck(
-            f"SELECT e.vec_id + r.range * ({n} + 1) AS vec_id, e.embedding "
-            f"FROM read_parquet('{sf_dir}/embeddings.parquet') e CROSS JOIN range({rep}) r"
-        )
-        mm_m = (m8 - m1) / (n * (rep - 1)) * 1e6 if m8 > m1 else None
-        mm_d = (md8 - md1) / (n * (rep - 1)) * 1e6 if md8 > md1 else None
+            def _mat_emb(rep_n: int, name: str) -> str:
+                path = f"{mm_tmp}/{name}"
+                (
+                    emb.crossJoin(spark.range(rep_n).select(F.col("id").alias("__r")))
+                    .select(
+                        (F.col("vec_id") + F.col("__r") * (n + 1)).alias("vec_id"),
+                        "embedding",
+                    )
+                    .repartition(64)
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+                return path
+
+            emb_lo_path = _mat_emb(rep_mm_lo, "emb_lo")
+            emb_hi_path = _mat_emb(rep_mm_hi, "emb_hi")
+            emb_lo = spark.read.parquet(emb_lo_path)
+            emb_hi = spark.read.parquet(emb_hi_path)
+            os.sync()  # flush the writes before timing reads (see
+            # _probe_relational_floors.family on write-back pollution)
+
+            qm = emb.filter(F.col("vec_id") < 50)
+            for _ in range(2):  # warm both endpoints (codegen + cache)
+                S.topk_matmul(qm, emb_lo, k=5).write.format("noop").mode("overwrite").save()
+                S.topk_matmul(qm, emb_hi, k=5).write.format("noop").mode("overwrite").save()
+            m_lo = _noop_best(S.topk_matmul(qm, emb_lo, k=5), n=4)
+            m_hi = _noop_best(S.topk_matmul(qm, emb_hi, k=5), n=4)
+            b_lo = _noop_best(S.topk_bruteforce(qm, emb_lo, k=5, dim=64), n=2)
+            b_hi = _noop_best(S.topk_bruteforce(qm, emb_hi, k=5, dim=64), n=2)
+
+            def _mm_duck(view_sql: str, n_tries: int = 3) -> float:
+                con = _ddb.connect()
+                con.execute(f"CREATE VIEW embeddings AS {view_sql}")
+                best = float("inf")
+                for _ in range(n_tries):
+                    t0 = time.time()
+                    con.execute(_MATMUL_ORACLE).fetchall()
+                    best = min(best, time.time() - t0)
+                con.close()
+                return best
+
+            md_lo = _mm_duck(f"SELECT * FROM read_parquet('{emb_lo_path}/*.parquet')")
+            md_hi = _mm_duck(f"SELECT * FROM read_parquet('{emb_hi_path}/*.parquet')")
+        finally:
+            _sh.rmtree(mm_tmp, ignore_errors=True)
+        extra_mm = n * (rep_mm_hi - rep_mm_lo)
+        mm_m = (m_hi - m_lo) / extra_mm * 1e6 if m_hi > m_lo else None
+        mm_d = (md_hi - md_lo) / extra_mm * 1e6 if md_hi > md_lo else None
         out["sim_topk_matmul_vs_brute"] = {
-            "matmul_sec_1x": round(m1, 3),
-            "matmul_sec_8x": round(m8, 3),
-            "brute_sec_1x": round(b1s, 3),
-            "brute_sec_8x": round(b8s, 3),
-            "duck_sec_1x": round(md1, 3),
-            "duck_sec_8x": round(md8, 3),
+            "rows_base": n,
+            "rep_lo": rep_mm_lo,
+            "rep_hi": rep_mm_hi,
+            "materialized": True,
+            "matmul_sec_lox": round(m_lo, 3),
+            "matmul_sec_hix": round(m_hi, 3),
+            "brute_sec_lox": round(b_lo, 3),
+            "brute_sec_hix": round(b_hi, 3),
+            "duck_sec_lox": round(md_lo, 3),
+            "duck_sec_hix": round(md_hi, 3),
             "matmul_marginal_us_per_row": round(mm_m, 2) if mm_m is not None else None,
-            "brute_marginal_us_per_row": round((b8s - b1s) / (n * (rep - 1)) * 1e6, 2)
-            if b8s > b1s else None,
+            "brute_marginal_us_per_row": round((b_hi - b_lo) / extra_mm * 1e6, 2)
+            if b_hi > b_lo else None,
             "duck_marginal_us_per_row": round(mm_d, 2) if mm_d is not None else None,
             "marginal_ratio_vs_duckdb": round(mm_m / mm_d, 3) if mm_m is not None and mm_d else None,
         }
@@ -415,6 +469,12 @@ def _probe_floors(spark, sf_dir: str) -> dict:
         from graphql_api_etl_spark.queries_llm import _EC_PLANES
 
         cd, dfd = construct_best(lambda: _emb_cosine_dedup(emb))
+        # warm the plan shape once before timing (r11: in `--floors`
+        # mode there is no headline suite to pre-compile the band-join
+        # codegen, and a cold first sample inflated the 1x point that
+        # the 8x marginal subtracts — the source of the run-to-run
+        # wobble in this family's interim-r11 rows)
+        dfd.write.format("noop").mode("overwrite").save()
         d1 = _noop_best(dfd)
         de = _noop_best(_emb_cosine_dedup(empty))
         # bucket stage alone (the linear, map-only part of the plan —
@@ -431,6 +491,7 @@ def _probe_floors(spark, sf_dir: str) -> dict:
         # once the corpus is big enough to dominate the ~0.6 s
         # plan+schedule intercept. Best-of-2 (the 8x DuckDB run alone
         # is ~14 s; the 7x signal dwarfs sample noise).
+        _emb_cosine_dedup(emb8).write.format("noop").mode("overwrite").save()  # warm
         s8 = _noop_best(_emb_cosine_dedup(emb8), n=2)
         import duckdb
 
@@ -477,31 +538,46 @@ def _probe_floors(spark, sf_dir: str) -> dict:
 
 def _probe_relational_floors(spark, sf_dir: str) -> dict:
     """Two-engine replicated-input marginal probes for the RELATIONAL
-    core (VERDICT r9 ask #2) — the same method that settled the
-    dedup_embedding_cosine envelope in r9, applied to the join-shape
-    and scan-agg-shape headline representatives:
+    core (VERDICT r9 ask #2, method hardened per VERDICT r10 ask #1):
+    per plan family, a TWO-POINT slope between a LO-rep and a HI-rep
+    replica of the fact input(s), both MATERIALIZED as 64-file parquet
+    that BOTH engines scan, through the entry's OWN plan builder on
+    Spark and its committed oracle SQL on DuckDB.
 
-    - ``flagship_reconcile``: customer and orders each replicated 24x
-      with join keys offset per replica (replica i of customer joins
-      ONLY replica i of orders, so join work grows linearly, matching
-      a real 24x data-scale), through the entry's OWN plan builder
-      (queries._flagship_report) and its committed oracle SQL on
-      DuckDB over identically-remapped views.
-    - ``tpch_q1_pricing_summary``: lineitem replicated 24x (pure
-      scan-agg — group count is replication-invariant), through
-      queries._q1_summary and the entry's oracle SQL.
-
-    ``marginal_ratio_vs_duckdb`` = (spark_repx − spark_1x) /
-    (duck_repx − duck_1x): per-extra-row cost once the data dominates
+    ``marginal_ratio_vs_duckdb`` = (spark_hi − spark_lo) /
+    (duck_hi − duck_lo): per-extra-row cost once the data dominates
     the fixed plan/schedule intercept — the number that decides
     whether a nominal sub-second sf0.1 gap survives a 100x scale-up.
 
-    Unlike the cosine probe (where the work is the candidate join and
-    crossJoin-replication is fine), these two queries are SCAN-bound,
-    so the replicated input is MATERIALIZED as real parquet once per
-    run and both engines scan the same files — a crossJoin replica
-    would bill Spark's row-multiplication machinery as if it were
-    query work.
+    r11 method notes (all three were real ~2-10x distortions):
+
+    - **64-file layout.** The r10 probe wrote each replica as ~3 files
+      (the crossJoin's partitioning), capping Spark at |files·128 MB
+      splits| scan tasks and DuckDB at the few huge row groups Spark's
+      128 MB block size produced: q1's 48x ran 3.0 s vs 0.34 s on the
+      same rows in 64 files, and DuckDB's flagship dropped 1.34 s →
+      0.13 s. Few-file probe rows quantified task-granularity
+      underuse, not per-row cost; at 100 TB both engines have
+      files >> cores.
+    - **Materialized LO endpoint.** The old 1x endpoint was the
+      original single-file sf table — a different layout from the
+      repx endpoint, so the subtraction mixed layout effects into the
+      slope.  Both endpoints now share the 64-file layout.
+    - **Warm-up.** Each Spark plan shape runs once unmeasured at both
+      endpoints before timing (codegen + page cache; the headline
+      suite used to provide this implicitly, but `--floors` runs
+      standalone).  DuckDB points are best-of-3 minima, which absorb
+      its (JIT-free) cache warmth.
+    - **Per-family reps.** With both engines on the honest layout the
+      per-row costs dropped up to 10x, so LO/HI are sized per family
+      to put ≥0.2 s of slope signal on the FASTER engine (a fixed
+      48x would leave sub-noise deltas on the cheap shapes —
+      the source of r11-interim junk ratios like tumbling's 5.18).
+      Deltas under 0.15 s report null rather than a ratio.
+
+    Unlike these scan-bound families, the cosine probe's work is the
+    candidate join, so its crossJoin replication stays valid
+    (_probe_floors).
     """
     out: dict[str, dict] = {}
     import shutil
@@ -525,21 +601,21 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
         )
         from graphql_api_etl_spark.sources.registry import load_table
 
-        # 24x, not PROBE_REP=8: at 8x the engine deltas are ~0.3/0.15 s
-        # against a ±30% run-to-run noise band on this VM; tripling the
-        # replica count triples the signal for one extra parquet write.
-        rep = 24
         K = 100_000_000  # key offset per replica; >> any key at any test SF
+        MIN_DELTA = 0.15  # scheduling-noise floor: smaller deltas -> null
 
         cust = load_table(spark, sf_dir, "customer")
         orders = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")
-        n_c, n_o, n_l = cust.count(), orders.count(), li.count()
+        ev = load_table(spark, sf_dir, "events")
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        n_c, n_o, n_l, n_e = cust.count(), orders.count(), li.count(), ev.count()
 
-        def materialize(df, name: str, key_cols: tuple[str, ...] = (), rep_n: int | None = None) -> str:
+        def materialize(df, name: str, rep_n: int, key_cols: tuple[str, ...] = ()) -> str:
             path = f"{tmp}/{name}"
             (
-                df.crossJoin(spark.range(rep_n or rep).select(F.col("id").alias("__r")))
+                df.crossJoin(spark.range(rep_n).select(F.col("id").alias("__r")))
                 .select(
                     *[
                         (F.col(c) + F.col("__r") * K).alias(c)
@@ -548,18 +624,21 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
                         for c in df.columns
                     ]
                 )
+                .repartition(64)
                 .write.mode("overwrite")
                 .parquet(path)
             )
             return path
 
-        li8 = materialize(li, "lineitem8")
-        cust8 = materialize(cust, "customer8", ("c_custkey",))
-        ord8 = materialize(orders, "orders8", ("o_custkey", "o_orderkey"))
-
         con = duckdb.connect()
 
-        def duck_best(sql: str, n_tries: int = 2) -> float:
+        def duck_view(table: str, path: str) -> None:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+
+        def duck_best(sql: str, n_tries: int = 4) -> float:
             best = float("inf")
             for _ in range(n_tries):
                 t0 = time.time()
@@ -567,106 +646,183 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
                 best = min(best, time.time() - t0)
             return best
 
+        def slope(hi: float, lo: float, extra_rows: int):
+            return (hi - lo) / extra_rows * 1e6 if hi - lo > MIN_DELTA else None
+
+        def family(label, mk_spark, duck_sql, views_lo, views_hi,
+                   rows_base, rep_lo, rep_hi, extras=None):
+            """Measure one plan family at both endpoints on both
+            engines.  mk_spark(endpoint) -> DataFrame; views_{lo,hi}
+            are {table: path} for the DuckDB side."""
+            # flush the materializations' dirty pages FIRST: for ~60 s
+            # after a GB-scale parquet write, write-back flushing
+            # throttles reads of the same files — measured 2.5 s vs
+            # 36.5 s for the SAME flagship run depending on distance
+            # from the write.  One bounded sync beats hoping warm-up
+            # iterations outlast the flusher.
+            os.sync()
+            # warm-up: TWO unmeasured runs per endpoint (codegen, JIT,
+            # page cache — one run is not always enough to converge)
+            for _ in range(2):
+                mk_spark("lo").write.format("noop").mode("overwrite").save()
+                mk_spark("hi").write.format("noop").mode("overwrite").save()
+            s_lo = _noop_best(mk_spark("lo"), n=4)
+            s_hi = _noop_best(mk_spark("hi"), n=4)
+            for t, p in views_lo.items():
+                duck_view(t, p)
+            d_lo = duck_best(duck_sql)
+            for t, p in views_hi.items():
+                duck_view(t, p)
+            d_hi = duck_best(duck_sql)
+            extra = rows_base * (rep_hi - rep_lo)
+            sm = slope(s_hi, s_lo, extra)
+            dm = slope(d_hi, d_lo, extra)
+            # When Spark's delta sits UNDER the noise gate but
+            # DuckDB's is measurable, the honest summary is an upper
+            # bound: spark_marginal ≤ gate/extra (r11: tumbling's
+            # Spark side got too fast for the gate on the 288x table).
+            sm_ub = (
+                MIN_DELTA / extra * 1e6
+                if sm is None and dm is not None
+                else None
+            )
+            row = {
+                "rows_base": rows_base,
+                "rep_lo": rep_lo,
+                "rep_hi": rep_hi,
+                **(
+                    {
+                        "note": "both engine deltas under the 0.15 s "
+                        "noise gate — fixed-cost-dominated at any "
+                        "materializable SF; read as parity"
+                    }
+                    if sm is None and dm is None
+                    else {}
+                ),
+                "sec_lox": round(s_lo, 3),
+                "sec_hix": round(s_hi, 3),
+                "duck_sec_lox": round(d_lo, 3),
+                "duck_sec_hix": round(d_hi, 3),
+                "marginal_us_per_row": round(sm, 4) if sm is not None else None,
+                "duck_marginal_us_per_row": round(dm, 4) if dm is not None else None,
+                "marginal_ratio_vs_duckdb": round(sm / dm, 3)
+                if sm is not None and dm else None,
+                **(
+                    {
+                        "marginal_us_per_row_upper_bound": round(sm_ub, 4),
+                        "ratio_upper_bound_vs_duckdb": round(sm_ub / dm, 3),
+                    }
+                    if sm_ub is not None and dm
+                    else {}
+                ),
+            }
+            if extras:
+                row.update(extras(extra))
+            out[label] = row
+
         # --- tpch_q1: scan-agg shape --------------------------------
+        # DuckDB runs q1 at ~150M rows/s warm, so the HI point is 96x
+        # (~58M rows) to put ~0.3 s of slope on its side.
+        li_lo = materialize(li, "lineitem_lo", 8)
+        li_hi = materialize(li, "lineitem_hi", 96)
         q1_sql = QUERIES["tpch_q1_pricing_summary"][1]
-        s1 = _noop_best(_q1_summary(li))
-        s8 = _noop_best(_q1_summary(spark.read.parquet(li8)), n=2)
-        con.execute(
-            f"CREATE OR REPLACE VIEW lineitem AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        family(
+            "tpch_q1_pricing_summary",
+            lambda e: _q1_summary(spark.read.parquet(li_lo if e == "lo" else li_hi)),
+            q1_sql,
+            {"lineitem": li_lo},
+            {"lineitem": li_hi},
+            n_l, 8, 96,
         )
-        d1 = duck_best(q1_sql)
-        con.execute(
-            f"CREATE OR REPLACE VIEW lineitem AS "
-            f"SELECT * FROM read_parquet('{li8}/*.parquet')"
-        )
-        d8 = duck_best(q1_sql)
-        extra = n_l * (rep - 1)
-        sm = (s8 - s1) / extra * 1e6 if s8 - s1 > 0.02 else None
-        dm = (d8 - d1) / extra * 1e6 if d8 - d1 > 0.02 else None
-        out["tpch_q1_pricing_summary"] = {
-            "rows_base": n_l,
-            "rep": rep,
-            "sec_1x": round(s1, 3),
-            "sec_repx": round(s8, 3),
-            "duck_sec_1x": round(d1, 3),
-            "duck_sec_repx": round(d8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
-        }
 
         # --- flagship: full-outer join + agg shape ------------------
-        cust_f = cust.filter(F.col("c_acctbal") > 0)
-        ord_f = orders.filter(F.col("o_totalprice") > 50000)
-        cust8_f = spark.read.parquet(cust8).filter(F.col("c_acctbal") > 0)
-        ord8_f = spark.read.parquet(ord8).filter(F.col("o_totalprice") > 50000)
-        f1 = _noop_best(_flagship_report(cust_f, ord_f))
-        f8 = _noop_best(_flagship_report(cust8_f, ord8_f))
+        c_lo = materialize(cust, "customer_lo", 8, ("c_custkey",))
+        c_hi = materialize(cust, "customer_hi", 192, ("c_custkey",))
+        o_lo = materialize(orders, "orders_lo", 8, ("o_custkey", "o_orderkey"))
+        o_hi = materialize(orders, "orders_hi", 192, ("o_custkey", "o_orderkey"))
+
+        def flagship_inputs(e):
+            c, o = (c_lo, o_lo) if e == "lo" else (c_hi, o_hi)
+            return (
+                spark.read.parquet(c).filter(F.col("c_acctbal") > 0),
+                spark.read.parquet(o).filter(F.col("o_totalprice") > 50000),
+            )
+
+        family(
+            "flagship_reconcile",
+            lambda e: _flagship_report(*flagship_inputs(e)),
+            _FLAGSHIP_SQL,
+            {"customer": c_lo, "orders": o_lo},
+            {"customer": c_hi, "orders": o_hi},
+            n_c + n_o, 8, 192,
+        )
         # The named alternative (kept OUT of the entry: full-outer
         # shuffled-hash builds a per-partition map — faster single-node,
-        # but SMJ is the spill-safe 100 TB default): quantified here so
-        # the artifact carries the fix's measured value, not a guess.
-        h1 = _noop_best(_flagship_report(cust_f.hint("SHUFFLE_HASH"), ord_f))
-        h8 = _noop_best(_flagship_report(cust8_f.hint("SHUFFLE_HASH"), ord8_f))
-        con.execute(
-            f"CREATE OR REPLACE VIEW customer AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+        # but SMJ is the spill-safe 100 TB default): quantified so the
+        # artifact carries the fix's measured value, not a guess.
+        cl, ol = flagship_inputs("lo")
+        ch, oh = flagship_inputs("hi")
+        h_lo = _noop_best(_flagship_report(cl.hint("SHUFFLE_HASH"), ol))
+        h_hi = _noop_best(_flagship_report(ch.hint("SHUFFLE_HASH"), oh))
+        hm = slope(h_hi, h_lo, (n_c + n_o) * (192 - 8))
+        dm_f = out["flagship_reconcile"]["duck_marginal_us_per_row"]
+        out["flagship_reconcile"]["shj_hint_marginal_us_per_row"] = (
+            round(hm, 4) if hm is not None else None
         )
-        con.execute(
-            f"CREATE OR REPLACE VIEW orders AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+        out["flagship_reconcile"]["shj_hint_ratio_vs_duckdb"] = (
+            round(hm / dm_f, 3) if hm is not None and dm_f else None
         )
-        fd1 = duck_best(_FLAGSHIP_SQL)
-        con.execute(
-            f"CREATE OR REPLACE VIEW customer AS "
-            f"SELECT * FROM read_parquet('{cust8}/*.parquet')"
-        )
-        con.execute(
-            f"CREATE OR REPLACE VIEW orders AS "
-            f"SELECT * FROM read_parquet('{ord8}/*.parquet')"
-        )
-        fd8 = duck_best(_FLAGSHIP_SQL)
-        extra = (n_c + n_o) * (rep - 1)
-        sm = (f8 - f1) / extra * 1e6 if f8 - f1 > 0.02 else None
-        dm = (fd8 - fd1) / extra * 1e6 if fd8 - fd1 > 0.02 else None
-        hm = (h8 - h1) / extra * 1e6 if h8 - h1 > 0.02 else None
-        out["flagship_reconcile"] = {
-            "rows_base": n_c + n_o,
-            "rep": rep,
-            "sec_1x": round(f1, 3),
-            "sec_repx": round(f8, 3),
-            "duck_sec_1x": round(fd1, 3),
-            "duck_sec_repx": round(fd8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
-            "shj_hint_marginal_us_per_row": round(hm, 3) if hm else None,
-            "shj_hint_ratio_vs_duckdb": round(hm / dm, 3) if hm and dm else None,
-        }
+        # BUCKETED variant (r11): both sides pre-bucketed 32-way on
+        # the custkey and bucket-sorted (sinks.tables layout), so the
+        # full-outer SMJ runs with ZERO exchange — this isolates how
+        # much of the marginal is the shuffle serialization a
+        # single-process engine never pays, and measures the engine's
+        # own 100 TB mitigation (bucket the recurring join sides once,
+        # join many times).  The DuckDB denominator is the plain
+        # flagship marginal: same rows, same logical query.
+        try:
+            spark.sql(
+                "CREATE DATABASE IF NOT EXISTS graft_bench_floors "
+                f"LOCATION '{tmp}/bucketed'"
+            )
+            from graphql_api_etl_spark.sinks.tables import write_bucketed_table
+
+            def bucketed(path: str, base: str, key: str):
+                name = f"graft_bench_floors.{base}"
+                write_bucketed_table(
+                    spark.read.parquet(path), name, [key],
+                    num_buckets=32, sort_cols=[key],
+                )
+                return spark.table(name)
+
+            cb_lo = bucketed(c_lo, "cust_lo", "c_custkey").filter(F.col("c_acctbal") > 0)
+            ob_lo = bucketed(o_lo, "ord_lo", "o_custkey").filter(F.col("o_totalprice") > 50000)
+            cb_hi = bucketed(c_hi, "cust_hi", "c_custkey").filter(F.col("c_acctbal") > 0)
+            ob_hi = bucketed(o_hi, "ord_hi", "o_custkey").filter(F.col("o_totalprice") > 50000)
+            os.sync()
+            for _ in range(2):
+                _flagship_report(cb_lo, ob_lo).write.format("noop").mode("overwrite").save()
+                _flagship_report(cb_hi, ob_hi).write.format("noop").mode("overwrite").save()
+            bk_lo = _noop_best(_flagship_report(cb_lo, ob_lo), n=4)
+            bk_hi = _noop_best(_flagship_report(cb_hi, ob_hi), n=4)
+            bm = slope(bk_hi, bk_lo, (n_c + n_o) * (192 - 8))
+            out["flagship_reconcile"]["bucketed_sec_lox"] = round(bk_lo, 3)
+            out["flagship_reconcile"]["bucketed_sec_hix"] = round(bk_hi, 3)
+            out["flagship_reconcile"]["bucketed_marginal_us_per_row"] = (
+                round(bm, 4) if bm is not None else None
+            )
+            out["flagship_reconcile"]["bucketed_ratio_vs_duckdb"] = (
+                round(bm / dm_f, 3) if bm is not None and dm_f else None
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["flagship_reconcile"]["bucketed_error"] = repr(exc)
 
         # --- j_broadcast_dims: broadcast-hash-join shape -------------
-        # (the third nominal-ratio headline shape VERDICT r9 named:
-        # 36x best-of at sf0.1 on a 0.1 s absolute). The fact side is
-        # the replicated customer8 files (the custkey remap is inert —
-        # this join keys on c_nationkey); dims stay 1x, as they would
-        # at any scale.
-        nation = load_table(spark, sf_dir, "nation")
-        region = load_table(spark, sf_dir, "region")
-        # customer is the SMALLEST fact (15 k at sf0.1): at 24x both
-        # engines' deltas sit under the 20 ms noise floor, so this
-        # shape replicates 800x (12 M rows — the write is still cheap).
-        # Even then the Spark delta rides a ±0.15 s scheduling band
-        # (measured: 12 M rows took LESS wall time than 3 M in one
-        # window), so read this row as an upper bound on the marginal,
-        # not a point estimate — the shape's absolute cost is fixed-
-        # dominated at any SF this harness can materialize.
-        rep_bd = 800
-        cust_bd = materialize(cust, "customer_bd", rep_n=rep_bd)
-        g1 = _noop_best(_broadcast_dims_report(cust, nation, region))
-        g8 = _noop_best(
-            _broadcast_dims_report(spark.read.parquet(cust_bd), nation, region), n=2
-        )
+        # Both engines run this at >100M rows/s (it is a parity family
+        # since the r10 eager-agg rewrite); customer is tiny (15k), so
+        # LO/HI are 100x/2400x to get ~35M rows of slope signal.
+        bd_lo = materialize(cust, "customer_bd_lo", 100)
+        bd_hi = materialize(cust, "customer_bd_hi", 2400)
         bd_sql = QUERIES["j_broadcast_dims"][1]
         con.execute(
             f"CREATE OR REPLACE VIEW nation AS "
@@ -676,109 +832,151 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             f"CREATE OR REPLACE VIEW region AS "
             f"SELECT * FROM read_parquet('{sf_dir}/region.parquet')"
         )
-        con.execute(
-            f"CREATE OR REPLACE VIEW customer AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+        family(
+            "j_broadcast_dims",
+            lambda e: _broadcast_dims_report(
+                spark.read.parquet(bd_lo if e == "lo" else bd_hi), nation, region
+            ),
+            bd_sql,
+            {"customer": bd_lo},
+            {"customer": bd_hi},
+            n_c, 100, 2400,
         )
-        gd1 = duck_best(bd_sql)
-        con.execute(
-            f"CREATE OR REPLACE VIEW customer AS "
-            f"SELECT * FROM read_parquet('{cust_bd}/*.parquet')"
-        )
-        gd8 = duck_best(bd_sql)
-        extra = n_c * (rep_bd - 1)
-        sm = (g8 - g1) / extra * 1e6 if g8 - g1 > 0.02 else None
-        dm = (gd8 - gd1) / extra * 1e6 if gd8 - gd1 > 0.02 else None
-        out["j_broadcast_dims"] = {
-            "rows_base": n_c,
-            "rep": rep_bd,
-            "sec_1x": round(g1, 3),
-            "sec_repx": round(g8, 3),
-            "duck_sec_1x": round(gd1, 3),
-            "duck_sec_repx": round(gd8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
-        }
-        # --- events_asof_join: union + ordered-window shape ----------
-        # (the 4th plan family: no Spark-native ASOF JOIN, so the
-        # operator is one |L|+|R| shuffle on user_id + a window sort;
-        # DuckDB runs its NATIVE ASOF LEFT JOIN — engine-native vs
-        # composed operator, the fairest possible comparison). Users
-        # and event ids offset per replica so per-user as-of work
-        # scales linearly, like real 24x data.
-        ev = load_table(spark, sf_dir, "events")
-        n_e = ev.count()
-        ev24 = materialize(ev, "events24", ("user_id", "event_id"))
-        a1 = _noop_best(_asof_clicks_report(ev))
-        a8 = _noop_best(_asof_clicks_report(spark.read.parquet(ev24)), n=2)
-        asof_sql = QUERIES["events_asof_join"][1]
-        con.execute(
-            f"CREATE OR REPLACE VIEW events AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
-        )
-        ad1 = duck_best(asof_sql)
-        con.execute(
-            f"CREATE OR REPLACE VIEW events AS "
-            f"SELECT * FROM read_parquet('{ev24}/*.parquet')"
-        )
-        ad8 = duck_best(asof_sql)
-        extra = n_e * (rep - 1)
-        sm = (a8 - a1) / extra * 1e6 if a8 - a1 > 0.02 else None
-        dm = (ad8 - ad1) / extra * 1e6 if ad8 - ad1 > 0.02 else None
-        out["events_asof_join"] = {
-            "rows_base": n_e,
-            "rep": rep,
-            "sec_1x": round(a1, 3),
-            "sec_repx": round(a8, 3),
-            "duck_sec_1x": round(ad1, 3),
-            "duck_sec_repx": round(ad8, 3),
-            "marginal_us_per_row": round(sm, 3) if sm is not None else None,
-            "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
-            "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
-        }
 
-        # --- events_tumbling_window: time-bucket agg shape -----------
-        # and events_sessionize: per-key window (lag + running sum)
-        # shape — the last two headline plan families; both reuse the
-        # materialized events24 (the id remap is inert for tumbling
-        # and gives sessionize linear per-user work, like real data).
-        ev24_df = spark.read.parquet(ev24)
-        for label, builder in (
-            ("events_tumbling_window", _tumbling_report),
-            ("events_sessionize", _sessionize_report),
+        # --- events families ------------------------------------------
+        # asof + sessionize share one 8x/48x pair (their DuckDB costs
+        # are 0.3-1.1 µs/row, so 4M extra rows is ≥1 s of signal);
+        # tumbling is ~100x cheaper on DuckDB (pure date_trunc
+        # hash-agg) and gets its own 288x HI table.
+        ev_lo = materialize(ev, "events_lo", 8, ("user_id", "event_id"))
+        ev_hi = materialize(ev, "events_hi", 48, ("user_id", "event_id"))
+        ev_hi_t = materialize(ev, "events_hi_288", 288, ("user_id", "event_id"))
+        for label, builder, hi_path, rep_hi in (
+            # asof's Spark side runs at ~0.03 us/row on the honest
+            # layout, so it shares tumbling's 288x table for signal;
+            # sessionize (~10x costlier per row on DuckDB) stays at 48x
+            ("events_asof_join", _asof_clicks_report, ev_hi_t, 288),
+            ("events_sessionize", _sessionize_report, ev_hi, 48),
+            ("events_tumbling_window", _tumbling_report, ev_hi_t, 288),
         ):
-            t1 = _noop_best(builder(ev))
-            t8 = _noop_best(builder(ev24_df), n=2)
-            q_sql = QUERIES[label][1]
-            con.execute(
-                f"CREATE OR REPLACE VIEW events AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+            family(
+                label,
+                lambda e, b=builder, h=hi_path: b(
+                    spark.read.parquet(ev_lo if e == "lo" else h)
+                ),
+                QUERIES[label][1],
+                {"events": ev_lo},
+                {"events": hi_path},
+                n_e, 8, rep_hi,
             )
-            td1 = duck_best(q_sql)
-            con.execute(
-                f"CREATE OR REPLACE VIEW events AS "
-                f"SELECT * FROM read_parquet('{ev24}/*.parquet')"
-            )
-            td8 = duck_best(q_sql)
-            extra = n_e * (rep - 1)
-            sm = (t8 - t1) / extra * 1e6 if t8 - t1 > 0.02 else None
-            dm = (td8 - td1) / extra * 1e6 if td8 - td1 > 0.02 else None
-            out[label] = {
-                "rows_base": n_e,
-                "rep": rep,
-                "sec_1x": round(t1, 3),
-                "sec_repx": round(t8, 3),
-                "duck_sec_1x": round(td1, 3),
-                "duck_sec_repx": round(td8, 3),
-                "marginal_us_per_row": round(sm, 3) if sm is not None else None,
-                "duck_marginal_us_per_row": round(dm, 3) if dm is not None else None,
-                "marginal_ratio_vs_duckdb": round(sm / dm, 3) if sm is not None and dm else None,
-            }
 
         con.close()
     except Exception as exc:  # noqa: BLE001
         out["_relational_floors_error"] = repr(exc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _probe_skew_floors(spark, sf_dir: str) -> dict:
+    """Join-strategy shoot-out on a SKEWED key (VERDICT r10 ask #5):
+    the j_salted_skew_join entry's docstring calls strategy choice
+    "the per-join judgment a 100 TB job makes" — this measures it.
+
+    Fixture: lineitem replicated 16x (~9.6M rows at sf0.1) with ~30%
+    of fact rows remapped to ONE hot key; the dim side keeps one row
+    per distinct key (~150k + the hot key), i.e. the entry's own
+    shape.  Five physical strategies run the identical logical join +
+    agg, best-of-3 after one warm-up:
+
+    - ``smj_aqe``: sort-merge with the session's AQE skew split ON
+      (the engine default).
+    - ``smj_no_skew_split``: same plan, skew split OFF — the
+      unmitigated baseline a non-adaptive engine pays.
+    - ``shuffle_hash``: SHJ hint — no sort, but the hot partition
+      still lands on one task unless AQE splits it.
+    - ``salted_16``: operators/skew.salted_join — the explicit lever;
+      costs dim×16 replication up front.
+    - ``broadcast``: dim broadcast — no fact shuffle at all; the
+      winner whenever the dim FITS, which is exactly what the row
+      shows (the salted lever exists for when it doesn't).
+    """
+    out: dict[str, dict] = {}
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_skew_floors_")
+    try:
+        from pyspark.sql import functions as F
+
+        from graphql_api_etl_spark.operators.skew import salted_join
+        from graphql_api_etl_spark.sources.registry import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        rep = 16
+        fact_path = f"{tmp}/fact_skew"
+        (
+            li.crossJoin(spark.range(rep).select(F.col("id").alias("__r")))
+            .select(
+                F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
+                .otherwise(F.col("l_orderkey"))
+                .alias("k"),
+                "l_extendedprice",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(fact_path)
+        )
+        fact = spark.read.parquet(fact_path)
+        dim_path = f"{tmp}/dim"
+        (
+            fact.select("k")
+            .distinct()
+            .withColumn("payload", (F.col("k") % 5).cast("string"))
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        dim = spark.read.parquet(dim_path)
+        n_fact = fact.count()
+        n_dim = dim.count()
+        hot_rows = fact.filter(F.col("k") == 1).count()
+
+        def agg(joined):
+            return joined.groupBy("payload").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
+
+        no_bcast = dim.hint("SHUFFLE_MERGE")
+        plans = {
+            "smj_aqe": lambda: agg(fact.join(no_bcast, "k")),
+            "smj_no_skew_split": lambda: agg(fact.join(no_bcast, "k")),
+            "shuffle_hash": lambda: agg(fact.join(dim.hint("SHUFFLE_HASH"), "k")),
+            "salted_16": lambda: agg(salted_join(fact, dim, on="k", n_buckets=16)),
+            "broadcast": lambda: agg(fact.join(F.broadcast(dim), "k")),
+        }
+        skew_key = "spark.sql.adaptive.skewJoin.enabled"
+        secs: dict[str, float] = {}
+        for name, mk in plans.items():
+            if name == "smj_no_skew_split":
+                spark.conf.set(skew_key, "false")
+            try:
+                mk().write.format("noop").mode("overwrite").save()  # warm
+                secs[name] = round(_noop_best(mk()), 3)
+            finally:
+                if name == "smj_no_skew_split":
+                    spark.conf.set(skew_key, "true")
+        out["skew_join_strategies"] = {
+            "n_fact": n_fact,
+            "n_dim": n_dim,
+            "hot_key_fraction": round(hot_rows / n_fact, 3),
+            **{f"{k}_sec": v for k, v in secs.items()},
+        }
+    except Exception as exc:  # noqa: BLE001
+        out["_skew_floors_error"] = repr(exc)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -878,6 +1076,54 @@ def _probe_codec_floors() -> dict:
             "mm_png_interlaced",
             (large_png, side * side * 3),
         )
+
+        # GIF LZW + G.711 mu-law (VERDICT r10 ask #7): the last two
+        # codec interiors without a floors row. Single large payloads
+        # (per-file overhead is negligible at these sizes), best-of-3.
+        import math
+
+        from graphql_api_etl_spark.operators.gif import (
+            decode_gif_pixels,
+            synthesize_gif,
+        )
+        from graphql_api_etl_spark.operators.multimodal import (
+            synthesize_ulaw_wav,
+            wav_ulaw_samples,
+        )
+
+        side_g = 160
+        rows = [
+            [((x % 16) * 16, (y % 16) * 16, 0) for x in range(side_g)]
+            for y in range(side_g)
+        ]
+        gif = synthesize_gif(side_g, side_g, rows, interlace=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            decode_gif_pixels(gif)
+            best = min(best, time.time() - t0)
+        out["mm_gif_decode"] = {
+            "payload_mb": round(len(gif) / 1e6, 3),
+            "decode_sec_one_core": round(best, 3),
+            "payload_mb_per_sec_core": round(len(gif) / 1e6 / best, 3),
+            "pixel_mb_per_sec_core": round(side_g * side_g * 3 / 1e6 / best, 3),
+        }
+
+        n_samp = 400_000  # 50 s of 8 kHz telephony audio
+        samples = [int(8000 * math.sin(i / 37.0)) for i in range(n_samp)]
+        wav = synthesize_ulaw_wav(samples)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            wav_ulaw_samples(wav)
+            best = min(best, time.time() - t0)
+        out["mm_g711_decode"] = {
+            "payload_mb": round(len(wav) / 1e6, 3),
+            "decode_sec_one_core": round(best, 3),
+            "payload_mb_per_sec_core": round(len(wav) / 1e6 / best, 3),
+            # output is PCM16, 2 bytes per input byte
+            "pcm_mb_per_sec_core": round(2 * n_samp / 1e6 / best, 3),
+        }
     except Exception as exc:  # noqa: BLE001
         out["_codec_floors_error"] = repr(exc)
     return out

@@ -163,6 +163,8 @@ def encode_pq(
     (np.argmin first-hit == the oracle's ORDER BY d, cid)."""
     import numpy as np
 
+    from graphql_api_etl_spark.operators.similarity import stack_f64
+
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = dim // m
@@ -175,7 +177,7 @@ def encode_pq(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            V = stack_f64(pdf[vec_col])
             norms = np.linalg.norm(V, axis=1)
             norms[norms == 0.0] = 1.0
             Vh = V / norms[:, None]

@@ -79,8 +79,20 @@ GROUP BY c_mktsegment, _merge
 
 def _flagship_report(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """The flagship plan on ALREADY-FILTERED inputs — shared by the
-    catalog entry and bench.py's 8x-replicated marginal-floor probe so
-    the probe times the identical code path, not a hand-copied twin."""
+    catalog entry and bench.py's replicated marginal-floor probe so
+    the probe times the identical code path, not a hand-copied twin.
+
+    Plan note (r11): eager aggregation below the join — pre-grouping
+    orders per custkey so the SMJ sorts |custkeys| instead of |orders|
+    rows, the rewrite that fixed j_broadcast_dims in r10 — was BUILT
+    AND MEASURED here and is ~2x SLOWER at 48x replication (median
+    6.6 s vs 3.5 s, interleaved A/B): orders arrive randomly
+    distributed over custkeys, so map-side combine gets ~no reduction
+    (~1.2 rows/key/task) and the pre-agg adds a full extra shuffle of
+    collect_set object rows before the join's own exchange.  Eager-agg
+    pays only when the big side is clustered on the key or the final
+    agg keys are join-side (j_broadcast_dims); the full-outer SMJ on
+    raw orders stays the right plan here at any scale."""
     merged = outer_merge(customer, orders, left_on="c_custkey", right_on="o_custkey")
     return merged.groupBy("c_mktsegment", "_merge").agg(
         F.count(F.lit(1)).alias("n_rows"),
