@@ -117,6 +117,7 @@ def asof_join(
     # is visible to it.
     def window(asc: bool):
         order = (F.col(on).asc() if asc else F.col(on).desc(), F.col(_SIDE).asc())
+        # global-window-ok: only the keyless (by=None) variant — a keyless as-of IS a single global merge by definition; the catalog entries all pass by=
         base = W.partitionBy(*by).orderBy(*order) if by else W.orderBy(*order)
         return base.rowsBetween(W.unboundedPreceding, W.currentRow)
 

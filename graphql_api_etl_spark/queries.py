@@ -342,6 +342,7 @@ def p_rownum_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     names → ``f"...+{i*100}@..."`` ETL:631–634) via a window row_number
     — the distributed replacement for pandas' implicit row index."""
     seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    # global-window-ok: input is distinct c_mktsegment — ≤5 rows at any SF
     w = W.orderBy("c_mktsegment")
     return seg.withColumn(
         "synth_email",
@@ -3467,6 +3468,7 @@ def a_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("bin_avg"),
         )
     )
+    # global-window-ok: input is the price_bin aggregate — ≤ ~25 bins, bounded by the price domain, not the data
     w = W.orderBy("price_bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     return b.select(
         "price_bin", "n", "bin_min", "bin_max", "bin_avg",
@@ -3728,13 +3730,11 @@ FROM scored
 def a_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scoring (recency / frequency / monetary), the
     standard marketing-analytics segmentation: one aggregate over
-    orders per customer, then three ntile(5) quintile windows over
-    the per-customer rollup. The windows are global-order — fine
-    here because they run over the AGGREGATED table (|customers|,
-    already 3–4 orders of magnitude smaller than the fact table; at
-    100 TB of orders the per-customer rollup is still cluster-tiny,
-    and a truly huge customer dimension would swap ntile for
-    percentile-bucket joins). Recency anchors to a fixed literal
+    orders per customer, then three DISTRIBUTED ntile(5) quintiles
+    over the per-customer rollup (r11: operators/rank.global_ntile —
+    exact floor-balanced arithmetic over a range-shuffled row_number,
+    so the plan holds even when the customer dimension outgrows one
+    partition). Recency anchors to a fixed literal
     date so the query is reproducible; every ordering carries a
     c_custkey tie-break, making quintile boundaries deterministic on
     both engines (ntile's equal-split semantics agree given a total
@@ -3747,17 +3747,24 @@ def a_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = W.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("c_custkey"))
-    m_w = W.orderBy(F.desc("monetary"), F.asc("c_custkey"))
-    scored = base.select(
-        "c_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    # r11 global-window sweep: all three quintiles run distributed
+    # (operators/rank.global_ntile — one range shuffle each, exact
+    # floor-balanced ntile arithmetic) instead of three
+    # single-partition windows over the per-customer rollup.
+    from graphql_api_etl_spark.operators.rank import global_ntile
+
+    scored = base
+    for out, order in (
+        ("r_score", [F.asc("recency_days"), F.asc("c_custkey")]),
+        ("f_score", [F.desc("frequency"), F.asc("c_custkey")]),
+        ("m_score", [F.desc("monetary"), F.asc("c_custkey")]),
+    ):
+        scored = global_ntile(scored, order, 5, out_col=out).withColumn(
+            out, F.col(out).cast("bigint")
+        )
+    scored = scored.select(
+        "c_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
     return scored.withColumn(
         "rfm_segment",
@@ -4356,6 +4363,7 @@ def a_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
+    # global-window-ok: input is the month-grain aggregate — calendar-bounded
     w = W.orderBy("month")
     g = m.withColumn("prev_rev", F.lag("revenue").over(w))
     return g.select(
@@ -4598,10 +4606,15 @@ def a_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers."""
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    r = c.select(
-        "n",
-        F.row_number().over(W.orderBy(F.asc("n"), F.asc("o_custkey"))).alias("rk"),
-    )
+    # r11 global-window sweep: the Gini rank runs distributed
+    # (operators/rank.global_row_number) — per-key counts grow with
+    # the key domain, so the bare-orderBy row_number funneled them
+    # through one partition.
+    from graphql_api_etl_spark.operators.rank import global_row_number
+
+    r = global_row_number(
+        c, [F.asc("n"), F.asc("o_custkey")], out_col="rk"
+    ).select("n", "rk")
     s = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("n").cast("bigint").alias("n_rows"),
@@ -5407,11 +5420,10 @@ def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is total.
 
     Plan: one key-balanced shuffle to per-part revenue, then the
-    running-share window runs over the AGGREGATED dim-sized frame
-    (|parts|, not |lineitem|) — the same dim-bounded single-partition
-    trade-off the RFM entry documents; at a key cardinality where
-    |parts| outgrows a partition, the two-pass percentile-boundary
-    pattern (a_quantile_buckets) replaces the window."""
+    running share is computed DISTRIBUTED (r11:
+    operators/rank.global_running_sums — range-repartition +
+    per-partition running sum + broadcast offsets), so the plan holds
+    even when |parts| outgrows a single partition."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
@@ -5419,11 +5431,18 @@ def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
-    w = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
-        "cents", "total", F.sum("cents").over(w).cast("bigint").alias("cum")
+    # r11 global-window sweep: the running share runs distributed
+    # (operators/rank.global_running_sums — one range shuffle) so the
+    # plan no longer degrades to a single partition when |parts|
+    # outgrows one executor (the caveat the old docstring carried).
+    from graphql_api_etl_spark.operators.rank import global_running_sums
+
+    ranked = (
+        global_running_sums(
+            rev, [F.desc("cents"), F.asc("l_partkey")], {"cum_raw": "cents"}
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("cents", "total", F.col("cum_raw").cast("bigint").alias("cum"))
     )
     cls = F.when(100 * F.col("cum") <= 80 * F.col("total"), "A").when(
         100 * F.col("cum") <= 95 * F.col("total"), "B"
@@ -6268,6 +6287,7 @@ def a_contingency_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(W.partitionBy("seg")).cast("bigint").alias("rt"),
         F.sum("o").over(W.partitionBy("pri")).cast("bigint").alias("ct"),
         F.sum("o").over(
+            # global-window-ok: input is the seg×pri cell aggregate — ≤5×5 rows
             W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         ).cast("bigint").alias("n"),
     )
@@ -6459,6 +6479,7 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
     )
     total = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # global-window-ok: input is the weekly-cohort t aggregate — timeline-bounded (weeks)
     wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
     risk = byt.crossJoin(F.broadcast(total)).select(
         "t", "d", "c",
@@ -6474,6 +6495,7 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000000
         ).cast("bigint").alias("l"),
     )
+    # global-window-ok: same weekly-cohort t aggregate — timeline-bounded
     wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     s = lg.select(
         "t", "d", "c", "n_risk",
@@ -6583,12 +6605,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # global-window-ok: input is the day-grain aggregate — calendar-bounded
     wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     t = d.select(
         "day", "n",
         F.count(F.lit(1)).over(wall).cast("bigint").alias("nd"),
         F.sum("n").over(wall).cast("bigint").alias("total"),
     )
+    # global-window-ok: same day-grain aggregate — calendar-bounded
     wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     s = t.select(
         "day", "n",
@@ -6650,6 +6674,7 @@ def events_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    # global-window-ok: input is the day-grain aggregate — calendar-bounded
     w5 = W.orderBy("day").rowsBetween(-4, 0)
     w20 = W.orderBy("day").rowsBetween(-19, 0)
     w = d.select(
@@ -6663,6 +6688,7 @@ def events_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         w.filter((F.col("c20") == 20) & (F.col("c5") == 5))
         .select("day", "cents", "s5", "s20", fa.alias("fast_above"))
+        # global-window-ok: same day-grain aggregate — calendar-bounded
         .withColumn("prev_above", F.lag("fast_above").over(W.orderBy("day")))
     )
     return f.select(
@@ -6890,8 +6916,11 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     uper = (
         sk.select("h")
         .distinct()
-        .withColumn("rn", F.row_number().over(W.orderBy("h")))
-        .filter(F.col("rn") <= 64)
+        # smallest-64 via orderBy+limit (TakeOrderedAndProject): the
+        # old rank-then-filter window sorted every distinct hash
+        # through one partition (r11 global-window sweep)
+        .orderBy("h")
+        .limit(64)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("k_eff"),
             F.max("h").cast("bigint").alias("kth_hash"),
@@ -7077,11 +7106,15 @@ def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("na_c"),
         F.count(F.lit(1)).cast("bigint").alias("t"),
     )
-    wb = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    r = g.select(
-        "na_c", "t",
-        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("bigint").alias("cumb"),
-    )
+    # distributed exclusive running sum over the value grain (r11
+    # global-window sweep: cent-grain cardinality grows with data, so
+    # the bare-orderBy window funneled it through ONE partition;
+    # operators/rank.global_running_sum is one range shuffle instead)
+    from graphql_api_etl_spark.operators.rank import global_running_sum
+
+    r = global_running_sum(
+        g, [F.asc("cents")], "t", out_col="cumb", inclusive=False
+    ).select("na_c", "t", F.col("cumb").cast("bigint").alias("cumb"))
     s = r.agg(
         F.sum("na_c").cast("bigint").alias("n_a"),
         F.sum(F.col("t") - F.col("na_c")).cast("bigint").alias("n_b"),
@@ -7418,6 +7451,7 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
     rr = rep.select(mean_b.alias("mean_b")).withColumn(
+        # global-window-ok: input is the bootstrap replicate means — fixed B replicates
         "rk", F.row_number().over(W.orderBy("mean_b"))
     )
     pt = base.agg(
@@ -7630,13 +7664,25 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("bigint").alias("a_n"),
         F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("bigint").alias("b_n"),
     )
-    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    c = g.select(
-        F.sum("a_n").over(wc).cast("bigint").alias("cum_a"),
-        F.sum("b_n").over(wc).cast("bigint").alias("cum_b"),
-        F.sum("a_n").over(wall).cast("bigint").alias("n_a"),
-        F.sum("b_n").over(wall).cast("bigint").alias("n_b"),
+    # r11 global-window sweep: both running sums share ONE range
+    # shuffle (operators/rank.global_running_sums) instead of a
+    # single-partition window over the value-grain frame, and the
+    # totals are a 1-row aggregate broadcast (the x_null_semantics
+    # pattern) instead of an all-rows window.
+    from graphql_api_etl_spark.operators.rank import global_running_sums
+
+    cums = global_running_sums(
+        g, [F.asc("cents")], {"cum_a_raw": "a_n", "cum_b_raw": "b_n"}
+    )
+    tot = g.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    c = cums.crossJoin(F.broadcast(tot)).select(
+        F.col("cum_a_raw").cast("bigint").alias("cum_a"),
+        F.col("cum_b_raw").cast("bigint").alias("cum_b"),
+        "n_a",
+        "n_b",
     )
     s = c.groupBy("n_a", "n_b").agg(
         F.max(
@@ -7716,6 +7762,7 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.x").alias("xi"),
         F.col("b.x").alias("xj"),
     )
+    # global-window-ok: input is day-pair slopes — calendar²-bounded
     wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     r = p.select(
         "slope_micro",
@@ -8260,6 +8307,7 @@ def x_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # global-window-ok: input is the segment-grain aggregate — ≤5 rows
     wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     q = rev.select(
         "segment", "cents",
@@ -8272,6 +8320,7 @@ def x_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.select(
         "segment", "cents", "floor_bp", "rem",
         (10000 - F.sum("floor_bp").over(wall)).cast("bigint").alias("leftover"),
+        # global-window-ok: rank over the segment-grain frame — ≤5 rows
         F.row_number().over(W.orderBy(F.desc("rem"), F.asc("segment"))).cast("bigint").alias("rk"),
     )
     return r.select(
@@ -8372,23 +8421,28 @@ def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    wb_price = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    # r11 global-window sweep: both rank maps' exclusive cumsums run
+    # distributed (operators/rank.global_running_sums — one range
+    # shuffle each) instead of single-partition value-grain windows.
+    from graphql_api_etl_spark.operators.rank import global_running_sums
+
     gx = (
-        base.groupBy("price")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .select(
-            "price", "t",
-            F.coalesce(F.sum("t").over(wb_price), F.lit(0)).cast("bigint").alias("cumb"),
+        global_running_sums(
+            base.groupBy("price").agg(F.count(F.lit(1)).cast("bigint").alias("t")),
+            [F.asc("price")],
+            {"cumb_raw": "t"},
+            inclusive=False,
         )
+        .select("price", "t", F.col("cumb_raw").cast("bigint").alias("cumb"))
     )
-    wb_nli = W.orderBy("nli").rowsBetween(W.unboundedPreceding, -1)
     gy = (
-        base.groupBy("nli")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .select(
-            "nli", "t",
-            F.coalesce(F.sum("t").over(wb_nli), F.lit(0)).cast("bigint").alias("cumb"),
+        global_running_sums(
+            base.groupBy("nli").agg(F.count(F.lit(1)).cast("bigint").alias("t")),
+            [F.asc("nli")],
+            {"cumb_raw": "t"},
+            inclusive=False,
         )
+        .select("nli", "t", F.col("cumb_raw").cast("bigint").alias("cumb"))
     )
     gx2 = gx.select("price", F.col("t").alias("tx"), F.col("cumb").alias("cbx"))
     gy2 = gy.select("nli", F.col("t").alias("ty"), F.col("cumb").alias("cby"))
@@ -8480,6 +8534,7 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # global-window-ok: input is the day-grain aggregate — calendar-bounded
     wd = W.orderBy("day")
     s = d.select(
         "day", "n",
@@ -8591,6 +8646,7 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = (
         d.select(
+            # global-window-ok: input is the day-grain aggregate — calendar-bounded (and i ≤ 16 consumed)
             F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"), "n"
         )
         .filter(F.col("i") <= 16)
@@ -8762,10 +8818,17 @@ def a_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").alias("day"),
     )
     pg = pts.groupBy("price").agg(F.min("day").cast("bigint").alias("md"))
-    wb = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    m = pg.select(
+    # r11 global-window sweep: the strictly-lower running min runs
+    # distributed (operators/rank.global_running_min — one range
+    # shuffle), removing the single-partition window over the
+    # price-grain frame.
+    from graphql_api_etl_spark.operators.rank import global_running_min
+
+    m = global_running_min(
+        pg, [F.asc("price")], "md", out_col="m_lower_raw", inclusive=False
+    ).select(
         F.col("price").alias("mprice"), "md",
-        F.min("md").over(wb).cast("bigint").alias("m_lower"),
+        F.col("m_lower_raw").cast("bigint").alias("m_lower"),
     )
     return (
         pts.join(m, F.col("price") == F.col("mprice"))
@@ -8929,15 +8992,38 @@ def a_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("bigint").alias("a_n"),
         F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("bigint").alias("b_n"),
     )
-    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    c = g.select(
-        "cents",
-        F.sum("a_n").over(wc).cast("bigint").alias("cum_a"),
-        F.sum("b_n").over(wc).cast("bigint").alias("cum_b"),
-        F.sum("a_n").over(wall).cast("bigint").alias("n_a"),
-        F.sum("b_n").over(wall).cast("bigint").alias("n_b"),
-        F.lead("cents").over(W.orderBy("cents")).cast("bigint").alias("next_cents"),
+    # r11 global-window sweep: running sums via ONE range shuffle,
+    # totals via a 1-row broadcast aggregate, and the global lead()
+    # via a distributed row_number + rn↔rn+1 self-join — nothing
+    # value-grain ever funnels through a single partition.
+    from graphql_api_etl_spark.operators.rank import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    cums = global_running_sums(
+        g, [F.asc("cents")], {"cum_a_raw": "a_n", "cum_b_raw": "b_n"}
+    )
+    rn = global_row_number(cums, [F.asc("cents")], out_col="__rn")
+    nxt = rn.select(
+        (F.col("__rn") - 1).alias("__rn"),
+        F.col("cents").cast("bigint").alias("next_cents"),
+    )
+    tot = g.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    c = (
+        rn.join(nxt, "__rn", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            F.col("cum_a_raw").cast("bigint").alias("cum_a"),
+            F.col("cum_b_raw").cast("bigint").alias("cum_b"),
+            "n_a",
+            "n_b",
+            "next_cents",
+        )
     )
     s = (
         c.filter(F.col("next_cents").isNotNull())
@@ -9671,8 +9757,8 @@ def a_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons.
 
     Plan: one shuffle to (part, month) grain, one to part grain, a
-    part-dim ranking window for the cumulative share, one rollup to
-    ≤9 cells."""
+    DISTRIBUTED running share (operators/rank.global_running_sums,
+    r11) for the cumulative cut, one rollup to ≤9 cells."""
     li = _t(spark, sf_dir, "lineitem")
     pm = li.groupBy(
         F.col("l_partkey").alias("part"),
@@ -9689,14 +9775,21 @@ def a_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("s1"),
         F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("s2"),
     )
-    wc = W.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    abc = per.select(
-        "part", "rev", "n_m", "s1", "s2",
-        F.sum("rev").over(wc).cast("bigint").alias("cum"),
-        F.sum("rev").over(wall).cast("bigint").alias("total"),
+    # r11 global-window sweep: distributed running share + 1-row
+    # broadcast total (was a single-partition window over |parts|).
+    from graphql_api_etl_spark.operators.rank import global_running_sums
+
+    tot = per.agg(F.sum("rev").cast("bigint").alias("total"))
+    abc = (
+        global_running_sums(
+            per, [F.desc("rev"), F.asc("part")], {"cum_raw": "rev"}
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part", "rev", "n_m", "s1", "s2",
+            F.col("cum_raw").cast("bigint").alias("cum"),
+            "total",
+        )
     )
     var_num = F.col("n_m") * (F.col("n_m") * F.col("s2") - F.col("s1") * F.col("s1"))
     cv_den = F.col("s1") * F.col("s1") * (F.col("n_m") - 1)
@@ -10145,12 +10238,13 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gv = c.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
     vals = gv.groupBy("v").agg(F.sum("cg").cast("bigint").alias("t"))
-    wb = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    cum = vals.select(
-        "v",
-        "t",
-        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("bigint").alias("below"),
-    )
+    # r11 global-window sweep: distributed exclusive cumsum over the
+    # value grain (operators/rank.global_running_sums).
+    from graphql_api_etl_spark.operators.rank import global_running_sums
+
+    cum = global_running_sums(
+        vals, [F.asc("v")], {"below_raw": "t"}, inclusive=False
+    ).select("v", "t", F.col("below_raw").cast("bigint").alias("below"))
     ties = vals.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("bigint")
@@ -10910,6 +11004,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ev"), 1).otherwise(0)).cast("bigint").alias("d"),
         F.sum(F.when(F.col("ev"), 0).otherwise(1)).cast("bigint").alias("c"),
     )
+    # global-window-ok: input is the censoring-time aggregate — t ≤ 61 by construction
     w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     r = g.select(
         "t", "d",

@@ -647,6 +647,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_common"), F.asc("a"), F.asc("c"))
         .limit(20)
     )
+    # global-window-ok: rank over the limit(20) frame — ≤20 rows
     w = W.orderBy(F.desc("n_common"), F.asc("a"), F.asc("c"))
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
 

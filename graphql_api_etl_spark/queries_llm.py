@@ -1492,16 +1492,17 @@ def curate_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment — the packing step before
     training: documents in a stable order, running token total, shard
     id = ⌊(cum−1)/budget⌋ so each shard holds ~budget tokens. The
-    running sum is one window over the ordering key. At 100 TB the
-    same shape runs per stratum (PARTITION BY source) so no single
-    global ordering is required; the global variant here exists
-    because the oracle must see identical ordering."""
-    from pyspark.sql import Window as W
+    running sum runs DISTRIBUTED (r11:
+    operators/rank.global_running_sums — range repartition +
+    per-partition running sum + broadcast offsets, one range
+    shuffle), so the global packing order no longer funnels every
+    document through one partition; at 100 TB the same shape can
+    also run per stratum (PARTITION BY source)."""
+    from graphql_api_etl_spark.operators.rank import global_running_sums
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.token_count("text").alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    packed = global_running_sums(toks, [F.asc("doc_id")], {"cum_tokens": "n_tokens"})
     return packed.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -2897,9 +2898,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    ranked = counts.select(
+    # top-1000 via TakeOrderedAndProject, rank assigned over the 1000
+    # survivors (global-window-ok: <=1000 rows post-limit) — a rank-
+    # then-filter window would sort the whole vocabulary through one
+    # partition (r11 global-window sweep)
+    kept = counts.orderBy(F.desc("n"), F.asc("tok")).limit(1000)
+    ranked = kept.select(
+        # global-window-ok: rank over the limit(1000) frame — ≤1000 rows
         "n", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))).alias("rank")
-    ).filter(F.col("rank") <= 1000)
+    )
     top = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
@@ -3206,6 +3213,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(20)
     # rk is assigned AFTER the TakeOrdered limit: the window's single
     # partition holds exactly 20 rows, never the corpus.
+    # global-window-ok: rank over the limit(20) frame — ≤20 rows
     w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
@@ -3570,6 +3578,7 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim_micro"), F.asc("doc_id"))
         .limit(50)
     )
+    # global-window-ok: rank over the limit(50) frame — ≤50 rows
     wd = W.orderBy(F.desc("sim_micro"), F.asc("doc_id"))
     dense = densetop.select(
         "doc_id", F.row_number().over(wd).cast("bigint").alias("rk_dense")
@@ -3586,6 +3595,7 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(20)
     )
+    # global-window-ok: rank over the limit(20) frame — ≤20 rows
     wf = W.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
     return fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
 
@@ -4193,24 +4203,30 @@ def curate_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab stops paying.
 
     Plan: one partial-aggregated shuffle to the VOCAB-sized count
-    table (stopword mass collapses map-side), then ranking windows
-    over that frame — fine while the vocab fits a partition (here
-    ~30; at a 10⁷-type vocab the percentile-boundary pattern of
-    a_quantile_buckets replaces the global window, same as
-    text_zipf_fit documents for its rank cut)."""
+    table (stopword mass collapses map-side), then top-20 via
+    TakeOrderedAndProject with the rank/coverage windows over only
+    the 20 survivors and the total as a 1-row broadcast aggregate
+    (r11 global-window sweep) — no vocab-sized frame ever funnels
+    through one partition."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     )
     c = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # r11 global-window sweep: only ranks <= 20 are consumed, so keep
+    # the top 20 via TakeOrderedAndProject and rank/cumulate over
+    # those 20 rows (global-window-ok: <=20 rows post-limit); the
+    # vocabulary total is a 1-row broadcast aggregate instead of an
+    # all-rows window.
+    tot = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    top = c.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+    # global-window-ok: windows over the limit(20) frame — ≤20 rows
     wr = W.orderBy(F.desc("cnt"), F.asc("tok"))
     wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
-    r = c.select(
+    r = top.crossJoin(F.broadcast(tot)).select(
         F.row_number().over(wr).cast("bigint").alias("vocab_size"),
         F.sum("cnt").over(wc).cast("bigint").alias("covered"),
-        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )).cast("bigint").alias("total"),
+        "total",
     )
     return r.filter(F.col("vocab_size").isin(5, 10, 20)).select(
         "vocab_size", "covered", "total",
@@ -4630,10 +4646,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # top-25 via TakeOrderedAndProject; rank over the 25 survivors
+    # (global-window-ok) instead of every bigram through one partition
+    # (r11 global-window sweep)
+    # global-window-ok: rank over the limit(25) frame — ≤25 rows
     w = W.orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 25)
+        scored.orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(25)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select("w1", "w2", "cb", "pmi", "rk")
     )
 
@@ -4718,12 +4739,16 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vmr_micro"),
         )
     )
+    # limit BEFORE rank: TakeOrderedAndProject keeps the top 20, the
+    # rank window then runs over 20 rows (global-window-ok), not the
+    # whole vocabulary (r11 global-window sweep)
     return (
-        s.withColumn(
+        s.orderBy(F.desc("vmr_micro"), F.asc("tok"))
+        .limit(20)
+        .withColumn(
+            # global-window-ok: rank over the limit(20) frame — ≤20 rows
             "rk", F.row_number().over(W.orderBy(F.desc("vmr_micro"), F.asc("tok")))
         )
-        .orderBy(F.desc("vmr_micro"), F.asc("tok"))
-        .limit(20)
     )
 
 
@@ -5291,12 +5316,16 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("t_nano")).cast("bigint").alias("dsir_nano"),
         )
     )
+    # limit BEFORE rank (global-window-ok: 20 rows post-limit; the
+    # rank-then-limit form sorted every doc through one partition —
+    # r11 global-window sweep)
     return (
-        score.withColumn(
+        score.orderBy(F.desc("dsir_nano"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            # global-window-ok: rank over the limit(20) frame — ≤20 rows
             "rk", F.row_number().over(W.orderBy(F.desc("dsir_nano"), F.asc("doc_id")))
         )
-        .orderBy(F.desc("dsir_nano"), F.asc("doc_id"))
-        .limit(20)
         .select("doc_id", "n_tokens", "dsir_nano", "rk")
     )
 
@@ -5721,6 +5750,7 @@ def curate_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("bigint").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
     )
+    # global-window-ok: input is the z4 score-grain aggregate — z∈[0,1] fixed-pointed to ≤10⁴ distinct values
     wb = W.orderBy("z4").rowsBetween(W.unboundedPreceding, -1)
     c = g.select(
         "n_pos", "n_neg",
@@ -5836,6 +5866,7 @@ def curate_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
     )
     tot = g.agg(F.sum("n_pos").cast("bigint").alias("np"))
+    # global-window-ok: input is the z4 score-grain aggregate — ≤10⁴ distinct values
     wd = W.orderBy(F.desc("z4")).rowsBetween(W.unboundedPreceding, W.currentRow)
     c = g.select(
         "z4",

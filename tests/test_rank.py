@@ -1,0 +1,125 @@
+"""operators/rank: distributed global ordering vs the naive
+single-partition window — value-identical, scale-safe plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from graphql_api_etl_spark.operators.rank import (
+    global_row_number,
+    global_running_sum,
+    top_k_ranked,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_k_ranked_matches_naive_window(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 997).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = top_k_ranked(df, order, k=7, rank_col="rk").orderBy("rk").collect()
+    naive = (
+        df.withColumn("rk", F.row_number().over(W.orderBy(*order)))
+        .filter(F.col("rk") <= 7)
+        .orderBy("rk")
+        .collect()
+    )
+    assert [(r["id"], r["score"], r["rk"]) for r in got] == [
+        (r["id"], r["score"], r["rk"]) for r in naive
+    ]
+
+
+def test_top_k_ranked_plan_uses_take_ordered(spark):
+    """The point of the rewrite: per-partition partial top-k
+    (TakeOrderedAndProject), not a full sort through one partition."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).alias("score")
+    )
+    plan = _physical(top_k_ranked(df, [F.desc("score"), F.asc("id")], k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_row_number_matches_naive_window(spark):
+    df = spark.range(2000).select(
+        F.col("id"), ((F.col("id") * 40503) % 1009).alias("v")
+    )
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, order, out_col="rn").collect()
+    }
+    naive = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy(*order))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_global_row_number_plan_has_no_data_wide_single_partition_window(spark):
+    """The data-carrying window is partitioned (by the range-partition
+    id); the only unpartitioned window runs over the one-row-per-
+    partition offsets frame."""
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 13).alias("v"))
+    plan = _physical(global_row_number(df, [F.asc("v"), F.asc("id")]))
+    assert "rangepartitioning" in plan.lower()
+    # the per-partition window carries the partition-id key
+    assert "__rank_part__" in plan
+
+
+def test_global_ntile_matches_native_ntile(spark):
+    """Exact floor-balanced semantics vs F.ntile, across remainders
+    (n % k of 0, 1, k-1) and n < k."""
+    from graphql_api_etl_spark.operators.rank import global_ntile
+
+    for n in (3, 100, 101, 104, 1000):
+        df = spark.range(n).select(
+            F.col("id"), ((F.col("id") * 7919) % 6007).alias("v")
+        )
+        order = [F.asc("v"), F.asc("id")]
+        got = {
+            r["id"]: r["q"]
+            for r in global_ntile(df, order, 5, out_col="q").collect()
+        }
+        naive = {
+            r["id"]: r["q"]
+            for r in df.withColumn(
+                "q", F.ntile(5).over(W.orderBy(*order)).cast("long")
+            ).collect()
+        }
+        assert got == naive, f"n={n}"
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    df = spark.range(1500).select(
+        F.col("id"), ((F.col("id") * 48271) % 523).alias("x")
+    )
+    order = [F.asc("x"), F.asc("id")]
+    for inclusive in (True, False):
+        got = {
+            r["id"]: r["rs"]
+            for r in global_running_sum(
+                df, order, "x", out_col="rs", inclusive=inclusive
+            ).collect()
+        }
+        hi = 0 if inclusive else -1
+        naive = {
+            r["id"]: r["rs"]
+            for r in df.withColumn(
+                "rs",
+                F.coalesce(
+                    F.sum("x").over(
+                        W.orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+                    ),
+                    F.lit(0),
+                ),
+            ).collect()
+        }
+        assert got == naive, f"inclusive={inclusive}"
