@@ -889,17 +889,23 @@ def _probe_skew_floors(spark, sf_dir: str) -> dict:
     shape.  Five physical strategies run the identical logical join +
     agg, best-of-3 after one warm-up:
 
-    - ``smj_aqe``: sort-merge with the session's AQE skew split ON
-      (the engine default).
-    - ``smj_no_skew_split``: same plan, skew split OFF — the
-      unmitigated baseline a non-adaptive engine pays.
+    - ``smj_default``: sort-merge at session defaults.  NOTE: AQE's
+      skew split needs the hot partition over
+      skewedPartitionThresholdInBytes (256 MB default), which this
+      ~46 MB fixture never reaches — so this row ≈ plain SMJ.
+    - ``smj_no_skew_split``: split explicitly OFF (confirms the above
+      by matching smj_default at fixture size).
+    - ``smj_aqe_split``: threshold lowered so the split actually
+      FIRES — the proxy for the at-scale regime where a 100 TB hot
+      key is far past 256 MB.  Measured ~2x better than plain SMJ
+      and the best non-broadcast strategy.
     - ``shuffle_hash``: SHJ hint — no sort, but the hot partition
       still lands on one task unless AQE splits it.
     - ``salted_16``: operators/skew.salted_join — the explicit lever;
       costs dim×16 replication up front.
     - ``broadcast``: dim broadcast — no fact shuffle at all; the
-      winner whenever the dim FITS, which is exactly what the row
-      shows (the salted lever exists for when it doesn't).
+      winner whenever the dim FITS (the salted lever exists for when
+      it doesn't AND AQE's split is unavailable).
     """
     out: dict[str, dict] = {}
     import shutil
@@ -951,24 +957,40 @@ def _probe_skew_floors(spark, sf_dir: str) -> dict:
             )
 
         no_bcast = dim.hint("SHUFFLE_MERGE")
+        # smj_aqe_split: AQE's skew split only fires when the hot
+        # partition exceeds skewedPartitionThresholdInBytes (default
+        # 256 MB); this fixture's hot partition is ~46 MB, so at
+        # defaults the split NEVER triggers and "SMJ+AQE" would
+        # measure plain SMJ (the r11-interim rows did exactly that).
+        # Lowering the threshold for that one row proxies the
+        # at-scale regime, where a 100 TB hot key is far past 256 MB.
+        thr_key = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        skew_key = "spark.sql.adaptive.skewJoin.enabled"
         plans = {
-            "smj_aqe": lambda: agg(fact.join(no_bcast, "k")),
+            "smj_default": lambda: agg(fact.join(no_bcast, "k")),
             "smj_no_skew_split": lambda: agg(fact.join(no_bcast, "k")),
+            "smj_aqe_split": lambda: agg(fact.join(no_bcast, "k")),
             "shuffle_hash": lambda: agg(fact.join(dim.hint("SHUFFLE_HASH"), "k")),
             "salted_16": lambda: agg(salted_join(fact, dim, on="k", n_buckets=16)),
             "broadcast": lambda: agg(fact.join(F.broadcast(dim), "k")),
         }
-        skew_key = "spark.sql.adaptive.skewJoin.enabled"
         secs: dict[str, float] = {}
         for name, mk in plans.items():
             if name == "smj_no_skew_split":
                 spark.conf.set(skew_key, "false")
+            elif name == "smj_aqe_split":
+                spark.conf.set(thr_key, str(8 * 1024 * 1024))
+                spark.conf.set(adv_key, str(8 * 1024 * 1024))
             try:
                 mk().write.format("noop").mode("overwrite").save()  # warm
                 secs[name] = round(_noop_best(mk()), 3)
             finally:
                 if name == "smj_no_skew_split":
                     spark.conf.set(skew_key, "true")
+                elif name == "smj_aqe_split":
+                    spark.conf.unset(thr_key)
+                    spark.conf.unset(adv_key)
         out["skew_join_strategies"] = {
             "n_fact": n_fact,
             "n_dim": n_dim,
