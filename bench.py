@@ -789,9 +789,15 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
 
             def bucketed(path: str, base: str, key: str):
                 name = f"graft_bench_floors.{base}"
+                # one_file_per_bucket (r11): with ~2k files (64 write
+                # partitions × 32 buckets) the SMJ re-sorts the scan
+                # and the same join ran ~2x slower — the probe
+                # measures the properly-laid-out table a production
+                # job would write.
                 write_bucketed_table(
                     spark.read.parquet(path), name, [key],
                     num_buckets=32, sort_cols=[key],
+                    one_file_per_bucket=True,
                 )
                 return spark.table(name)
 
