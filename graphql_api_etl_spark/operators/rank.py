@@ -24,6 +24,15 @@ comment naming the bounded input, or routes through this module:
   same price any engine pays for a total order — and no single-task
   bottleneck.
 
+Plan-shape note: the offsets branch re-reads the range-shuffled frame,
+so each operator's LOGICAL plan contains its input subtree twice —
+Spark's exchange reuse dedupes the identical shuffle at runtime, so
+the data is ranged once.  Do NOT chain these operators back-to-back on
+each other's output, though: each link doubles the whole upstream plan
+(a three-deep ntile chain measured 253 pre-AQE exchanges in the plan
+audit).  Compute chained ranks as independent branches over a
+localCheckpointed base joined back on the key (see a_rfm_scores).
+
 The reference has no global-ranking operator (it is single-process
 pandas; ETL:1–6), so these are engine-native scale mechanics.
 """

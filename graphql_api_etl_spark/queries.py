@@ -3751,17 +3751,25 @@ def a_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/rank.global_ntile — one range shuffle each, exact
     # floor-balanced ntile arithmetic) instead of three
     # single-partition windows over the per-customer rollup.
+    # INDEPENDENT branches joined back on the key, not a chain: each
+    # global_ntile's offsets branch duplicates its input's plan, so
+    # chaining three multiplied the whole upstream 2^3-fold (253
+    # pre-AQE exchanges in the plan audit); the rollup is
+    # localCheckpointed (the a_spearman_corr multi-consumer pattern)
+    # and each branch reads it once.
     from graphql_api_etl_spark.operators.rank import global_ntile
 
+    base = base.localCheckpoint(eager=True)
     scored = base
     for out, order in (
         ("r_score", [F.asc("recency_days"), F.asc("c_custkey")]),
         ("f_score", [F.desc("frequency"), F.asc("c_custkey")]),
         ("m_score", [F.desc("monetary"), F.asc("c_custkey")]),
     ):
-        scored = global_ntile(scored, order, 5, out_col=out).withColumn(
-            out, F.col(out).cast("bigint")
+        branch = global_ntile(base, order, 5, out_col=out).select(
+            "c_custkey", F.col(out).cast("bigint").alias(out)
         )
+        scored = scored.join(branch, "c_custkey")
     scored = scored.select(
         "c_custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
