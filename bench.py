@@ -650,7 +650,7 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
             return (hi - lo) / extra_rows * 1e6 if hi - lo > MIN_DELTA else None
 
         def family(label, mk_spark, duck_sql, views_lo, views_hi,
-                   rows_base, rep_lo, rep_hi, extras=None):
+                   rows_base, rep_lo, rep_hi):
             """Measure one plan family at both endpoints on both
             engines.  mk_spark(endpoint) -> DataFrame; views_{lo,hi}
             are {table: path} for the DuckDB side."""
@@ -716,8 +716,6 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
                     else {}
                 ),
             }
-            if extras:
-                row.update(extras(extra))
             out[label] = row
 
         # --- tpch_q1: scan-agg shape --------------------------------
