@@ -23,72 +23,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-11 window: CORRECTNESS_r10 had ZERO misses (50/50 green) and
-# no entries were registered after scripts/window_r11.py was staged,
-# so the round-start act is `amend_window(PRIORITY_R11, [])` — the
-# pre-staged scripts/window_r11.py suggestion verbatim (an all-refresh
+# Round-12 window: CORRECTNESS_r11 had ZERO misses (50/50 green) and
+# no entries were registered after scripts/window_r12.py was staged,
+# so the round-start act is `amend_window(PRIORITY_R12, [])` — the
+# pre-staged scripts/window_r12.py suggestion verbatim (an all-refresh
 # window: the never-checked backlog has been zero since r9, so every
-# slot goes to the entries whose latest green is OLDEST — the two r4
-# entries the mid-r10 registrations displaced (tpch_q20/q21), the
-# remaining r4 cohort, then the earliest r5 cohort, in
-# (latest_green, registration) order).
+# slot goes to the entries whose latest green is OLDEST — the r5
+# remainder, then the earliest r6 cohort, in (latest_green,
+# registration) order).
 # tests/test_entry_contract.py's
-# test_current_window_is_the_prestaged_r11_list verifies the live
-# window equals amend_window(PRIORITY_R11, misses + never-checked)
+# test_current_window_is_the_prestaged_r12_list verifies the live
+# window equals amend_window(PRIORITY_R12, misses + never-checked)
 # exactly. Entries outside the window stay green on the local
 # driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
 # each commit.
 _PRIORITY = [
-    "tpch_q20_excess_suppliers",  # refresh: green r4
-    "tpch_q21_waiting_suppliers",  # refresh: green r4
-    "a_rollup_counts",  # refresh: green r4
-    "events_tumbling_window",  # refresh: green r4
-    "events_sessionize",  # refresh: green r4
-    "a_cube_counts",  # refresh: green r4
-    "a_unpivot_measures",  # refresh: green r4
-    "x_posexplode_tokens",  # refresh: green r4
-    "events_json_props",  # refresh: green r4
-    "a_approx_count_distinct",  # refresh: green r4
-    "a_approx_percentiles",  # refresh: green r4
-    "dedup_minhash_lsh",  # refresh: green r4
-    "dedup_cluster_components",  # refresh: green r4
-    "sim_topk_bruteforce",  # refresh: green r4
-    "sim_topk_ivf",  # refresh: green r4
-    "mm_extract_features",  # refresh: green r4
-    "mm_thumbnails",  # refresh: green r4
-    "mm_frame_sample",  # refresh: green r4
-    "dedup_embedding_cosine",  # refresh: green r4
-    "text_winnowing",  # refresh: green r4
-    "a_two_phase_agg",  # refresh: green r5
-    "source_jsonl_roundtrip",  # refresh: green r5
-    "source_orc_roundtrip",  # refresh: green r5
-    "dedup_cluster_keepers",  # refresh: green r5
-    "text_repetition_stats",  # refresh: green r5
-    "text_pii_scrub",  # refresh: green r5
-    "curate_stratified_best",  # refresh: green r5
-    "curate_decontaminate",  # refresh: green r5
-    "emb_quantize_int8",  # refresh: green r5
-    "curate_winsorize",  # refresh: green r5
-    "curate_domain_mixture",  # refresh: green r5
-    "curate_token_packing",  # refresh: green r5
-    "dedup_span_exact",  # refresh: green r5
-    "curate_global_shuffle",  # refresh: green r5
-    "curate_bloom_decontaminate",  # refresh: green r5
-    "text_unigram_logprob",  # refresh: green r5
-    "curate_quality_logit",  # refresh: green r5
-    "curate_embedding_outliers",  # refresh: green r5
-    "sim_topk_matmul",  # refresh: green r5
-    "curate_training_manifest",  # refresh: green r5
-    "text_hash_embedding",  # refresh: green r5
-    "curate_text_clusters",  # refresh: green r5
-    "curate_mixture_temperature",  # refresh: green r5
-    "dedup_url_canonicalize",  # refresh: green r5
-    "curate_code_filter",  # refresh: green r5
-    "text_tfidf_topterms",  # refresh: green r5
-    "curate_train_split",  # refresh: green r5
-    "text_chunk_windows",  # refresh: green r5
-    "emb_pca_project",  # refresh: green r5
-    "sim_knn_classify",  # refresh: green r5
+    "text_zipf_fit",  # refresh: green r5
+    "curate_weighted_sample",  # refresh: green r5
+    "mm_audio_rms",  # refresh: green r5
+    "mm_image_histogram",  # refresh: green r5
+    "text_bm25_topk",  # refresh: green r5
+    "text_lm_score",  # refresh: green r5
+    "dedup_semdedup",  # refresh: green r5
+    "sim_rrf_hybrid",  # refresh: green r5
+    "curate_stratified_sample",  # refresh: green r5
+    "sim_topk_hamming",  # refresh: green r5
+    "dedup_containment_pairs",  # refresh: green r5
+    "dedup_lsh_recall_eval",  # refresh: green r5
+    "mm_video_scene_cut",  # refresh: green r5
+    "sim_ann_recall_eval",  # refresh: green r5
+    "sim_matryoshka_recall",  # refresh: green r5
+    "emb_triplet_mining",  # refresh: green r5
+    "curate_vocab_coverage",  # refresh: green r5
+    "sink_merge_upsert",  # refresh: green r5
+    "graph_pagerank",  # refresh: green r5
+    "a_survival_km",  # refresh: green r5
+    "a_grouping_sets",  # refresh: green r6
+    "events_markov_transitions",  # refresh: green r6
+    "events_json_variant",  # refresh: green r6
+    "sim_topk_pq",  # refresh: green r6
+    "sim_topk_ivfpq",  # refresh: green r6
+    "dedup_panel_report",  # refresh: green r6
+    "curate_split_leakage",  # refresh: green r6
+    "text_jsd_by_lang",  # refresh: green r6
+    "text_rake_keyphrases",  # refresh: green r6
+    "text_pmi_collocations",  # refresh: green r6
+    "text_word_burstiness",  # refresh: green r6
+    "text_langid_eval",  # refresh: green r6
+    "curate_gate_ablation",  # refresh: green r6
+    "curate_ccnet_buckets",  # refresh: green r6
+    "emb_class_separation",  # refresh: green r6
+    "sim_mmr_rerank",  # refresh: green r6
+    "curate_dsir_weights",  # refresh: green r6
+    "mm_image_ahash_dedup",  # refresh: green r6
+    "mm_audio_silence_segments",  # refresh: green r6
+    "curate_quality_auc",  # refresh: green r6
+    "curate_f1_threshold",  # refresh: green r6
+    "dedup_yield_curve",  # refresh: green r6
+    "text_langid_kappa",  # refresh: green r6
+    "text_readability_flesch",  # refresh: green r6
+    "events_latest_per_user",  # refresh: green r6
+    "source_text_lines",  # refresh: green r6
+    "sink_scd2_history",  # refresh: green r6
+    "x_datetime_functions",  # refresh: green r6
+    "curate_dataset_card",  # refresh: green r6
+    "x_math_functions",  # refresh: green r6
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

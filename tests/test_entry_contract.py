@@ -340,6 +340,59 @@ def test_prestaged_r12_window_is_valid_under_both_simulated_histories():
     assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
 
 
+def test_prestaged_r13_window_is_valid_under_both_simulated_histories():
+    """The window_r9..r12 pattern carried forward: the pre-staged r13
+    window (scripts/window_r13.py) must satisfy the freshness
+    invariant against a simulated all-green round 12 AND against a
+    round 12 with misses present, after the documented amend_window
+    round-start step."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, check_window, load_history
+    from window_r13 import PRIORITY_R13
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    assert len(PRIORITY_R13) == 50 and len(set(PRIORITY_R13)) == 50
+    assert all(n in reg_order for n in PRIORITY_R13)
+
+    base_lg, base_fg, _misses, newest = load_history(repo, reg_order)
+
+    def round_start_window(sim_misses: list[str], lg: dict[str, int]) -> list[str]:
+        never = [n for n in names if n not in lg and n not in sim_misses]
+        return amend_window(PRIORITY_R13, sim_misses + never)
+
+    # History 1: the next round goes all-green over the live window.
+    lg = dict(base_lg)
+    fg = dict(base_fg)
+    for n in names[:50]:
+        lg[n] = newest + 1
+        fg.setdefault(n, newest + 1)
+    w1 = round_start_window([], lg)
+    problems = check_window(w1, names, lg, fg, [], newest + 1)
+    assert problems == [], "all-green history:\n" + "\n".join(problems)
+    assert [n for n in names if n not in lg and n not in set(w1)] == []
+
+    # History 2: the next round produces misses — the amended window
+    # must re-check them first and stay green.
+    sim_misses = [names[0], names[7]]
+    lg2 = dict(base_lg)
+    fg2 = dict(base_fg)
+    for n in names[:50]:
+        if n in sim_misses:
+            lg2.pop(n, None)
+            continue
+        lg2[n] = newest + 1
+        fg2.setdefault(n, newest + 1)
+    amended = round_start_window(sim_misses, lg2)
+    assert len(amended) == 50 and amended[:2] == sim_misses
+    problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
+    assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
+
+
 def test_duplicate_registration_raises():
     """Catalog names are unique by construction (VERDICT r5 ask #4):
     re-registering a name raises instead of silently shadowing the
@@ -407,6 +460,32 @@ def test_current_window_is_the_prestaged_r11_list():
         pytest.skip("only meaningful while r10 is the newest history")
     never = [n for n in QUERIES if n not in lg and n not in misses]
     assert names[:50] == amend_window(PRIORITY_R11, misses + never)
+
+
+def test_current_window_is_the_prestaged_r12_list():
+    """The live round-12 window must equal the pre-staged list amended
+    per the documented round-start policy (scripts/window_r12.py +
+    rotate_window.amend_window): real r11 misses first (there were
+    none — CORRECTNESS_r11 is 50/50 green), then entries registered
+    after window_r12.py was staged (none — the catalog gained zero
+    entries in r11), so the window is PRIORITY_R12 verbatim."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, load_history
+    from window_r12 import PRIORITY_R12
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 11:
+        pytest.skip("only meaningful while r11 is the newest history")
+    never = [n for n in QUERIES if n not in lg and n not in misses]
+    assert names[:50] == amend_window(PRIORITY_R12, misses + never)
 
 
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
