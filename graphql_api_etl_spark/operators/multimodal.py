@@ -1099,7 +1099,13 @@ def _g711_lut(fmt_code: int):
         import numpy as np
 
         decode = ulaw_decode_byte if fmt_code == 7 else alaw_decode_byte
-        _G711_LUTS[fmt_code] = np.array([decode(b) for b in range(256)], dtype=np.int64)
+        # setdefault so concurrent first calls from local executor
+        # threads race benignly: both build the identical 256-entry
+        # table but only one is installed and returned everywhere.
+        _G711_LUTS.setdefault(
+            fmt_code,
+            np.array([decode(b) for b in range(256)], dtype=np.int64),
+        )
     return _G711_LUTS[fmt_code]
 
 

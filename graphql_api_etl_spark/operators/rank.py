@@ -24,6 +24,17 @@ comment naming the bounded input, or routes through this module:
   same price any engine pays for a total order — and no single-task
   bottleneck.
 
+Determinism precondition: the offsets branch and the data branch are
+two reads of the SAME range-shuffled frame, and correctness requires
+``spark_partition_id()`` to assign each row the same partition in
+both.  That holds when the input is deterministic (parquet scans,
+pure transformations) because Spark reuses the identical exchange —
+but a NON-deterministic upstream (unseeded ``sample()``, round-robin
+``repartition(n)``, a source that changes between reads) can evaluate
+differently per branch and silently mis-assign offsets.  Callers with
+such inputs must materialize first (``df.localCheckpoint()`` or write
++ re-read) before calling these operators.
+
 Plan-shape note: the offsets branch re-reads the range-shuffled frame,
 so each operator's LOGICAL plan contains its input subtree twice —
 Spark's exchange reuse dedupes the identical shuffle at runtime, so
@@ -193,6 +204,11 @@ def global_ntile(
     and DuckDB's window ntile implement.  One range shuffle instead of
     the single-partition window."""
     k = int(n_tiles)
+    if k <= 0:
+        # Match F.ntile, which rejects non-positive buckets at analysis
+        # time; without this the integer div-by-zero below would yield
+        # silent NULL tiles instead of an error.
+        raise ValueError(f"global_ntile requires n_tiles >= 1, got {n_tiles}")
     rn_df = global_row_number(df, order_by, out_col="__ntile_rn__")
     n_row = rn_df.agg(F.max("__ntile_rn__").cast("long").alias("__ntile_n__"))
     staged = (

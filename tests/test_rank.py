@@ -3,6 +3,7 @@ single-partition window — value-identical, scale-safe plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -95,6 +96,18 @@ def test_global_ntile_matches_native_ntile(spark):
             ).collect()
         }
         assert got == naive, f"n={n}"
+
+
+def test_global_ntile_rejects_non_positive_buckets(spark):
+    """F.ntile rejects k <= 0 at analysis time; global_ntile must
+    raise too instead of emitting silent NULL tiles from the integer
+    div-by-zero (ADVICE r11)."""
+    from graphql_api_etl_spark.operators.rank import global_ntile
+
+    df = spark.range(10).select(F.col("id"))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n_tiles"):
+            global_ntile(df, [F.asc("id")], bad)
 
 
 def test_global_running_sum_matches_naive_window(spark):
