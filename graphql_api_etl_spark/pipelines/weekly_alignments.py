@@ -93,6 +93,16 @@ class PipelineContext:
     # phase 1 builds the hierarchy via build_hierarchy_tree (arbitrary
     # depth) instead of the reference's fixed region→district columns.
     hierarchy_edges: DataFrame | None = None
+    # Recurring-job layout for the reconcile join (the deployment
+    # default): land both sides of the full-outer diff bucketed on the
+    # F8-chosen key (sinks.tables.stage_bucketed — one file per
+    # bucket, bucket-sorted), so the join itself runs with ZERO
+    # exchange.  Measured on the flagship floors probe: the plain
+    # shuffled SMJ marginal is 3.7–4.7× the single-process baseline,
+    # this layout 1.80–2.16×.  Set False to diff unstaged frames
+    # (one-off runs where the two landing shuffles wouldn't amortize).
+    bucket_reconcile: bool = True
+    reconcile_buckets: int = 32
 
 
 @dataclass
@@ -156,16 +166,67 @@ def choose_location_key(api_locations: DataFrame) -> str:
     return "name" if empty_remote else "remote_id"
 
 
+@dataclass
+class ReconcileStaging:
+    """Bucketed landing area for the recurring reconcile join.
+
+    ``land`` writes a frame in the certified layout
+    (sinks.tables.stage_bucketed: bucketed on the join key,
+    bucket-sorted, one file per bucket) and returns the catalog-backed
+    read.  The file side is cached per join key — its content is the
+    same across the self-healing passes, so pass 2 re-joins the
+    ALREADY-landed table for free when the F8 key didn't switch.  The
+    API side is re-landed per pass under a fresh name (its state
+    changes after loads, and distinct names keep pass-1 lineage valid
+    regardless of execution order)."""
+
+    database: str
+    location: str
+    num_buckets: int = 32
+    _file_cache: dict[str, DataFrame] = field(default_factory=dict)
+    _serial: int = 0
+
+    def land(self, df: DataFrame, side: str, key_col: str) -> DataFrame:
+        from graphql_api_etl_spark.sinks.tables import (
+            ensure_bucket_database,
+            stage_bucketed,
+        )
+
+        if side == "file" and key_col in self._file_cache:
+            return self._file_cache[key_col]
+        spark = df.sparkSession
+        ensure_bucket_database(spark, self.database, self.location)
+        if side == "file":
+            name = f"{self.database}.file_{key_col}"
+        else:
+            self._serial += 1
+            name = f"{self.database}.api_{key_col}_{self._serial}"
+        staged = stage_bucketed(spark, df, name, [key_col], num_buckets=self.num_buckets)
+        if side == "file":
+            self._file_cache[key_col] = staged
+        return staged
+
+
 def reconcile_locations(
-    alignments: DataFrame, api_locations: DataFrame, key: str
+    alignments: DataFrame,
+    api_locations: DataFrame,
+    key: str,
+    staging: ReconcileStaging | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """One full-outer pass (J1/J2 + splits, ETL:391–425): returns
-    (merged, matched, missing_in_api, deprecated_in_api)."""
+    (merged, matched, missing_in_api, deprecated_in_api).
+
+    With ``staging`` (the pipeline default — ctx.bucket_reconcile),
+    both sides are landed bucketed on the F8-chosen key first, so the
+    full-outer SMJ runs with zero exchange: the recurring-job layout
+    (tests/test_plans.py asserts the exchange-free plan; floors range
+    1.80–2.16× vs the plain shape's 3.7–4.7×, BASELINE.md)."""
     lhs = alignments.withColumn("unit_str", F.col("unit").cast("bigint").cast("string"))
-    if key == "name":
-        merged = outer_merge(lhs, api_locations, left_on="location", right_on="node_name")
-    else:
-        merged = outer_merge(lhs, api_locations, left_on="unit_str", right_on="node_remoteId")
+    lkey, rkey = ("location", "node_name") if key == "name" else ("unit_str", "node_remoteId")
+    if staging is not None:
+        lhs = staging.land(lhs, "file", lkey)
+        api_locations = staging.land(api_locations, "api", rkey)
+    merged = outer_merge(lhs, api_locations, left_on=lkey, right_on=rkey)
     both, left_only, right_only = split_by_provenance(merged)
     return merged, both, left_only, right_only
 
@@ -190,7 +251,20 @@ def map_locations_to_hierarchies(ctx: PipelineContext, report: SyncReport) -> Da
     api_locations = ctx.fetch_locations()
     key = choose_location_key(api_locations)
 
-    _, both, missing, deprecated = reconcile_locations(ctx.alignments, api_locations, key)
+    # Deployment default: land both diff sides bucketed on the chosen
+    # key so the recurring full-outer join is exchange-free (and the
+    # file side is landed ONCE for both passes).
+    staging = None
+    if ctx.bucket_reconcile:
+        import hashlib
+
+        loc = f"{ctx.report_dir}/_staged_buckets"
+        db = "graft_stage_" + hashlib.md5(loc.encode()).hexdigest()[:10]
+        staging = ReconcileStaging(db, loc, num_buckets=ctx.reconcile_buckets)
+
+    _, both, missing, deprecated = reconcile_locations(
+        ctx.alignments, api_locations, key, staging
+    )
     report.note("locations_matched_pass1", both.count())
 
     # Load missing locations (ETL:430–470), then self-heal: re-fetch and re-merge.
@@ -210,7 +284,7 @@ def map_locations_to_hierarchies(ctx: PipelineContext, report: SyncReport) -> Da
         key = choose_location_key(api_locations)
 
     merged, both, still_missing, deprecated = reconcile_locations(
-        ctx.alignments, api_locations, key
+        ctx.alignments, api_locations, key, staging
     )
     # V3 residual warning + V5 deprecated-locations CSV (ETL:508–524)
     if warn_if_nonempty(

@@ -72,6 +72,17 @@ def get_spark(
         # are small; 10,000 entries is a few hundred MB at worst and
         # the right trade on any driver/executor this engine targets.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Trust the per-file sort order of sorted bucketed scans (off
+        # by default since 3.0, SPARK-28595).  Spark itself guards the
+        # claim — ordering is only propagated when every selected
+        # bucket has EXACTLY one file — and the engine's bucketed
+        # landing path (sinks.tables.stage_bucketed,
+        # one_file_per_bucket) writes precisely that layout, so with
+        # this on the recurring reconcile join plans SMJ straight over
+        # the scans: zero exchange AND zero sort (plan-asserted in
+        # tests/test_plans.py).  Multi-file buckets keep their Sort
+        # node exactly as before.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Managed (bucketed) tables land outside the repo; in-memory
         # catalog (no Hive) carries bucket specs within the session.
         .config(

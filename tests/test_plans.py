@@ -235,3 +235,41 @@ def test_runtime_bloom_filter_injects_on_selective_smj(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_staged_reconcile_join_has_zero_exchange(spark, sf_dir, tmp_path):
+    """The pipeline's deployment-default reconcile layout (VERDICT r11
+    ask #1): both diff sides landed via ReconcileStaging (bucketed on
+    the F8 key, bucket-sorted, one file per bucket) must give the
+    full-outer SMJ with ZERO Exchange on either side — the layout the
+    flagship floors row certifies at 1.80–2.16× vs the plain shuffled
+    shape's 3.7–4.7×."""
+    from graphql_api_etl_spark.operators.join import outer_merge
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("location"),
+        "c_mktsegment",
+    )
+    api = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("node_name"),
+        "o_orderpriority",
+    )
+    staging = ReconcileStaging(
+        "graft_stage_plantest", str(tmp_path / "staged"), num_buckets=8
+    )
+    lhs = staging.land(cust, "file", "location")
+    rhs = staging.land(api, "api", "node_name")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = outer_merge(lhs, rhs, left_on="location", right_on="node_name")
+        plan = executed_plan(merged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "Exchange" not in plan, plan
+    # one file per bucket → the scans' sort order is trusted: no Sort
+    # node below the join either.
+    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_plantest CASCADE")
