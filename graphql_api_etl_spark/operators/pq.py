@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from graphql_api_etl_spark.operators.similarity import collect_query_matrix
+
 
 def _seq_dot(a, b) -> float:
     """Left-associative sequential float64 dot — bit-identical to
@@ -221,7 +223,7 @@ def topk_pq(
     bits = max(4, (kc - 1).bit_length())
     mask = (1 << bits) - 1
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_matrix(queries, id_col, vec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1)
@@ -344,7 +346,7 @@ def topk_ivfpq(
         queries.select(id_col, vec_col), centroids, nprobe=nprobe, vec_col=vec_col
     ).select(F.col(id_col).alias("query_id"), "ivf_bucket")
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_matrix(queries, id_col, vec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1)

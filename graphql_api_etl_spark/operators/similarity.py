@@ -360,6 +360,42 @@ def _bucket_arrow_udf(n_planes: int, dim: int):
     return pandas_udf("long")(bucket)
 
 
+# The search-operator contract: the query side is a SERVING BATCH
+# (|Q| ≪ corpus), collected once to the driver and broadcast inside
+# the scoring closure.  This cap turns a silently-wrong use (a
+# fact-scale query frame OOMing the driver) into an actionable error.
+# At the default, a dim-64 float64 matrix is ~32 MB — comfortably
+# driver-sized; raise it deliberately if your serving batches are
+# bigger, or switch paths entirely when |Q| is fact-scale.
+MAX_QUERY_BATCH = 65536
+
+
+def collect_query_matrix(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_queries: int = MAX_QUERY_BATCH,
+) -> list:
+    """Collect the query side of an ANN search, enforcing the
+    |Q| ≪ corpus contract shared by topk_matmul / topk_pq /
+    topk_ivfpq.  Raises with the scale-path alternative named when the
+    frame exceeds ``max_queries`` (docs/PLANS.md: for fact-scale |Q|
+    use the all-distributed paths — topk_bruteforce /
+    topk_bucketed LSH — whose pair generation is a join, not a
+    driver-side closure)."""
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query side exceeds the {max_queries}-row serving-batch cap: "
+            "the matmul/PQ/IVF-PQ search operators collect the query "
+            "matrix to the driver by contract (|Q| << corpus). For a "
+            "fact-scale query frame use the distributed pair paths "
+            "instead (similarity.topk_bruteforce or similarity."
+            "topk_bucketed), or raise max_queries deliberately."
+        )
+    return rows
+
+
 def stack_f64(values) -> "object":
     """Stack a pandas Series of fixed-dim vectors (Arrow list cells
     arrive as np.ndarray or list) into an (n, dim) float64 matrix via
@@ -405,7 +441,7 @@ def topk_matmul(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_matrix(queries, id_col, vec_col)
     qids = [int(r[0]) for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -778,3 +778,22 @@ def test_interval_coalesce_hand_spans(spark):
         .collect()
     }
     assert spans == {(d(1), d(10)): 3, (d(12), d(13)): 2, (d(14), d(20)): 2}
+
+
+def test_ann_query_collect_cap(spark):
+    """The matmul/PQ/IVF-PQ search operators collect the query side by
+    contract (|Q| << corpus); collect_query_matrix turns a fact-scale
+    query frame into an actionable error naming the distributed
+    alternative instead of a driver OOM (VERDICT r11 ask #5)."""
+    import pytest as _pytest
+
+    from graphql_api_etl_spark.operators.similarity import collect_query_matrix
+
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    rows = collect_query_matrix(df, "vec_id", "embedding", max_queries=10)
+    assert len(rows) == 10  # at the cap: all rows, no error
+    with _pytest.raises(ValueError, match="topk_bruteforce"):
+        collect_query_matrix(df, "vec_id", "embedding", max_queries=9)
