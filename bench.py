@@ -779,25 +779,28 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
         # join many times).  The DuckDB denominator is the plain
         # flagship marginal: same rows, same logical query.
         try:
-            spark.sql(
-                "CREATE DATABASE IF NOT EXISTS graft_bench_floors "
-                f"LOCATION '{tmp}/bucketed'"
+            from graphql_api_etl_spark.sinks.tables import (
+                ensure_bucket_database,
+                stage_bucketed,
             )
-            from graphql_api_etl_spark.sinks.tables import write_bucketed_table
+
+            ensure_bucket_database(
+                spark, "graft_bench_floors", f"{tmp}/bucketed"
+            )
 
             def bucketed(path: str, base: str, key: str):
-                name = f"graft_bench_floors.{base}"
-                # one_file_per_bucket (r11): with ~2k files (64 write
-                # partitions × 32 buckets) the SMJ re-sorts the scan
-                # and the same join ran ~2x slower — the probe
-                # measures the properly-laid-out table a production
-                # job would write.
-                write_bucketed_table(
-                    spark.read.parquet(path), name, [key],
-                    num_buckets=32, sort_cols=[key],
-                    one_file_per_bucket=True,
+                # The DEPLOYED landing path (r12): stage_bucketed is
+                # what the pipeline's ReconcileStaging runs, so this
+                # floors row certifies the recurring-job layout as
+                # shipped — one file per bucket (r11: the ~2k-file
+                # layout re-sorted the scan and ran ~2x slower) and,
+                # with the session's bucketed-scan ordering conf, SMJ
+                # straight over the scans with zero exchange AND zero
+                # sort.
+                return stage_bucketed(
+                    spark, spark.read.parquet(path),
+                    f"graft_bench_floors.{base}", [key], num_buckets=32,
                 )
-                return spark.table(name)
 
             cb_lo = bucketed(c_lo, "cust_lo", "c_custkey").filter(F.col("c_acctbal") > 0)
             ob_lo = bucketed(o_lo, "ord_lo", "o_custkey").filter(F.col("o_totalprice") > 50000)
@@ -873,6 +876,34 @@ def _probe_relational_floors(spark, sf_dir: str) -> dict:
                 {"events": hi_path},
                 n_e, 8, rep_hi,
             )
+
+        # --- dedup_span_exact: explode → span-window → reassembly ----
+        # (r12, VERDICT r11 ask #2: the last ≥2x-nominal headline
+        # without a floors range.)  Replicas offset doc_id so the
+        # reassembly key stays unique; span texts repeat across
+        # replicas, which only deepens the (balanced, high-cardinality)
+        # span-window partitions — both engines run the identical
+        # rows.  docs is 5k rows × ~50 words at sf0.1, so HI=96x puts
+        # ~0.44M docs (~1.4M exploded spans) of slope signal on the
+        # probe.
+        from graphql_api_etl_spark.queries_llm import _span_exact_report
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_d = docs.count()
+        dx_lo = materialize(docs, "docs_lo", 8, ("doc_id",))
+        dx_hi = materialize(docs, "docs_hi", 96, ("doc_id",))
+        family(
+            "dedup_span_exact",
+            lambda e: _span_exact_report(
+                spark.read.parquet(dx_lo if e == "lo" else dx_hi).select(
+                    "doc_id", "text"
+                )
+            ),
+            QUERIES["dedup_span_exact"][1],
+            {"documents": dx_lo},
+            {"documents": dx_hi},
+            n_d, 8, 96,
+        )
 
         con.close()
     except Exception as exc:  # noqa: BLE001

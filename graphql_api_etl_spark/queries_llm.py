@@ -1673,6 +1673,14 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — the span window is already the first shuffle, so an extra
     exchange only adds latency.)"""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _span_exact_report(docs)
+
+
+def _span_exact_report(docs: DataFrame) -> DataFrame:
+    """The dedup_span_exact plan on a prepared (doc_id, text) frame —
+    shared by the catalog entry and bench.py's replicated
+    marginal-floor probe so the probe times the identical code path,
+    not a hand-copied twin."""
     out = C.dedup_spans(docs)
     return out.select(
         "doc_id", "n_spans", "n_kept", F.md5("new_text").alias("new_text_md5")
