@@ -94,3 +94,61 @@ def two_phase_agg(
         raise ValueError("no aggregates requested")
     partial = salted.groupBy(*keys, _SALT).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (the same statistic the
+    broadcast planner consults): optimizedPlan().stats.sizeInBytes.
+    An upper-bound heuristic — filters without column stats keep the
+    parent size — which is the right bias for a broadcast decision."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def skew_aware_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 * 1024 * 1024,
+    dim_size_bytes: int | None = None,
+    hot_partition_bytes: int | None = None,
+    aqe_split_threshold_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Equi-join with the strategy picked by the MEASURED r11 skew
+    decision table (docs/PLANS.md, bench.py ``_probe_skew_floors``:
+    broadcast ~6× > AQE skew-split (fired) ~2× > SHJ > plain SMJ ≈
+    salted), instead of hand-chosen hints per call site:
+
+    1. **Dim fits the broadcast budget** → ``broadcast(dim)``: no
+       shuffle, skew-immune, the 6× winner whenever legal (broadcast
+       cannot carry the dim side of a full/right-outer).
+    2. **Hot key past AQE's split threshold** → plain sort-merge and
+       let AQE's skew split fire at runtime (the session enables it);
+       measured the best shuffle strategy once fired.
+    3. **Skewed but UNDER the split threshold** (AQE won't trigger —
+       its default needs a >256 MB hot partition) → ``SHUFFLE_HASH``
+       hint: no per-partition sort, the next-best measured strategy.
+    4. **No skew signal** → plain equi-join; Catalyst/AQE pick as
+       usual.
+
+    ``hot_partition_bytes`` is the caller's estimate of the hottest
+    join-key partition (e.g. ``fact_bytes × hot_key_share`` from the
+    ``a_key_skew_report`` entry); ``dim_size_bytes`` defaults to
+    Catalyst's own estimate via :func:`plan_size_bytes`.  Explicit
+    salting is deliberately NOT in the table: measured within noise of
+    plain SMJ (its dim×N replication eats the task-spread win) — it
+    remains the manual fallback for engines/versions without AQE.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    outer_to_dim = how.lower().replace("_", "") in {"fullouter", "full", "rightouter", "right", "outer"}
+    size = dim_size_bytes if dim_size_bytes is not None else plan_size_bytes(dim)
+    if size <= broadcast_threshold_bytes and not outer_to_dim:
+        return fact.join(F.broadcast(dim), keys, how)
+    if hot_partition_bytes is not None and hot_partition_bytes <= aqe_split_threshold_bytes:
+        # skewed-but-small hot key: AQE's splitter stays dormant, so
+        # pick the measured runner-up explicitly (no sort phase).
+        if not outer_to_dim:
+            return fact.join(dim.hint("SHUFFLE_HASH"), keys, how)
+    # plain SMJ: AQE skew split handles hot keys past its threshold,
+    # and it is the only spill-safe choice for outer joins to the dim.
+    return fact.join(dim, keys, how)

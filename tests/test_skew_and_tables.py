@@ -213,3 +213,56 @@ def test_dpp_prunes_fact_partitions(spark, sf_oracle_dir):
     # the pruning subquery must hang off the broadcast dim, not a
     # re-scan of the fact
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
+
+
+def test_skew_aware_join_picks_measured_strategies(spark, sf_dir):
+    """skew_aware_join encodes the measured r11 decision table
+    (VERDICT r11 ask #8): broadcast when the dim fits; SHUFFLE_HASH
+    when a skew signal exists but sits under AQE's split threshold
+    (where the splitter stays dormant); plain SMJ when the hot key is
+    past the threshold (AQE fires at runtime) and for outer joins to
+    the dim side."""
+    from graphql_api_etl_spark.operators.skew import skew_aware_join
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    fact = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").withColumnsRenamed(
+        {"c_custkey": "o_custkey"}
+    )
+
+    # 1: dim fits -> broadcast, no shuffle on either side.
+    p1 = executed_plan(skew_aware_join(fact, dim, "o_custkey"))
+    assert "BroadcastHashJoin" in p1
+
+    # 3: dim declared over-budget + hot key under AQE threshold -> SHJ.
+    p3 = executed_plan(
+        skew_aware_join(
+            fact, dim, "o_custkey",
+            dim_size_bytes=1 << 40, hot_partition_bytes=64 << 20,
+        )
+    )
+    assert "ShuffledHashJoin" in p3 and "BroadcastHashJoin" not in p3
+
+    # 2: hot key past the AQE threshold -> plain SMJ (AQE splits at
+    # runtime); no hint, no broadcast.  The helper returns an unhinted
+    # join here ON PURPOSE — at test scale Catalyst's own stats would
+    # still auto-broadcast the tiny dim, so simulate the
+    # over-threshold dim by disabling the session auto-broadcast.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p2 = executed_plan(
+            skew_aware_join(
+                fact, dim, "o_custkey",
+                dim_size_bytes=1 << 40, hot_partition_bytes=1 << 30,
+            )
+        )
+        assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+
+        # outer join to the dim side can never broadcast the dim.
+        p4 = executed_plan(
+            skew_aware_join(fact, dim, "o_custkey", how="full_outer")
+        )
+        assert "SortMergeJoin" in p4 and "BroadcastHashJoin" not in p4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
