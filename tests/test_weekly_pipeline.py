@@ -364,3 +364,62 @@ def test_deep_hierarchy_tree_phased_writes(spark, tmp_path):
             written_at[n] = t
     for child, parent in edges.collect():
         assert written_at[parent] < written_at[child], f"{parent} not before {child}"
+
+
+def test_reconcile_staging_caches_file_side_and_relands_api(spark, tmp_path):
+    """ReconcileStaging contract: the file side is landed ONCE per join
+    key (pass 2 reuses the bucketed table when the F8 key didn't
+    switch), a key switch re-lands it under the new key, and the API
+    side gets a fresh table per landing."""
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    staging = ReconcileStaging(
+        "graft_stage_unittest", str(tmp_path / "staged"), num_buckets=4
+    )
+    lhs = spark.range(20).select(
+        F.col("id").cast("string").alias("location"),
+        F.col("id").cast("string").alias("unit_str"),
+    )
+    rhs = spark.range(10).select(F.col("id").cast("string").alias("node_name"))
+
+    f1 = staging.land(lhs, "file", "location")
+    f2 = staging.land(lhs, "file", "location")
+    assert f1 is f2  # cached — no second landing for the same key
+    f3 = staging.land(lhs, "file", "unit_str")
+    assert f3 is not f1  # F8 key switch -> new bucketed layout
+
+    a1 = staging.land(rhs, "api", "node_name")
+    a2 = staging.land(rhs, "api", "node_name")
+    assert a1 is not a2  # API state changes between passes
+    tables = {
+        t.name for t in spark.catalog.listTables("graft_stage_unittest")
+    }
+    assert {"file_location", "file_unit_str", "api_node_name_1", "api_node_name_2"} <= tables
+    assert f1.count() == 20 and a2.count() == 10
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_unittest CASCADE")
+
+
+def test_stage_bucketed_recovers_orphaned_directory(spark, tmp_path):
+    """A managed bucket directory left by a previous session (whose
+    in-memory catalog forgot the table) must not make re-landing fail
+    with LOCATION_ALREADY_EXISTS — stage_bucketed clears the orphan
+    first."""
+    import os
+
+    from graphql_api_etl_spark.sinks.tables import (
+        ensure_bucket_database,
+        stage_bucketed,
+    )
+
+    loc = str(tmp_path / "orphans")
+    ensure_bucket_database(spark, "graft_stage_orphan", loc)
+    df = spark.range(8).select(F.col("id").cast("string").alias("k"))
+    stage_bucketed(spark, df, "graft_stage_orphan.t", ["k"], num_buckets=2)
+    # simulate a fresh session: catalog forgets, directory survives
+    spark.sql("DROP TABLE graft_stage_orphan.t")
+    os.makedirs(f"{loc}/t", exist_ok=True)
+    with open(f"{loc}/t/stale_file", "w") as fh:
+        fh.write("leftover")
+    out = stage_bucketed(spark, df, "graft_stage_orphan.t", ["k"], num_buckets=2)
+    assert out.count() == 8
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_orphan CASCADE")
