@@ -25,12 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 catalog entries.
 # Round-12 window: CORRECTNESS_r11 had ZERO misses (50/50 green) and
 # no entries were registered after scripts/window_r12.py was staged,
-# so the round-start act is `amend_window(PRIORITY_R12, [])` — the
-# pre-staged scripts/window_r12.py suggestion verbatim (an all-refresh
-# window: the never-checked backlog has been zero since r9, so every
-# slot goes to the entries whose latest green is OLDEST — the r5
-# remainder, then the earliest r6 cohort, in (latest_green,
-# registration) order).
+# so the round-start act was `amend_window(PRIORITY_R12, [])` — the
+# pre-staged scripts/window_r12.py suggestion verbatim.  Mid-r12 the
+# flagship_reconcile_bucketed deployment twin was registered, so per
+# the same policy the live window is now
+# `amend_window(PRIORITY_R12, ['flagship_reconcile_bucketed'])`:
+# the never-checked entry takes the front slot and the last refresh
+# fill (x_math_functions, green r6) drops to a later round.
 # tests/test_entry_contract.py's
 # test_current_window_is_the_prestaged_r12_list verifies the live
 # window equals amend_window(PRIORITY_R12, misses + never-checked)
@@ -38,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
 # each commit.
 _PRIORITY = [
+    "flagship_reconcile_bucketed",  # never-checked: registered mid-r12
     "text_zipf_fit",  # refresh: green r5
     "curate_weighted_sample",  # refresh: green r5
     "mm_audio_rms",  # refresh: green r5
@@ -87,7 +89,6 @@ _PRIORITY = [
     "sink_scd2_history",  # refresh: green r6
     "x_datetime_functions",  # refresh: green r6
     "curate_dataset_card",  # refresh: green r6
-    "x_math_functions",  # refresh: green r6
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -213,10 +213,48 @@ def _broadcast_dims_report(customer: DataFrame, nation: DataFrame, region: DataF
 
 
 
+@_q("flagship_reconcile_bucketed", _FLAGSHIP_SQL)
+def flagship_reconcile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment twin of flagship_reconcile (r12, VERDICT r11 ask #7's
+    preferred addition): the same full-outer reconcile report computed
+    over tables landed through sinks.tables.stage_bucketed — the exact
+    layout the pipeline's ReconcileStaging default writes (bucketed on
+    the join key, bucket-sorted, one file per bucket), so the driver's
+    differential gate covers the zero-exchange recurring-join path the
+    same way tpch_q3_bucketed covers the co-bucketed fact-fact layout.
+    Identical rows to the plain entry (same oracle SQL); floors range
+    for this layout: 1.80–2.16× vs the plain shape's 3.2–4.7×
+    (BASELINE.md CURRENT STATE).  First call per session lands the
+    tables under the repo-local bucket warehouse; the in-memory
+    catalog forgets between sessions and stage_bucketed clears the
+    orphaned directory before re-landing."""
+    import os as _os
+
+    from graphql_api_etl_spark.sinks.tables import (
+        ensure_bucket_database,
+        stage_bucketed,
+    )
+
+    wh = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".bucket_warehouse",
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    ensure_bucket_database(spark, "graft_buckets", wh)
+    for base, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        name = f"graft_buckets.{base}_fb_{tag}"
+        if not spark.catalog.tableExists(name):
+            stage_bucketed(spark, _t(spark, sf_dir, base), name, [key], num_buckets=32)
+    customer = spark.table(f"graft_buckets.customer_fb_{tag}").filter(F.col("c_acctbal") > 0)
+    orders = spark.table(f"graft_buckets.orders_fb_{tag}").filter(F.col("o_totalprice") > 50000)
+    return _flagship_report(customer, orders)
+
+
 __catalog_exports__ = [
     '_FLAGSHIP_SQL',
     '_flagship_report',
     'flagship_reconcile',
+    'flagship_reconcile_bucketed',
     'j_outer_provenance_counts',
     'j_left_anti_unmatched',
     'j_left_semi_matched',

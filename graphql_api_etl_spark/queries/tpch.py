@@ -143,7 +143,7 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.sinks.tables import write_bucketed_table
 
-    wh = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bucket_warehouse")
+    wh = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))), ".bucket_warehouse")
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
     spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '{wh}'")
     tables = {
@@ -203,7 +203,7 @@ def _layout_cache_path(
     import shutil as _shutil
 
     root = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".layout_cache"
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))), ".layout_cache"
     )
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
     h = _hashlib.md5(f"v{version};".encode())

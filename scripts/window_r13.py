@@ -3,12 +3,13 @@ pattern, VERDICT r7 ask #8 lineage).
 
 Computed by scripts/rotate_window.suggest_window against the committed
 CORRECTNESS_r01..r11 history PLUS a simulated all-green round 12 over
-the live round-12 window (PRIORITY_R12 verbatim — r11 had zero misses
-and zero post-staging registrations).  With the never-checked backlog
-at zero since r9 and no r12 registrations so far, every slot is again
-a round-robin refresh: the 50 entries whose latest green is OLDEST —
-the r6 remainder, then the earliest r7 cohort — in
-(latest_green, registration) order.
+the LIVE round-12 window — PRIORITY_R12 amended with the mid-r12
+flagship_reconcile_bucketed registration, which took the front slot
+and displaced x_math_functions (green r6).  With the never-checked
+backlog otherwise zero, every slot is again a round-robin refresh:
+the 50 entries whose latest green is OLDEST — x_math_functions, the
+r6 remainder, then the earliest r7 cohort — in (latest_green,
+registration) order.
 
 At round-13 start the rotation is a one-commit act:
 
@@ -27,6 +28,7 @@ amend_window).
 """
 
 PRIORITY_R13 = [
+    "x_math_functions",  # green r6
     "x_null_semantics",  # green r6
     "events_anomaly_zscore",  # green r6
     "so_union_schema_evolution",  # green r6
@@ -76,5 +78,4 @@ PRIORITY_R13 = [
     "stream_session_windows",  # green r7
     "stream_static_enrich_join",  # green r7
     "a_heavy_hitters_cms",  # green r7
-    "j_fuzzy_blocked",  # green r7
 ]

@@ -273,3 +273,26 @@ def test_staged_reconcile_join_has_zero_exchange(spark, sf_dir, tmp_path):
     # node below the join either.
     assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
     spark.sql("DROP DATABASE IF EXISTS graft_stage_plantest CASCADE")
+
+
+def test_flagship_bucketed_twin_joins_without_exchange(spark, sf_dir):
+    """flagship_reconcile_bucketed (the r12 deployment twin under the
+    driver gate) must scan both sides bucketed and spend its only
+    exchange on the report aggregation — the join itself is
+    exchange-free and sort-free."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = executed_plan(_run("flagship_reconcile_bucketed", spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # exactly one exchange NODE: the groupBy(c_mktsegment, _merge) agg
+    # — nothing below the join shuffles or sorts. (The formatted plan
+    # repeats each node name in its detail block, so count node
+    # headers, not substrings.)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(_re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
