@@ -266,3 +266,48 @@ def test_skew_aware_join_picks_measured_strategies(spark, sf_dir):
         assert "SortMergeJoin" in p4 and "BroadcastHashJoin" not in p4
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_scan_order_claim_requires_single_file_per_bucket(spark, sf_dir, tmp_path):
+    """The session enables spark.sql.legacy.bucketedTableScan.
+    outputOrdering for the one-file-per-bucket landing layout; Spark
+    must KEEP the Sort below the SMJ when a bucket holds multiple
+    files (per-file runs are sorted, the concatenation is not — a
+    falsely claimed order would silently corrupt merge-join output).
+    This pins the guard the session conf relies on."""
+    from graphql_api_etl_spark.sinks.tables import (
+        ensure_bucket_database,
+        write_bucketed_table,
+    )
+    from graphql_api_etl_spark.sources.registry import load_table
+
+    ensure_bucket_database(spark, "graft_multi_file", str(tmp_path / "mf"))
+    cust = load_table(spark, sf_dir, "customer").repartition(8)
+    orders = load_table(spark, sf_dir, "orders").repartition(8)
+    # NO one_file_per_bucket: 8 write tasks x 4 buckets -> multi-file buckets
+    write_bucketed_table(cust, "graft_multi_file.c", ["c_custkey"],
+                         num_buckets=4, sort_cols=["c_custkey"])
+    write_bucketed_table(orders, "graft_multi_file.o", ["o_custkey"],
+                         num_buckets=4, sort_cols=["o_custkey"])
+    import glob
+
+    files = glob.glob(str(tmp_path / "mf" / "c" / "*.parquet"))
+    assert len(files) > 4, "fixture must produce multi-file buckets"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("graft_multi_file.c").join(
+            spark.table("graft_multi_file.o"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        plan = executed_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re as _re
+
+    assert "SortMergeJoin" in plan
+    # bucketing still kills the exchanges...
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    # ...but the order claim must NOT survive multi-file buckets.
+    assert len(_re.findall(r"\(\d+\) Sort\b", plan)) == 2, plan
+    spark.sql("DROP DATABASE IF EXISTS graft_multi_file CASCADE")
