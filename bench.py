@@ -35,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with the catalog (every name must exist in queries()).
 HEADLINE = [
     "flagship_reconcile",
+    # The deployment-layout twin (r12): same rows via stage_bucketed
+    # tables. Its first sample pays the one-time landing write; the
+    # best-of shows the recurring-job cost the pipeline default runs.
+    "flagship_reconcile_bucketed",
     "j_outer_provenance_counts",
     "j_broadcast_dims",
     "tpch_q1_pricing_summary",
