@@ -115,16 +115,34 @@ def left_merge(
     lsuffix: str = "_x",
     rsuffix: str = "_y",
     merge_col: str = "_merge",
-    broadcast_right: bool = True,
+    broadcast_right: bool | str = "auto",
 ) -> DataFrame:
     """Left-outer variant (provenance ∈ {both, left_only}) — broadcastable
     when the right side is dimension-sized; the scale-path alternative to
-    :func:`outer_merge` when right_only rows are not needed."""
+    :func:`outer_merge` when right_only rows are not needed.
+
+    ``broadcast_right`` (r12): ``"auto"`` (default) broadcasts only
+    when Catalyst's own size estimate fits the session broadcast
+    threshold — a FORCED broadcast hint overrides Spark's size check,
+    so the old always-``True`` default was a driver/executor OOM
+    hazard the first time a caller passed a fact-scale right side.
+    ``True`` forces the hint (caller knows better than the estimate,
+    e.g. a post-filter dim Catalyst can't size); ``False`` never
+    hints (SMJ, AQE may still convert at runtime)."""
     lk, rk = _normalize_on(on, left_on, right_on)
     left, right = _disambiguate(left, right, lsuffix, rsuffix)
     lk = [f"{k}{lsuffix}" if f"{k}{lsuffix}" in left.columns else k for k in lk]
     rk = [f"{k}{rsuffix}" if f"{k}{rsuffix}" in right.columns else k for k in rk]
     rtag = right.withColumn(_RFLAG, F.lit(True))
+    if broadcast_right == "auto":
+        try:
+            threshold = int(
+                right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except (TypeError, ValueError):
+            threshold = 64 * 1024 * 1024
+        size = int(right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        broadcast_right = 0 <= size <= threshold if threshold > 0 else False
     if broadcast_right:
         rtag = F.broadcast(rtag)
     cond = None

@@ -116,3 +116,28 @@ def test_provenance_property_on_star_tables(spark, sf_dir):
         assert ro.count() == r_anti
     finally:
         m.unpersist()
+
+
+def test_left_merge_auto_broadcast_respects_size(spark):
+    """left_merge's "auto" default (r12) hints broadcast only when
+    Catalyst's size estimate fits the session threshold — a fact-scale
+    right side must NOT be force-broadcast (the pre-r12 always-True
+    default was an OOM hazard)."""
+    from graphql_api_etl_spark.plans import executed_plan
+
+    left = spark.range(1000).select(F.col("id").alias("k"), F.lit("l").alias("a"))
+    right = spark.range(100).select(F.col("id").alias("k"), F.lit("r").alias("b"))
+    # small right: auto broadcasts
+    p_small = executed_plan(left_merge(left, right, on="k"))
+    assert "BroadcastHashJoin" in p_small
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # simulate a fact-scale right side: with the threshold off,
+        # auto must NOT hint broadcast (forced True still would).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_big = executed_plan(left_merge(left, right, on="k"))
+        assert "BroadcastHashJoin" not in p_big, p_big
+        p_forced = executed_plan(left_merge(left, right, on="k", broadcast_right=True))
+        assert "BroadcastHashJoin" in p_forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
