@@ -32,8 +32,9 @@ pure transformations) because Spark reuses the identical exchange —
 but a NON-deterministic upstream (unseeded ``sample()``, round-robin
 ``repartition(n)``, a source that changes between reads) can evaluate
 differently per branch and silently mis-assign offsets.  Callers with
-such inputs must materialize first (``df.localCheckpoint()`` or write
-+ re-read) before calling these operators.
+such inputs must pin the rows first — pass ``materialize=True``
+(an eager localCheckpoint inside the operator) or write + re-read
+before calling.
 
 Plan-shape note: the offsets branch re-reads the range-shuffled frame,
 so each operator's LOGICAL plan contains its input subtree twice —
@@ -64,6 +65,15 @@ def _order_cols(order_by: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def _materialize_if(df: DataFrame, materialize: bool) -> DataFrame:
+    """Opt-in guard for NON-deterministic inputs (module docstring):
+    an eager localCheckpoint pins the rows so the data branch and the
+    offsets branch — two reads of the same range shuffle — cannot
+    evaluate differently. Costs one materialization of the input;
+    unnecessary for deterministic sources, which reuse the exchange."""
+    return df.localCheckpoint(eager=True) if materialize else df
+
+
 def top_k_ranked(
     df: DataFrame,
     order_by: Sequence[Column | str],
@@ -88,6 +98,7 @@ def global_row_number(
     df: DataFrame,
     order_by: Sequence[Column | str],
     out_col: str = "row_number",
+    materialize: bool = False,
 ) -> DataFrame:
     """1-based row_number over a TOTAL order, distributed.
 
@@ -97,7 +108,7 @@ def global_row_number(
     single-partition WindowExec over the data.
     """
     cols = _order_cols(order_by)
-    ranged = df.repartitionByRange(*cols).withColumn(
+    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
         _PART, F.spark_partition_id()
     )
     local = ranged.withColumn(
@@ -126,6 +137,7 @@ def global_running_sums(
     order_by: Sequence[Column | str],
     sums: dict[str, Column | str],
     inclusive: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Running sums of several columns over one TOTAL order,
     distributed — the two-phase form of
@@ -140,7 +152,9 @@ def global_running_sums(
     cols = _order_cols(order_by)
     hi = 0 if inclusive else -1
     keys = list(sums)
-    ranged = df.repartitionByRange(*cols).withColumn(_PART, F.spark_partition_id())
+    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
+        _PART, F.spark_partition_id()
+    )
     for i, k in enumerate(keys):
         x = sums[k]
         ranged = ranged.withColumn(
@@ -196,6 +210,7 @@ def global_ntile(
     order_by: Sequence[Column | str],
     n_tiles: int,
     out_col: str = "ntile",
+    materialize: bool = False,
 ) -> DataFrame:
     """``ntile(k)`` over a TOTAL order, distributed: a
     global_row_number plus the exact floor-balanced tile arithmetic
@@ -209,7 +224,7 @@ def global_ntile(
         # time; without this the integer div-by-zero below would yield
         # silent NULL tiles instead of an error.
         raise ValueError(f"global_ntile requires n_tiles >= 1, got {n_tiles}")
-    rn_df = global_row_number(df, order_by, out_col="__ntile_rn__")
+    rn_df = global_row_number(df, order_by, out_col="__ntile_rn__", materialize=materialize)
     n_row = rn_df.agg(F.max("__ntile_rn__").cast("long").alias("__ntile_n__"))
     staged = (
         rn_df.crossJoin(F.broadcast(n_row))
@@ -242,6 +257,7 @@ def global_running_min(
     min_col: Column | str,
     out_col: str = "running_min",
     inclusive: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Running MIN over a TOTAL order, distributed — the two-phase
     form of ``min(x).over(W.orderBy(...).rowsBetween(
@@ -251,7 +267,7 @@ def global_running_min(
     cols = _order_cols(order_by)
     x = F.col(min_col) if isinstance(min_col, str) else min_col
     hi = 0 if inclusive else -1
-    ranged = df.repartitionByRange(*cols).withColumn(
+    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
         _PART, F.spark_partition_id()
     ).withColumn("__x__", x)
     local = ranged.withColumn(

@@ -136,3 +136,24 @@ def test_global_running_sum_matches_naive_window(spark):
             ).collect()
         }
         assert got == naive, f"inclusive={inclusive}"
+
+
+def test_global_row_number_materialize_pins_nondeterministic_input(spark):
+    """materialize=True (r12, the ADVICE r11 opt-in) must make the
+    rank a valid permutation even when the upstream is
+    non-deterministic — each of the two range-shuffle reads would
+    otherwise see different rows. The pinned frame yields exactly
+    ranks 1..n with a consistent (order value, rank) pairing."""
+    from graphql_api_etl_spark.operators.rank import global_row_number
+
+    df = (
+        spark.range(5000)
+        .select(F.col("id"), F.rand().alias("r"))  # unseeded: non-deterministic
+        .repartition(8)  # round-robin: re-evaluation reshuffles rows
+    )
+    out = global_row_number(df, [F.asc("r"), F.asc("id")], materialize=True).collect()
+    ranks = sorted(r["row_number"] for r in out)
+    assert ranks == list(range(1, 5001))
+    by_rank = sorted(out, key=lambda r: r["row_number"])
+    rs = [r["r"] for r in by_rank]
+    assert rs == sorted(rs)  # ranks agree with the pinned order values
