@@ -311,3 +311,26 @@ def test_bucketed_scan_order_claim_requires_single_file_per_bucket(spark, sf_dir
     # ...but the order claim must NOT survive multi-file buckets.
     assert len(_re.findall(r"\(\d+\) Sort\b", plan)) == 2, plan
     spark.sql("DROP DATABASE IF EXISTS graft_multi_file CASCADE")
+
+
+def test_stage_bucketed_requires_qualified_name_and_idempotent_db(spark, tmp_path):
+    """stage_bucketed refuses an unqualified table name (the orphan
+    cleanup needs the database location), and ensure_bucket_database
+    is idempotent for repeated landings."""
+    from graphql_api_etl_spark.sinks.tables import (
+        ensure_bucket_database,
+        stage_bucketed,
+    )
+
+    df = spark.range(4).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="qualified"):
+        stage_bucketed(spark, df, "unqualified_table", ["k"])
+    loc = str(tmp_path / "idem")
+    ensure_bucket_database(spark, "graft_stage_idem", loc)
+    ensure_bucket_database(spark, "graft_stage_idem", loc)  # no error
+    out = stage_bucketed(spark, df, "graft_stage_idem.t", ["k"], num_buckets=2)
+    assert out.count() == 4
+    # re-land over the existing table (the recurring-run path)
+    out2 = stage_bucketed(spark, df, "graft_stage_idem.t", ["k"], num_buckets=2)
+    assert out2.count() == 4
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_idem CASCADE")
