@@ -645,9 +645,9 @@ def _asof_clicks_report(ev: DataFrame) -> DataFrame:
     "a_percentiles",
     """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) / 100 AS p50,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)) / 100 AS p90,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99)) / 100 AS p99
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -655,12 +655,21 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (engine-native;
     ``percentile`` is sort-based within groups — for sketch-sized
     state at scale, swap in approx_percentile at a declared error
-    bound, which this exact form is the oracle for)."""
+    bound, which this exact form is the oracle for).
+
+    Cross-engine stability (r12, found by an off-gate sf0.001 sweep):
+    interpolating over the raw DOUBLE prices let the two engines'
+    interpolation formulas differ by one ulp, which flipped a
+    round(x, 2) exactly at a .xx5 boundary (52724.245 → .24 vs .25).
+    Both sides now interpolate over EXACT integer cents — at p50 the
+    interpolation fraction is dyadic so the result is bit-exact by
+    construction — and round to a whole cent before dividing back."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+        (F.round(F.expr(f"percentile({cents}, 0.5)")) / 100).alias("p50"),
+        (F.round(F.expr(f"percentile({cents}, 0.9)")) / 100).alias("p90"),
+        (F.round(F.expr(f"percentile({cents}, 0.99)")) / 100).alias("p99"),
     )
 
 
@@ -708,9 +717,9 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_approx_percentiles",
     """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) / 100 AS p50,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)) / 100 AS p90,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99)) / 100 AS p99,
        CAST(1 AS BIGINT) AS ap50_ok,
        CAST(1 AS BIGINT) AS ap90_ok,
        CAST(1 AS BIGINT) AS ap99_ok
@@ -729,11 +738,18 @@ def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the exact percentiles at p±0.01. approx_percentile's
     guarantee is rank error ≤ n/accuracy = 0.01% of rows, so the ±1pp
     window is a 100× margin; the oracle pins the booleans to 1, making
-    an out-of-band sketch a hash mismatch."""
+    an out-of-band sketch a hash mismatch.
+
+    The three OUTPUT percentiles interpolate over exact integer cents
+    (the a_percentiles r12 stability fix); the band checks keep the
+    raw-double probes — they compare Spark values to Spark values, so
+    cross-engine ulp cannot flip them."""
     li = _t(spark, sf_dir, "lineitem")
     probes = "array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0)"
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
     agg = li.groupBy("l_returnflag").agg(
         F.expr(f"percentile(l_extendedprice, {probes})").alias("ex"),
+        F.expr(f"percentile({cents}, array(0.5, 0.9, 0.99))").alias("exc"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
     )
     ok = lambda lo, ap, hi: (  # noqa: E731
@@ -741,9 +757,9 @@ def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return agg.select(
         "l_returnflag",
-        F.round(F.col("ex")[1], 2).alias("p50"),
-        F.round(F.col("ex")[4], 2).alias("p90"),
-        F.round(F.col("ex")[7], 2).alias("p99"),
+        (F.round(F.col("exc")[0]) / 100).alias("p50"),
+        (F.round(F.col("exc")[1]) / 100).alias("p90"),
+        (F.round(F.col("exc")[2]) / 100).alias("p99"),
         ok(0, 0, 2).alias("ap50_ok"),
         ok(3, 1, 5).alias("ap90_ok"),
         ok(6, 2, 8).alias("ap99_ok"),

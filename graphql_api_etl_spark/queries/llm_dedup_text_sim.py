@@ -1317,7 +1317,7 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
 SELECT vec_id,
-       round(scale, 6) AS scale,
+       CAST(round(scale * 1000000) AS BIGINT) AS scale_micro,
        md5(array_to_string(list_transform(v, x -> CAST(round(x / scale * 127.0) AS INTEGER)), ',')) AS q_md5
 FROM s
 """,
@@ -1329,7 +1329,14 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions; the oracle hashes the exact integer codes, so
     any scale or rounding divergence between engines breaks the match.
     At 100 TB this runs at scan speed and the quantized column is what
-    the ANN index layers consume."""
+    the ANN index layers consume.
+
+    The scale is reported as integer MICROS, not round(scale, 6)
+    (r12, found by an off-gate sf0.001 sweep): Spark's round(d, 6) is
+    exact-BigDecimal HALF_UP on the binary double while DuckDB's
+    scales by 1e6 in float first, so the two can disagree by one ulp
+    exactly at a x.5e-6 boundary.  round-to-integer of the SAME
+    scaled double is computed identically by both engines."""
     emb = _t(spark, sf_dir, "embeddings")
     v = S.as_double(F.col("embedding"))
     withv = emb.select("vec_id", v.alias("v"))
@@ -1340,7 +1347,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scaled.select(
         "vec_id",
-        F.round("scale", 6).alias("scale"),
+        F.round(F.col("scale") * 1000000).cast("bigint").alias("scale_micro"),
         F.md5(F.array_join(codes, ",")).alias("q_md5"),
     )
 
