@@ -24,26 +24,25 @@ comment naming the bounded input, or routes through this module:
   same price any engine pays for a total order — and no single-task
   bottleneck.
 
-Determinism precondition: the offsets branch and the data branch are
-two reads of the SAME range-shuffled frame, and correctness requires
-``spark_partition_id()`` to assign each row the same partition in
-both.  That holds when the input is deterministic (parquet scans,
-pure transformations) because Spark reuses the identical exchange —
-but a NON-deterministic upstream (unseeded ``sample()``, round-robin
-``repartition(n)``, a source that changes between reads) can evaluate
-differently per branch and silently mis-assign offsets.  Callers with
-such inputs must pin the rows first — pass ``materialize=True``
-(an eager localCheckpoint inside the operator) or write + re-read
-before calling.
+Determinism (r12 — structural, no longer a caller precondition): the
+offsets branch and the data branch are two reads of the SAME
+range-shuffled frame, and correctness requires ``spark_partition_id()``
+to assign each row the same partition in both.  Exchange/stage reuse
+is NOT a safe foundation for that: ``repartitionByRange`` samples its
+boundaries from the input in shuffle-fetch order — non-deterministic
+whenever any exchange sits upstream — so two independent evaluations
+can draw different boundaries (AQE's stage reuse masked this; with
+AQE disabled, three rank-statistics entries returned corrupt sums).
+Every operator here therefore pins the ranged frame with a LAZY
+``localCheckpoint`` (see ``_pin``): computed once, cached
+MEMORY_AND_DISK, lineage truncated — correct under any AQE /
+exchange-reuse / upstream-determinism combination.
 
-Plan-shape note: the offsets branch re-reads the range-shuffled frame,
-so each operator's LOGICAL plan contains its input subtree twice —
-Spark's exchange reuse dedupes the identical shuffle at runtime, so
-the data is ranged once.  Do NOT chain these operators back-to-back on
-each other's output, though: each link doubles the whole upstream plan
-(a three-deep ntile chain measured 253 pre-AQE exchanges in the plan
-audit).  Compute chained ranks as independent branches over a
-localCheckpointed base joined back on the key (see a_rfm_scores).
+Plan-shape note: the checkpoint also truncates the plan, so chaining
+these operators no longer doubles the upstream subtree per link (the
+pre-r12 two-read form measured 253 pre-AQE exchanges on a three-deep
+ntile chain; a_rfm_scores' independent-branches-over-a-checkpointed-
+base layout remains the cleanest shape for many ranks over one base).
 
 The reference has no global-ranking operator (it is single-process
 pandas; ETL:1–6), so these are engine-native scale mechanics.
@@ -65,13 +64,25 @@ def _order_cols(order_by: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
-def _materialize_if(df: DataFrame, materialize: bool) -> DataFrame:
-    """Opt-in guard for NON-deterministic inputs (module docstring):
-    an eager localCheckpoint pins the rows so the data branch and the
-    offsets branch — two reads of the same range shuffle — cannot
-    evaluate differently. Costs one materialization of the input;
-    unnecessary for deterministic sources, which reuse the exchange."""
-    return df.localCheckpoint(eager=True) if materialize else df
+def _pin(ranged: DataFrame) -> DataFrame:
+    """Pin the range-shuffled frame with a LAZY localCheckpoint so the
+    data branch and the offsets branch read the SAME materialized
+    partitioning — unconditionally, because the two-read pattern is
+    not safe otherwise (r12 finding, surfaced by an AQE-off
+    differential sweep): repartitionByRange samples its boundaries
+    from the input in SHUFFLE-FETCH order, which is non-deterministic
+    whenever any exchange sits upstream, so two independent
+    evaluations of the "same" range exchange can draw different
+    boundaries and silently mis-assign offsets.  AQE's stage reuse
+    masked this (one materialized stage served both branches); with
+    AQE disabled three rank-statistics entries returned corrupt sums.
+    The checkpoint computes the shuffle once, caches it
+    MEMORY_AND_DISK on the executors, truncates lineage (so chained
+    rank operators no longer double the upstream plan), and makes the
+    result independent of AQE, exchange-reuse rules, and upstream
+    determinism.  Lazy (eager=False): no job is triggered at build
+    time; the first action materializes each partition exactly once."""
+    return ranged.localCheckpoint(eager=False)
 
 
 def top_k_ranked(
@@ -98,7 +109,6 @@ def global_row_number(
     df: DataFrame,
     order_by: Sequence[Column | str],
     out_col: str = "row_number",
-    materialize: bool = False,
 ) -> DataFrame:
     """1-based row_number over a TOTAL order, distributed.
 
@@ -108,8 +118,8 @@ def global_row_number(
     single-partition WindowExec over the data.
     """
     cols = _order_cols(order_by)
-    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
-        _PART, F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(*cols).withColumn(_PART, F.spark_partition_id())
     )
     local = ranged.withColumn(
         _LOCAL, F.row_number().over(W.partitionBy(_PART).orderBy(*cols))
@@ -137,7 +147,6 @@ def global_running_sums(
     order_by: Sequence[Column | str],
     sums: dict[str, Column | str],
     inclusive: bool = True,
-    materialize: bool = False,
 ) -> DataFrame:
     """Running sums of several columns over one TOTAL order,
     distributed — the two-phase form of
@@ -152,8 +161,8 @@ def global_running_sums(
     cols = _order_cols(order_by)
     hi = 0 if inclusive else -1
     keys = list(sums)
-    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
-        _PART, F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(*cols).withColumn(_PART, F.spark_partition_id())
     )
     for i, k in enumerate(keys):
         x = sums[k]
@@ -210,7 +219,6 @@ def global_ntile(
     order_by: Sequence[Column | str],
     n_tiles: int,
     out_col: str = "ntile",
-    materialize: bool = False,
 ) -> DataFrame:
     """``ntile(k)`` over a TOTAL order, distributed: a
     global_row_number plus the exact floor-balanced tile arithmetic
@@ -224,7 +232,7 @@ def global_ntile(
         # time; without this the integer div-by-zero below would yield
         # silent NULL tiles instead of an error.
         raise ValueError(f"global_ntile requires n_tiles >= 1, got {n_tiles}")
-    rn_df = global_row_number(df, order_by, out_col="__ntile_rn__", materialize=materialize)
+    rn_df = global_row_number(df, order_by, out_col="__ntile_rn__")
     n_row = rn_df.agg(F.max("__ntile_rn__").cast("long").alias("__ntile_n__"))
     staged = (
         rn_df.crossJoin(F.broadcast(n_row))
@@ -257,7 +265,6 @@ def global_running_min(
     min_col: Column | str,
     out_col: str = "running_min",
     inclusive: bool = False,
-    materialize: bool = False,
 ) -> DataFrame:
     """Running MIN over a TOTAL order, distributed — the two-phase
     form of ``min(x).over(W.orderBy(...).rowsBetween(
@@ -267,8 +274,8 @@ def global_running_min(
     cols = _order_cols(order_by)
     x = F.col(min_col) if isinstance(min_col, str) else min_col
     hi = 0 if inclusive else -1
-    ranged = _materialize_if(df, materialize).repartitionByRange(*cols).withColumn(
-        _PART, F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(*cols).withColumn(_PART, F.spark_partition_id())
     ).withColumn("__x__", x)
     local = ranged.withColumn(
         _LOCAL,

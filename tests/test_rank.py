@@ -67,11 +67,18 @@ def test_global_row_number_matches_naive_window(spark):
 def test_global_row_number_plan_has_no_data_wide_single_partition_window(spark):
     """The data-carrying window is partitioned (by the range-partition
     id); the only unpartitioned window runs over the one-row-per-
-    partition offsets frame."""
+    partition offsets frame. Since the r12 _pin fix the range shuffle
+    lives INSIDE the localCheckpoint (the downstream plan reads the
+    pinned RDD), so the range partitioning is asserted on the
+    checkpointed frame's own lineage and the final plan is asserted
+    to consume the checkpoint scan."""
     df = spark.range(2000).select(F.col("id"), (F.col("id") % 13).alias("v"))
-    plan = _physical(global_row_number(df, [F.asc("v"), F.asc("id")]))
-    assert "rangepartitioning" in plan.lower()
-    # the per-partition window carries the partition-id key
+    cols = [F.asc("v"), F.asc("id")]
+    inner = df.repartitionByRange(*cols)
+    assert "rangepartitioning" in _physical(inner).lower()
+    plan = _physical(global_row_number(df, cols))
+    # downstream of the pin: checkpoint scan + per-partition window
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "__rank_part__" in plan
 
 
@@ -138,12 +145,13 @@ def test_global_running_sum_matches_naive_window(spark):
         assert got == naive, f"inclusive={inclusive}"
 
 
-def test_global_row_number_materialize_pins_nondeterministic_input(spark):
-    """materialize=True (r12, the ADVICE r11 opt-in) must make the
-    rank a valid permutation even when the upstream is
-    non-deterministic — each of the two range-shuffle reads would
-    otherwise see different rows. The pinned frame yields exactly
-    ranks 1..n with a consistent (order value, rank) pairing."""
+def test_global_row_number_pins_nondeterministic_input(spark):
+    """The r12 structural pin (_pin localCheckpoint of the ranged
+    frame) must make the rank a valid permutation even when the
+    upstream is non-deterministic — each of the two range-shuffle
+    reads would otherwise see different rows/boundaries. Exactly
+    ranks 1..n with a consistent (order value, rank) pairing, with no
+    caller opt-in."""
     from graphql_api_etl_spark.operators.rank import global_row_number
 
     df = (
@@ -151,9 +159,47 @@ def test_global_row_number_materialize_pins_nondeterministic_input(spark):
         .select(F.col("id"), F.rand().alias("r"))  # unseeded: non-deterministic
         .repartition(8)  # round-robin: re-evaluation reshuffles rows
     )
-    out = global_row_number(df, [F.asc("r"), F.asc("id")], materialize=True).collect()
+    out = global_row_number(df, [F.asc("r"), F.asc("id")]).collect()
     ranks = sorted(r["row_number"] for r in out)
     assert ranks == list(range(1, 5001))
     by_rank = sorted(out, key=lambda r: r["row_number"])
     rs = [r["r"] for r in by_rank]
     assert rs == sorted(rs)  # ranks agree with the pinned order values
+
+
+def test_global_running_sum_correct_with_aqe_disabled(spark):
+    """The r12 AQE-off finding pinned as a regression test: a
+    shuffle-fed input (hash aggregate → non-deterministic fetch order
+    → per-evaluation range boundaries) must produce exact running
+    sums with adaptive execution OFF — the two-read pattern without
+    the _pin checkpoint silently corrupted these."""
+    from graphql_api_etl_spark.operators.rank import global_running_sum
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = spark.range(60000).select(
+            ((F.col("id") * 2654435761) % 49991).alias("k")
+        )
+        g = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        got = {
+            r["k"]: r["cumb"]
+            for r in global_running_sum(
+                g, [F.asc("k")], "t", out_col="cumb", inclusive=False
+            ).collect()
+        }
+        naive = {
+            r["k"]: r["cumb"]
+            for r in g.withColumn(
+                "cumb",
+                F.coalesce(
+                    F.sum("t").over(
+                        W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            ).collect()
+        }
+        assert got == naive
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
