@@ -23,72 +23,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-12 window: CORRECTNESS_r11 had ZERO misses (50/50 green) and
-# no entries were registered after scripts/window_r12.py was staged,
-# so the round-start act was `amend_window(PRIORITY_R12, [])` — the
-# pre-staged scripts/window_r12.py suggestion verbatim.  Mid-r12 the
-# flagship_reconcile_bucketed deployment twin was registered, so per
-# the same policy the live window is now
-# `amend_window(PRIORITY_R12, ['flagship_reconcile_bucketed'])`:
-# the never-checked entry takes the front slot and the last refresh
-# fill (x_math_functions, green r6) drops to a later round.
-# tests/test_entry_contract.py's
-# test_current_window_is_the_prestaged_r12_list verifies the live
-# window equals amend_window(PRIORITY_R12, misses + never-checked)
+# Round-13 window: CORRECTNESS_r12 had ZERO misses (50/50 green) and
+# no entries were registered after scripts/window_r13.py was staged
+# (flagship_reconcile_bucketed, the one mid-r12 registration, was
+# already folded into the staging baseline), so the round-start act is
+# `amend_window(PRIORITY_R13, [])` — the pre-staged
+# scripts/window_r13.py suggestion verbatim: a pure round-robin
+# refresh of the 50 oldest-evidence entries (r6 remainder + earliest
+# r7 cohort).  tests/test_entry_contract.py's
+# test_current_window_is_the_prestaged_r13_list verifies the live
+# window equals amend_window(PRIORITY_R13, misses + never-checked)
 # exactly. Entries outside the window stay green on the local
 # driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
 # each commit.
 _PRIORITY = [
-    "flagship_reconcile_bucketed",  # never-checked: registered mid-r12
-    "text_zipf_fit",  # refresh: green r5
-    "curate_weighted_sample",  # refresh: green r5
-    "mm_audio_rms",  # refresh: green r5
-    "mm_image_histogram",  # refresh: green r5
-    "text_bm25_topk",  # refresh: green r5
-    "text_lm_score",  # refresh: green r5
-    "dedup_semdedup",  # refresh: green r5
-    "sim_rrf_hybrid",  # refresh: green r5
-    "curate_stratified_sample",  # refresh: green r5
-    "sim_topk_hamming",  # refresh: green r5
-    "dedup_containment_pairs",  # refresh: green r5
-    "dedup_lsh_recall_eval",  # refresh: green r5
-    "mm_video_scene_cut",  # refresh: green r5
-    "sim_ann_recall_eval",  # refresh: green r5
-    "sim_matryoshka_recall",  # refresh: green r5
-    "emb_triplet_mining",  # refresh: green r5
-    "curate_vocab_coverage",  # refresh: green r5
-    "sink_merge_upsert",  # refresh: green r5
-    "graph_pagerank",  # refresh: green r5
-    "a_survival_km",  # refresh: green r5
-    "a_grouping_sets",  # refresh: green r6
-    "events_markov_transitions",  # refresh: green r6
-    "events_json_variant",  # refresh: green r6
-    "sim_topk_pq",  # refresh: green r6
-    "sim_topk_ivfpq",  # refresh: green r6
-    "dedup_panel_report",  # refresh: green r6
-    "curate_split_leakage",  # refresh: green r6
-    "text_jsd_by_lang",  # refresh: green r6
-    "text_rake_keyphrases",  # refresh: green r6
-    "text_pmi_collocations",  # refresh: green r6
-    "text_word_burstiness",  # refresh: green r6
-    "text_langid_eval",  # refresh: green r6
-    "curate_gate_ablation",  # refresh: green r6
-    "curate_ccnet_buckets",  # refresh: green r6
-    "emb_class_separation",  # refresh: green r6
-    "sim_mmr_rerank",  # refresh: green r6
-    "curate_dsir_weights",  # refresh: green r6
-    "mm_image_ahash_dedup",  # refresh: green r6
-    "mm_audio_silence_segments",  # refresh: green r6
-    "curate_quality_auc",  # refresh: green r6
-    "curate_f1_threshold",  # refresh: green r6
-    "dedup_yield_curve",  # refresh: green r6
-    "text_langid_kappa",  # refresh: green r6
-    "text_readability_flesch",  # refresh: green r6
-    "events_latest_per_user",  # refresh: green r6
-    "source_text_lines",  # refresh: green r6
-    "sink_scd2_history",  # refresh: green r6
-    "x_datetime_functions",  # refresh: green r6
-    "curate_dataset_card",  # refresh: green r6
+    "x_math_functions",  # refresh: green r6
+    "x_null_semantics",  # refresh: green r6
+    "events_anomaly_zscore",  # refresh: green r6
+    "so_union_schema_evolution",  # refresh: green r6
+    "source_schema_merge_read",  # refresh: green r6
+    "x_array_functions",  # refresh: green r6
+    "a_corr_covar",  # refresh: green r6
+    "x_regex_functions",  # refresh: green r6
+    "a_filtered_agg",  # refresh: green r6
+    "x_map_functions",  # refresh: green r6
+    "x_edit_distance",  # refresh: green r6
+    "a_histogram_bins",  # refresh: green r6
+    "a_mode_per_group",  # refresh: green r6
+    "events_max_concurrency",  # refresh: green r6
+    "x_scd2_history",  # refresh: green r6
+    "events_transition_matrix",  # refresh: green r6
+    "a_rfm_scores",  # refresh: green r6
+    "a_profile_columns",  # refresh: green r6
+    "dq_expectations",  # refresh: green r6
+    "text_sentence_split",  # refresh: green r6
+    "events_ewma_trailing",  # refresh: green r6
+    "a_benford_first_digit",  # refresh: green r7
+    "a_quantile_buckets",  # refresh: green r7
+    "a_entropy_per_group",  # refresh: green r7
+    "events_interarrival_stats",  # refresh: green r7
+    "a_monthly_growth",  # refresh: green r7
+    "events_range_frame_sum",  # refresh: green r7
+    "events_path_analysis",  # refresh: green r7
+    "events_ohlc_bars",  # refresh: green r7
+    "events_active_users",  # refresh: green r7
+    "a_key_skew_report",  # refresh: green r7
+    "source_fixed_width",  # refresh: green r7
+    "a_audience_overlap",  # refresh: green r7
+    "a_market_basket",  # refresh: green r7
+    "x_try_cast_tolerant",  # refresh: green r7
+    "a_group_ols",  # refresh: green r7
+    "layout_dpp_prune",  # refresh: green r7
+    "a_autocorr_lag",  # refresh: green r7
+    "graph_triangle_count",  # refresh: green r7
+    "graph_bfs_distances",  # refresh: green r7
+    "graph_link_prediction",  # refresh: green r7
+    "graph_label_propagation",  # refresh: green r7
+    "graph_degree_assortativity",  # refresh: green r7
+    "graph_modularity",  # refresh: green r7
+    "stream_hourly_counts",  # refresh: green r7
+    "stream_distinct_user_types",  # refresh: green r7
+    "stream_latest_state_upsert",  # refresh: green r7
+    "stream_session_windows",  # refresh: green r7
+    "stream_static_enrich_join",  # refresh: green r7
+    "a_heavy_hitters_cms",  # refresh: green r7
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -488,6 +488,33 @@ def test_current_window_is_the_prestaged_r12_list():
     assert names[:50] == amend_window(PRIORITY_R12, misses + never)
 
 
+def test_current_window_is_the_prestaged_r13_list():
+    """The live round-13 window must equal the pre-staged list amended
+    per the documented round-start policy (scripts/window_r13.py +
+    rotate_window.amend_window): real r12 misses first (there were
+    none — CORRECTNESS_r12 is 50/50 green), then entries registered
+    after window_r13.py was staged (none — the one mid-r12
+    registration, flagship_reconcile_bucketed, was already folded into
+    the staging baseline), so the window is PRIORITY_R13 verbatim."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, load_history
+    from window_r13 import PRIORITY_R13
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 12:
+        pytest.skip("only meaningful while r12 is the newest history")
+    never = [n for n in QUERIES if n not in lg and n not in misses]
+    assert names[:50] == amend_window(PRIORITY_R13, misses + never)
+
+
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
     """The window_r9 pattern carried forward: the pre-staged r10 window
     (scripts/window_r10.py) must satisfy the freshness invariant
