@@ -273,6 +273,65 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_skew_aware",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def j_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.skew_aware_join under the driver's hash gate: the
+    measured r11 strategy table (broadcast > AQE-split-fired >
+    SHUFFLE_HASH > plain SMJ, docs/PLANS.md) picking the join strategy
+    from the ACTUAL inputs — dim size via Catalyst stats, hot-partition
+    estimate diagnosed from the fact's own key histogram (the
+    a_key_skew_report statistic: max per-key rows ÷ total rows ×
+    Catalyst's fact size). The oracle is the PLAIN join, proving the
+    router is strategy-transparent: every branch returns identical
+    rows. tests/test_plans.py asserts this entry's executed plan takes
+    the branch its inputs call for (broadcast at test scale — the dim
+    fits the budget; at 100 TB the same call degrades to SMJ + AQE
+    skew split as the stats cross the thresholds, with SHUFFLE_HASH
+    for the skewed-but-under-split-threshold middle band).
+
+    The diagnosis pass is ONE partial-aggregated shuffle over the fact
+    collapsing to a single row (per-key counts → max/sum) — at 100 TB
+    you run it on a seeded sample or reuse a standing skew report, so
+    it is priced like a_key_skew_report, not like the join itself.
+    Cites ETL:391–415 (the reconcile fact-fact joins, the skew-exposed
+    shape at scale)."""
+    from graphql_api_etl_spark.operators.skew import (
+        plan_size_bytes,
+        skew_aware_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    # Skew diagnosis (bounded: one row back to the driver).
+    hist = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"), F.sum("n").alias("n_rows"))
+        .collect()[0]
+    )
+    hot_share = hist["max_n"] / max(hist["n_rows"], 1)
+    hot_bytes = int(plan_size_bytes(li) * hot_share)
+    joined = skew_aware_join(li, o, on="l_orderkey", hot_partition_bytes=hot_bytes)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_q(
     "a_two_phase_agg",
     """
 SELECT l_returnflag,
@@ -346,6 +405,7 @@ __catalog_exports__ = [
     'so_intersect',
     'text_wordcount',
     'j_salted_skew_join',
+    'j_skew_aware',
     'a_two_phase_agg',
     'v_count_gates',
 ]

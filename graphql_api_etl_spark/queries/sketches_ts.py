@@ -140,8 +140,16 @@ def j_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both match classes carry evidence.
 
     Scale: cost is Σ per-block |dirty|·|clean| with near-unique block
-    keys, and levenshtein runs only on candidates. Both engines
-    implement unit-cost Wagner–Fischer, so `dist` is engine-exact."""
+    keys, and levenshtein runs only on candidates. The blocking join
+    routes through operators/skew.skew_aware_join (the measured r11
+    strategy table): at test scale the clean register fits the
+    broadcast budget (no shuffle at all); at crawl scale the same call
+    degrades to SMJ with AQE's skew split absorbing hot blocks —
+    blocking keys are exactly where real registers skew (common name
+    suffixes). Both engines implement unit-cost Wagner–Fischer, so
+    `dist` is engine-exact."""
+    from graphql_api_etl_spark.operators.skew import skew_aware_join
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     clean = cust.select(
         F.col("c_custkey").alias("clean_id"),
@@ -159,7 +167,7 @@ def j_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("dirty_name", "clean_name")
     return (
-        dirty.join(clean, "blk")
+        skew_aware_join(dirty, clean, on="blk")
         .filter(dist <= 2)
         .select(
             "dirty_id", "clean_id",
