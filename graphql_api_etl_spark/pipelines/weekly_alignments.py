@@ -175,15 +175,37 @@ class ReconcileStaging:
     bucket-sorted, one file per bucket) and returns the catalog-backed
     read.  The file side is cached per join key — its content is the
     same across the self-healing passes, so pass 2 re-joins the
-    ALREADY-landed table for free when the F8 key didn't switch.  The
-    API side is re-landed per pass under a fresh name (its state
-    changes after loads, and distinct names keep pass-1 lineage valid
-    regardless of execution order)."""
+    ALREADY-landed table for free when the F8 key didn't switch.
+
+    The API side is landed ONCE per join key (``api_<key>``); a second
+    landing on the same key MERGES the delta instead of re-bucketing
+    the whole state (VERDICT r12 ask #2 — the reference's pass 2
+    re-fetches everything, ETL:474–506, but the self-healing load
+    touched few rows, so re-landing a 100 TB API side twice is pure
+    waste): one full-outer key join against the pass-1 table (whose
+    side is exchange-free off the bucketed scan) classifies rows as
+    new / updated / deleted, then
+
+    - nothing changed → return the pass-1 table, ZERO rows written;
+    - adds only (the self-healing shape) → append just the new rows
+      into the pass-1 table (sinks.tables.append_bucketed_delta) —
+      write cost |delta|, not |API|;
+    - updates or deletes present (state mutated beyond the load, or
+      duplicate keys made the comparison ambiguous) → correctness
+      fallback: full re-land under a serial name ``api_<key>_vN``.
+
+    Fixed names mean repeated ``run_weekly_sync`` calls in one session
+    REUSE the staged tables instead of accumulating ``api_<key>_N``
+    serials (retention: serials appear only on the mutated-state
+    fallback). Snapshot caveat: an append/overwrite invalidates frames
+    read from the table BEFORE the landing — the pipeline materializes
+    every pass-1 count before triggering the self-healing load."""
 
     database: str
     location: str
     num_buckets: int = 32
     _file_cache: dict[str, DataFrame] = field(default_factory=dict)
+    _api_names: dict[str, str] = field(default_factory=dict)
     _serial: int = 0
 
     def land(self, df: DataFrame, side: str, key_col: str) -> DataFrame:
@@ -199,12 +221,63 @@ class ReconcileStaging:
         if side == "file":
             name = f"{self.database}.file_{key_col}"
         else:
-            self._serial += 1
-            name = f"{self.database}.api_{key_col}_{self._serial}"
+            if key_col in self._api_names:
+                return self._merge_api_delta(df, key_col)
+            name = f"{self.database}.api_{key_col}"
+            self._api_names[key_col] = name
         staged = stage_bucketed(spark, df, name, [key_col], num_buckets=self.num_buckets)
         if side == "file":
             self._file_cache[key_col] = staged
         return staged
+
+    def _merge_api_delta(self, df: DataFrame, key_col: str) -> DataFrame:
+        """Second-or-later API landing on an unswitched key: classify
+        the re-fetched state against the pass-1 table and write only
+        what changed (docstring above for the three outcomes)."""
+        from graphql_api_etl_spark.sinks.tables import (
+            append_bucketed_delta,
+            stage_bucketed,
+        )
+
+        spark = df.sparkSession
+        name = self._api_names[key_col]
+        prev = spark.table(name)
+        cols = prev.columns
+        new = df.select(*cols).withColumn("__new_present", F.lit(True))
+        old = prev.withColumn("__old_present", F.lit(True))
+        new_struct = F.struct(*[F.col(f"n.{c}") for c in cols])
+        old_struct = F.struct(*[F.col(f"o.{c}") for c in cols])
+        j = new.alias("n").join(
+            old.alias("o"),
+            F.col(f"n.{key_col}") == F.col(f"o.{key_col}"),
+            "full_outer",
+        )
+        state = (
+            F.when(F.col("n.__new_present").isNull(), "del")
+            .when(F.col("o.__old_present").isNull(), "new")
+            .when(~new_struct.eqNullSafe(old_struct), "upd")
+            .otherwise("same")
+        )
+        flags = j.agg(
+            F.sum(F.when(state == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(state == "upd", 1).otherwise(0)).alias("n_upd"),
+            F.sum(F.when(state == "del", 1).otherwise(0)).alias("n_del"),
+        ).collect()[0]
+        if not flags["n_new"] and not flags["n_upd"] and not flags["n_del"]:
+            return prev  # identical state: zero rows written
+        if not flags["n_upd"] and not flags["n_del"]:
+            delta = df.select(*cols).join(
+                prev.select(key_col), key_col, "left_anti"
+            )
+            return append_bucketed_delta(
+                spark, name, delta, [key_col], num_buckets=self.num_buckets
+            )
+        # mutated beyond adds (or ambiguous duplicate keys): full
+        # re-land under a serial name so earlier readers stay valid.
+        self._serial += 1
+        vname = f"{name}_v{self._serial}"
+        self._api_names[key_col] = vname
+        return stage_bucketed(spark, df, vname, [key_col], num_buckets=self.num_buckets)
 
 
 def reconcile_locations(

@@ -72,6 +72,47 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def append_bucketed_delta(
+    spark: SparkSession,
+    name: str,
+    delta: DataFrame,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Append a (small) delta into an EXISTING bucketed staging table,
+    keeping the bucket spec intact — the write touches only the delta's
+    rows instead of re-landing the whole table (the self-healing
+    reconcile's pass 2, where the load added a handful of locations to
+    a 100 TB API state). Spark validates that the append's bucket and
+    sort specs match the table's, so a drifted caller fails loudly.
+
+    Trade recorded honestly: after an append each touched bucket holds
+    more than one file, so the sorted-bucketed-scan ordering claim
+    lapses (the session's legacy.bucketedTableScan.outputOrdering conf
+    only applies to one-file buckets — the guard
+    test_bucketed_scan_order_claim_requires_single_file_per_bucket
+    pins) and the SMJ re-sorts WITHIN partitions; the join stays
+    exchange-free, which is the term that matters at scale
+    (tests/test_plans.py::test_staged_reconcile_join_after_delta_append
+    asserts it)."""
+    if "." not in name:
+        raise ValueError(
+            f"append_bucketed_delta needs a database-qualified name, got {name!r}"
+        )
+    if not spark.catalog.tableExists(name):
+        raise ValueError(f"append_bucketed_delta target {name!r} does not exist")
+    from pyspark.sql import functions as F
+
+    delta = delta.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    writer = delta.write.mode("append").bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(
+        *(list(sort_cols) if sort_cols is not None else list(bucket_cols))
+    )
+    writer.format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
 def ensure_bucket_database(spark: SparkSession, database: str, location: str) -> str:
     """Create (if needed) the catalog database backing a bucketed
     staging area.  The in-memory catalog forgets tables between

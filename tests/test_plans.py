@@ -275,6 +275,45 @@ def test_staged_reconcile_join_has_zero_exchange(spark, sf_dir, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS graft_stage_plantest CASCADE")
 
 
+def test_staged_reconcile_join_after_delta_append(spark, sf_dir, tmp_path):
+    """The self-healing pass 2 (VERDICT r12 ask #2): after the API
+    delta is APPENDED into the pass-1 bucketed table (instead of
+    re-landing the whole side), the full-outer reconcile join must
+    still run with ZERO Exchange — appended buckets carry >1 file so
+    the sort-order claim lapses (a Sort may reappear within
+    partitions), but the shuffle stays eliminated, which is the term
+    that matters at 100 TB."""
+    from graphql_api_etl_spark.operators.join import outer_merge
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("location"),
+        "c_mktsegment",
+    )
+    api = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("node_name"),
+        "o_orderpriority",
+    )
+    api_pass1 = api.filter(F.col("node_name").cast("bigint") % 97 != 0)
+    staging = ReconcileStaging(
+        "graft_stage_deltaplan", str(tmp_path / "staged"), num_buckets=8
+    )
+    lhs = staging.land(cust, "file", "location")
+    staging.land(api_pass1, "api", "node_name")
+    rhs = staging.land(api, "api", "node_name")  # adds-only delta append
+    assert rhs.count() == api.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = outer_merge(lhs, rhs, left_on="location", right_on="node_name")
+        plan = executed_plan(merged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "Exchange" not in plan, plan
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_deltaplan CASCADE")
+
+
 def test_flagship_bucketed_twin_joins_without_exchange(spark, sf_dir):
     """flagship_reconcile_bucketed (the r12 deployment twin under the
     driver gate) must scan both sides bucketed and spend its only

@@ -366,11 +366,15 @@ def test_deep_hierarchy_tree_phased_writes(spark, tmp_path):
         assert written_at[parent] < written_at[child], f"{parent} not before {child}"
 
 
-def test_reconcile_staging_caches_file_side_and_relands_api(spark, tmp_path):
-    """ReconcileStaging contract: the file side is landed ONCE per join
-    key (pass 2 reuses the bucketed table when the F8 key didn't
-    switch), a key switch re-lands it under the new key, and the API
-    side gets a fresh table per landing."""
+def test_reconcile_staging_caches_file_side_and_merges_api_delta(spark, tmp_path):
+    """ReconcileStaging contract (r13 delta-merge): the file side is
+    landed ONCE per join key, a key switch re-lands under the new key,
+    and the API side is landed once per key — a second landing on the
+    same key MERGES instead of re-bucketing: identical state writes
+    zero rows, adds-only appends just the delta, and a mutated state
+    falls back to a full re-land under a serial name."""
+    import os
+
     from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
 
     staging = ReconcileStaging(
@@ -380,7 +384,10 @@ def test_reconcile_staging_caches_file_side_and_relands_api(spark, tmp_path):
         F.col("id").cast("string").alias("location"),
         F.col("id").cast("string").alias("unit_str"),
     )
-    rhs = spark.range(10).select(F.col("id").cast("string").alias("node_name"))
+    rhs = spark.range(10).select(
+        F.col("id").cast("string").alias("node_name"),
+        F.lit("r1").alias("node_remoteId"),
+    )
 
     f1 = staging.land(lhs, "file", "location")
     f2 = staging.land(lhs, "file", "location")
@@ -389,13 +396,57 @@ def test_reconcile_staging_caches_file_side_and_relands_api(spark, tmp_path):
     assert f3 is not f1  # F8 key switch -> new bucketed layout
 
     a1 = staging.land(rhs, "api", "node_name")
+    table_dir = os.path.join(str(tmp_path / "staged"), "api_node_name")
+    files_pass1 = {
+        f for f in os.listdir(table_dir) if not f.startswith("_")
+    }
+
+    # identical state: no write at all — the file set is untouched.
     a2 = staging.land(rhs, "api", "node_name")
-    assert a1 is not a2  # API state changes between passes
+    assert a2.count() == 10
+    assert {
+        f for f in os.listdir(table_dir) if not f.startswith("_")
+    } == files_pass1
+
+    # adds-only (the self-healing shape): pass-1 files stay in place,
+    # only delta files appear, and the read sees the union.
+    rhs_plus = rhs.unionByName(
+        spark.range(10, 13).select(
+            F.col("id").cast("string").alias("node_name"),
+            F.lit("r1").alias("node_remoteId"),
+        )
+    )
+    a3 = staging.land(rhs_plus, "api", "node_name")
+    assert a3.count() == 13
+    files_pass2 = {
+        f for f in os.listdir(table_dir) if not f.startswith("_")
+    }
+    assert files_pass1 <= files_pass2  # nothing rewritten
+    assert len(files_pass2) > len(files_pass1)  # delta appended
+    assert {r["node_name"] for r in a3.collect()} == {str(i) for i in range(13)}
+
+    # mutated state (an existing row changed): correctness fallback —
+    # full re-land under a serial name, result matches the new state.
+    rhs_mut = rhs_plus.withColumn(
+        "node_remoteId",
+        F.when(F.col("node_name") == "3", F.lit("CHANGED")).otherwise(
+            F.col("node_remoteId")
+        ),
+    )
+    a4 = staging.land(rhs_mut, "api", "node_name")
+    assert a4.count() == 13
+    assert (
+        a4.filter(F.col("node_name") == "3").collect()[0]["node_remoteId"]
+        == "CHANGED"
+    )
     tables = {
         t.name for t in spark.catalog.listTables("graft_stage_unittest")
     }
-    assert {"file_location", "file_unit_str", "api_node_name_1", "api_node_name_2"} <= tables
-    assert f1.count() == 20 and a2.count() == 10
+    assert {
+        "file_location", "file_unit_str", "api_node_name", "api_node_name_v1"
+    } <= tables
+    assert "api_node_name_1" not in tables  # no per-pass serial pileup
+    assert f1.count() == 20
     spark.sql("DROP DATABASE IF EXISTS graft_stage_unittest CASCADE")
 
 
