@@ -30,17 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # `amend_window(PRIORITY_R13, [])` — the pre-staged
 # scripts/window_r13.py suggestion verbatim: a pure round-robin
 # refresh of the 50 oldest-evidence entries (r6 remainder + earliest
-# r7 cohort).  Mid-r13 the j_skew_aware strategy-router entry was
-# registered, so per the same policy the live window is now
-# `amend_window(PRIORITY_R13, ['j_skew_aware'])`: the never-checked
-# entry takes the front slot and the last refresh fill
-# (a_heavy_hitters_cms, green r7) drops to a later round.  tests/test_entry_contract.py's
+# r7 cohort).  Mid-r13 two entries were registered — j_skew_aware
+# (the strategy-router consumer, VERDICT r12 ask #1) and
+# flagship_reconcile_healed (the delta-merge consumer, ask #2) — so
+# per the same policy the live window is now
+# `amend_window(PRIORITY_R13, ['flagship_reconcile_healed',
+# 'j_skew_aware'])` (never-checked entries front, in REGISTRATION
+# order — relational.py registers before aggregates.py); the last two
+# refresh fills (a_heavy_hitters_cms and stream_static_enrich_join,
+# green r7) drop to a later round.  tests/test_entry_contract.py's
 # test_current_window_is_the_prestaged_r13_list verifies the live
 # window equals amend_window(PRIORITY_R13, misses + never-checked)
 # exactly. Entries outside the window stay green on the local
 # driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
 # each commit.
 _PRIORITY = [
+    "flagship_reconcile_healed",  # never-checked: registered mid-r13 (reg order: relational.py)
     "j_skew_aware",  # never-checked: registered mid-r13
     "x_math_functions",  # refresh: green r6
     "x_null_semantics",  # refresh: green r6
@@ -90,7 +95,6 @@ _PRIORITY = [
     "stream_distinct_user_types",  # refresh: green r7
     "stream_latest_state_upsert",  # refresh: green r7
     "stream_session_windows",  # refresh: green r7
-    "stream_static_enrich_join",  # refresh: green r7
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

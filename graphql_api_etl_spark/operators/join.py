@@ -106,6 +106,28 @@ def outer_merge(
     return joined.withColumn(merge_col, provenance).drop(_LFLAG, _RFLAG)
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in BYTES, resolved the
+    way Spark itself resolves it: through the JVM conf reader, which
+    understands unit-suffixed values ('10m', '100k') that a plain
+    int() on the raw conf string would reject (r12 ADVICE — the old
+    int() fallback silently substituted 64 MiB, so auto mode could
+    force-broadcast frames far over the configured budget). Falls back
+    to Spark's 10 MiB default only when no JVM gateway is reachable."""
+    try:
+        return int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+    except Exception:  # no JVM gateway (mocked session): parse ourselves
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "")).strip()
+        import re
+
+        m = re.fullmatch(r"(-?\d+)\s*([kmgt]?)b?", raw.lower())
+        if m:
+            return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
+        return 10 * 1024 * 1024
+
+
 def left_merge(
     left: DataFrame,
     right: DataFrame,
@@ -135,12 +157,7 @@ def left_merge(
     rk = [f"{k}{rsuffix}" if f"{k}{rsuffix}" in right.columns else k for k in rk]
     rtag = right.withColumn(_RFLAG, F.lit(True))
     if broadcast_right == "auto":
-        try:
-            threshold = int(
-                right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            )
-        except (TypeError, ValueError):
-            threshold = 64 * 1024 * 1024
+        threshold = _broadcast_threshold_bytes(right.sparkSession)
         size = int(right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         broadcast_right = 0 <= size <= threshold if threshold > 0 else False
     if broadcast_right:

@@ -81,8 +81,40 @@ def _pin(ranged: DataFrame) -> DataFrame:
     rank operators no longer double the upstream plan), and makes the
     result independent of AQE, exchange-reuse rules, and upstream
     determinism.  Lazy (eager=False): no job is triggered at build
-    time; the first action materializes each partition exactly once."""
+    time; the first action materializes each partition exactly once.
+
+    Fault-tolerance trade (r12 ADVICE, recorded): localCheckpoint
+    truncates lineage, so a rank job becomes UNRECOVERABLE on executor
+    loss — Spark cannot recompute a lost pinned block and fails the
+    job (a re-run recomputes from source; no silent corruption).  For
+    a long-lived multi-executor deployment where executor churn is
+    expected, prefer a RELIABLE checkpoint instead: set
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` and swap
+    ``localCheckpoint`` for ``checkpoint`` at this one site — same
+    semantics, blocks survive executor loss at the cost of a
+    distributed-FS write.  The pinned blocks persist on executors
+    until the DataFrame is GC'd driver-side; a session that chains
+    MANY rank calls over large frames should release them promptly —
+    :func:`unpin` is the explicit hook (the returned frame's results
+    must be fully consumed first)."""
     return ranged.localCheckpoint(eager=False)
+
+
+def unpin(pinned: DataFrame) -> None:
+    """Release the executor-side blocks of a checkpointed frame (the
+    `_pin` localCheckpoint cache).  Optional — driver-side GC reclaims
+    the blocks eventually — but explicit release bounds cache growth
+    in long sessions that chain many rank calls over large frames.
+    The frame (and anything lazily derived from it that has not been
+    materialized) must not be used after.
+
+    A checkpointed Dataset's analyzed plan is a LogicalRDD wrapping
+    the pinned internal RDD — unpersist THAT (``DataFrame.rdd`` would
+    build a fresh conversion RDD whose unpersist releases nothing)."""
+    try:
+        pinned._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a checkpointed frame, or blocks already released
 
 
 def top_k_ranked(

@@ -233,7 +233,19 @@ class ReconcileStaging:
     def _merge_api_delta(self, df: DataFrame, key_col: str) -> DataFrame:
         """Second-or-later API landing on an unswitched key: classify
         the re-fetched state against the pass-1 table and write only
-        what changed (docstring above for the three outcomes)."""
+        what changed (docstring above for the three outcomes).
+
+        Classification is MULTISET-correct for non-unique keys: each
+        side collapses to a per-key summary (row count + exact sum of
+        64-bit row hashes as DECIMAL(38,0) — order-independent and
+        overflow-free), so a key with several identical-content rows
+        compares equal instead of producing crossed row-pair
+        mismatches.  The pass-1 side's groupBy runs exchange-free off
+        its bucketed scan; the re-fetched side pays one key-summary
+        shuffle — compute, not a landed write.  A hash-sum collision
+        (engineered multiset pairs summing equal) would mis-read a
+        mutation as 'same'; 64-bit hashes make that a non-issue for
+        real states."""
         from graphql_api_etl_spark.sinks.tables import (
             append_bucketed_delta,
             stage_bucketed,
@@ -243,37 +255,45 @@ class ReconcileStaging:
         name = self._api_names[key_col]
         prev = spark.table(name)
         cols = prev.columns
-        new = df.select(*cols).withColumn("__new_present", F.lit(True))
-        old = prev.withColumn("__old_present", F.lit(True))
-        new_struct = F.struct(*[F.col(f"n.{c}") for c in cols])
-        old_struct = F.struct(*[F.col(f"o.{c}") for c in cols])
-        j = new.alias("n").join(
-            old.alias("o"),
+
+        def summarize(frame: DataFrame, cnt: str, hsum: str) -> DataFrame:
+            row_hash = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            return frame.select(*cols).groupBy(key_col).agg(
+                F.count(F.lit(1)).alias(cnt), F.sum(row_hash).alias(hsum)
+            )
+
+        j = summarize(df, "__cnt_n", "__h_n").alias("n").join(
+            summarize(prev, "__cnt_o", "__h_o").alias("o"),
             F.col(f"n.{key_col}") == F.col(f"o.{key_col}"),
             "full_outer",
         )
-        state = (
-            F.when(F.col("n.__new_present").isNull(), "del")
-            .when(F.col("o.__old_present").isNull(), "new")
-            .when(~new_struct.eqNullSafe(old_struct), "upd")
-            .otherwise("same")
+        changed = (F.col("__cnt_n") != F.col("__cnt_o")) | (
+            F.col("__h_n") != F.col("__h_o")
         )
         flags = j.agg(
-            F.sum(F.when(state == "new", 1).otherwise(0)).alias("n_new"),
-            F.sum(F.when(state == "upd", 1).otherwise(0)).alias("n_upd"),
-            F.sum(F.when(state == "del", 1).otherwise(0)).alias("n_del"),
+            F.sum(F.when(F.col("__cnt_o").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("__cnt_n").isNull(), 1).otherwise(0)).alias("n_del"),
+            F.sum(
+                F.when(
+                    F.col("__cnt_n").isNotNull()
+                    & F.col("__cnt_o").isNotNull()
+                    & changed,
+                    1,
+                ).otherwise(0)
+            ).alias("n_upd"),
         ).collect()[0]
         if not flags["n_new"] and not flags["n_upd"] and not flags["n_del"]:
             return prev  # identical state: zero rows written
         if not flags["n_upd"] and not flags["n_del"]:
             delta = df.select(*cols).join(
-                prev.select(key_col), key_col, "left_anti"
+                prev.select(key_col).distinct(), key_col, "left_anti"
             )
             return append_bucketed_delta(
                 spark, name, delta, [key_col], num_buckets=self.num_buckets
             )
-        # mutated beyond adds (or ambiguous duplicate keys): full
-        # re-land under a serial name so earlier readers stay valid.
+        # mutated beyond adds (or null join keys, counted as del+new):
+        # full re-land under a serial name so earlier readers stay
+        # valid.
         self._serial += 1
         vname = f"{name}_v{self._serial}"
         self._api_names[key_col] = vname

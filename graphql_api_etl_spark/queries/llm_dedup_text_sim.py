@@ -1406,9 +1406,10 @@ WITH b AS (
   FROM documents GROUP BY lang
 )
 SELECT doc_id, documents.lang,
-       round(lo, 2) AS lo, round(hi, 2) AS hi,
-       round(CASE WHEN n_chars < lo THEN lo WHEN n_chars > hi THEN hi
-                  ELSE n_chars END, 2) AS n_chars_w,
+       CAST(round(100 * lo) AS BIGINT) AS lo_x100,
+       CAST(round(100 * hi) AS BIGINT) AS hi_x100,
+       CAST(round(100 * CASE WHEN n_chars < lo THEN lo WHEN n_chars > hi THEN hi
+                  ELSE n_chars END) AS BIGINT) AS n_chars_w_x100,
        CAST((n_chars < lo OR n_chars > hi) AS BIGINT) AS clipped
 FROM documents JOIN b ON documents.lang = b.lang
 """,
@@ -1419,9 +1420,13 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partially-aggregated percentile pass per group (bounded: one
     row per lang), broadcast of that tiny bounds table back onto the
     fact, clip as a map-side expression. Exact interpolated
-    percentiles on both engines (a_percentiles' proven pairing);
-    at extreme group cardinality swap in approx_percentile at a
-    declared error bound."""
+    percentiles on both engines (a_percentiles' proven pairing), and
+    the interpolated bounds are emitted INTEGER-SCALED (hundredths,
+    the r12 knife-edge-hardening pattern) instead of round(x, 2) —
+    decimal rounding of an inexact interpolated double is the hazard
+    class that flipped two entries in the r12 off-gate sweep. At
+    extreme group cardinality swap in approx_percentile at a declared
+    error bound."""
     docs = _t(spark, sf_dir, "documents")
     bounds = docs.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.05)").alias("lo"),
@@ -1436,9 +1441,9 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         "lang",
-        F.round("lo", 2).alias("lo"),
-        F.round("hi", 2).alias("hi"),
-        F.round(clip, 2).alias("n_chars_w"),
+        F.round(F.lit(100) * F.col("lo")).cast("bigint").alias("lo_x100"),
+        F.round(F.lit(100) * F.col("hi")).cast("bigint").alias("hi_x100"),
+        F.round(F.lit(100) * clip).cast("bigint").alias("n_chars_w_x100"),
         ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
         .cast("bigint")
         .alias("clipped"),

@@ -250,11 +250,53 @@ def flagship_reconcile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_report(customer, orders)
 
 
+@_q("flagship_reconcile_healed", _FLAGSHIP_SQL)
+def flagship_reconcile_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-healing twin of flagship_reconcile (r13, VERDICT r12 ask
+    #2's gated consumer): the same reconcile report, but the API side
+    arrives the way the weekly pipeline's pass 2 sees it — a pass-1
+    bucketed landing MISSING a deterministic slice (every 97th order
+    key, the not-yet-loaded rows), then a second landing of the full
+    state that ReconcileStaging classifies against pass 1 and merges
+    as a DELTA APPEND into the same bucketed table (zero rewrite of
+    the pass-1 files; sinks.tables.append_bucketed_delta). The oracle
+    is the plain flagship SQL over the full state, proving the healed
+    table is row-identical to a from-scratch landing; the pass-2 join
+    stays exchange-free (tests/test_plans.py::
+    test_staged_reconcile_join_after_delta_append pins the plan). At
+    100 TB this is the write saved: pass 2 lands O(|loaded delta|)
+    instead of re-bucketing the whole API side (docs/PLANS.md).
+    Cites ETL:474–506 (the reference's re-fetch-everything pass 2)."""
+    import os as _os
+
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    wh = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".bucket_warehouse_heal",
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    staging = ReconcileStaging(f"graft_heal_{tag}", wh, num_buckets=32)
+    customer = staging.land(
+        _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0),
+        "file",
+        "c_custkey",
+    )
+    orders_full = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    # Whole KEYS missing (every 97th customer), so pass 2 classifies
+    # them as adds-only and takes the append path — partial keys would
+    # read as mutations and fall back to a full re-land by design.
+    staging.land(orders_full.filter(F.col("o_custkey") % 97 != 0), "api", "o_custkey")
+    orders_healed = staging.land(orders_full, "api", "o_custkey")
+    return _flagship_report(customer, orders_healed)
+
+
 __catalog_exports__ = [
     '_FLAGSHIP_SQL',
     '_flagship_report',
     'flagship_reconcile',
     'flagship_reconcile_bucketed',
+    'flagship_reconcile_healed',
     'j_outer_provenance_counts',
     'j_left_anti_unmatched',
     'j_left_semi_matched',

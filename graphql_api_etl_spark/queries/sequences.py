@@ -794,9 +794,9 @@ WITH g AS (
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(min(gap_ms) AS BIGINT) AS min_ms,
-       round(avg(gap_ms), 1) AS avg_ms,
-       round(quantile_cont(gap_ms, 0.5), 1) AS p50_ms,
-       round(quantile_cont(gap_ms, 0.9), 1) AS p90_ms,
+       CAST(round(10.0 * sum(gap_ms) / count(*)) AS BIGINT) AS avg_ms_x10,
+       CAST(round(10 * quantile_cont(gap_ms, 0.5)) AS BIGINT) AS p50_ms_x10,
+       CAST(round(10 * quantile_cont(gap_ms, 0.9)) AS BIGINT) AS p90_ms_x10,
        CAST(max(gap_ms) AS BIGINT) AS max_ms
 FROM g WHERE gap_ms IS NOT NULL
 GROUP BY event_type
@@ -810,7 +810,12 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-partitioned window computes the gaps; the per-type rollup is
     a second small shuffle. Gaps are exact integers (epoch_ms), so
     the percentile interpolation is over identical values on both
-    engines (the only float step, rounded to 0.1 ms)."""
+    engines; the mean and percentiles are emitted INTEGER-SCALED
+    (tenths of a ms, the a_percentiles/emb_quantize_int8 pattern,
+    r12 knife-edge hardening): scale-then-round-to-integer avoids the
+    round(x, 1) decimal-rendering asymmetry on inexact doubles — the
+    exact hazard class that flipped two entries in the r12 off-gate
+    sweep."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts"))
@@ -820,9 +825,15 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
         F.min("gap_ms").cast("bigint").alias("min_ms"),
-        F.round(F.avg("gap_ms"), 1).alias("avg_ms"),
-        F.round(F.expr("percentile(gap_ms, 0.5)"), 1).alias("p50_ms"),
-        F.round(F.expr("percentile(gap_ms, 0.9)"), 1).alias("p90_ms"),
+        F.round(F.lit(10.0) * F.sum("gap_ms") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_ms_x10"),
+        F.round(F.lit(10) * F.expr("percentile(gap_ms, 0.5)"))
+        .cast("bigint")
+        .alias("p50_ms_x10"),
+        F.round(F.lit(10) * F.expr("percentile(gap_ms, 0.9)"))
+        .cast("bigint")
+        .alias("p90_ms_x10"),
         F.max("gap_ms").cast("bigint").alias("max_ms"),
     )
 

@@ -126,6 +126,22 @@ def ensure_bucket_database(spark: SparkSession, database: str, location: str) ->
     return database
 
 
+def _delete_dir(spark: SparkSession, uri: str) -> None:
+    """Scheme-agnostic recursive delete via the Hadoop FileSystem API
+    (r12 ADVICE: the old ``shutil.rmtree`` only understood local
+    ``file:`` paths, so an orphaned staging directory on hdfs:// or
+    s3a:// silently survived and re-landing failed with
+    LOCATION_ALREADY_EXISTS).  The filesystem is resolved FROM the
+    URI, so whatever scheme the database location carries — file,
+    hdfs, s3a — gets the right client.  Missing paths are a no-op
+    (``FileSystem.delete`` returns false)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
 def stage_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -156,8 +172,6 @@ def stage_bucketed(
     if "." not in name:
         raise ValueError(f"stage_bucketed needs a database-qualified name, got {name!r}")
     if not spark.catalog.tableExists(name):
-        import shutil
-
         db, table = name.split(".", 1)
         loc = (
             spark.sql(f"DESCRIBE DATABASE {db}")
@@ -165,9 +179,7 @@ def stage_bucketed(
             .collect()
         )
         if loc:
-            uri = loc[0]["info_value"]
-            path = uri[len("file:"):] if uri.startswith("file:") else uri
-            shutil.rmtree(f"{path}/{table}", ignore_errors=True)
+            _delete_dir(spark, f"{loc[0]['info_value']}/{table}")
     write_bucketed_table(
         df,
         name,

@@ -141,3 +141,25 @@ def test_left_merge_auto_broadcast_respects_size(spark):
         assert "BroadcastHashJoin" in p_forced
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_threshold_resolves_unit_suffixed_values(spark):
+    """r12 ADVICE: 'auto' mode must honor unit-suffixed thresholds
+    ('10m', '100k') — the old int() parse raised and silently fell
+    back to 64 MiB, so auto could force-broadcast frames far over the
+    configured budget. Resolution goes through the JVM conf reader
+    (the same parser Spark's planner uses)."""
+    from graphql_api_etl_spark.operators.join import _broadcast_threshold_bytes
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, expected in [
+            ("10m", 10 * 1024 * 1024),
+            ("100k", 100 * 1024),
+            ("1048576", 1048576),
+            ("-1", -1),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == expected, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

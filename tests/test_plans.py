@@ -302,6 +302,10 @@ def test_staged_reconcile_join_after_delta_append(spark, sf_dir, tmp_path):
     staging.land(api_pass1, "api", "node_name")
     rhs = staging.land(api, "api", "node_name")  # adds-only delta append
     assert rhs.count() == api.count()
+    # prove the APPEND path fired, not the full-re-land fallback: the
+    # table name is unversioned and no _v1 twin exists.
+    tables = {t.name for t in spark.catalog.listTables("graft_stage_deltaplan")}
+    assert "api_node_name" in tables and "api_node_name_v1" not in tables, tables
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -203,3 +203,22 @@ def test_global_running_sum_correct_with_aqe_disabled(spark):
         assert got == naive
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_unpin_releases_checkpoint_blocks(spark):
+    """r12 ADVICE: pinned rank frames cache MEMORY_AND_DISK blocks on
+    executors until driver GC — `unpin` is the explicit release hook
+    for long sessions chaining many rank calls. After full consumption
+    and unpin, the checkpointed RDD must no longer be in a persistent
+    storage level (results stay valid for already-collected data)."""
+    from graphql_api_etl_spark.operators.rank import _pin, unpin
+
+    df = spark.range(10000).select(F.col("id").alias("v"))
+    pinned = _pin(df.repartitionByRange(4, "v"))
+    assert pinned.count() == 10000  # materialize the checkpoint
+    jrdd = pinned._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.getStorageLevel().isValid()  # blocks are cached
+    unpin(pinned)
+    assert not jrdd.getStorageLevel().isValid()  # released
+    # a non-checkpointed frame is a safe no-op
+    unpin(df)
