@@ -153,6 +153,76 @@ def test_incremental_reconcile_retry_is_idempotent(spark, tmp_path):
     assert first == second == [("a", 2), ("b", 1)]
 
 
+def test_bucketed_incremental_reconcile_equals_batch_and_retry(spark, tmp_path):
+    """BucketedIncrementalReconciler (VERDICT r12 ask #7): the
+    streaming upsert mirrored over a ReconcileStaging-layout bucketed
+    state — same last-write-wins/insert semantics as the parent
+    (the test_incremental_reconcile cases), same retry idempotency,
+    PLUS the layout contract: the committed state is a catalog table
+    whose scan carries the bucket spec, so the per-batch merge and any
+    downstream key join read the state side exchange-free."""
+    from graphql_api_etl_spark.plans import executed_plan
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_state",
+        str(tmp_path / "bstate"),
+        key="id",
+        num_buckets=4,
+    )
+    b0 = spark.createDataFrame(
+        [("a", "A0"), ("b", "B0"), ("b", "B1")], "id string, name string"
+    )
+    b1 = spark.createDataFrame(
+        [("a", "A1"), ("d", "D0")], "id string, name string"
+    )
+    rec.upsert_batch(b0, 0)
+    s0 = {r["id"]: r["name"] for r in rec.current_state(spark).collect()}
+    assert s0 == {"a": "A0", "b": "B1"}  # within-batch: last occurrence wins
+
+    rec.upsert_batch(b1, 1)
+    s1 = {r["id"]: r["name"] for r in rec.current_state(spark).collect()}
+    assert s1 == {"a": "A1", "b": "B1", "d": "D0"}
+
+    # retry of the SAME batch re-reads the version before it and
+    # rewrites its own version — idempotent.
+    rec.upsert_batch(b1, 1)
+    s1b = {r["id"]: r["name"] for r in rec.current_state(spark).collect()}
+    assert s1b == s1
+
+    # the live state is a bucketed catalog table: a key join against
+    # another bucketed frame runs with zero exchange on the state side.
+    state = rec.current_state(spark)
+    assert spark.catalog.tableExists("graft_stream_state.state_v1")
+    from graphql_api_etl_spark.sinks.tables import stage_bucketed
+
+    other = spark.createDataFrame(
+        [("a", 1), ("x", 2)], "id string, v int"
+    )
+    staged_other = stage_bucketed(
+        spark, other, "graft_stream_state.probe", ["id"], num_buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = executed_plan(state.join(staged_other, "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+
+    # retention: after batch 2, version 0 is dropped (table + dir).
+    rec.upsert_batch(
+        spark.createDataFrame([("e", "E0")], "id string, name string"), 2
+    )
+    assert not spark.catalog.tableExists("graft_stream_state.state_v0")
+    import os as _os
+
+    assert not _os.path.isdir(str(tmp_path / "bstate" / "state_v0"))
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_state CASCADE")
+
+
 def test_threshold_alerts_stateful_across_batches(spark, tmp_path):
     """applyInPandasWithState: lifetime per-key running totals emit one
     alert per crossed threshold multiple, with state carried across
