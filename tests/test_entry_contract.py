@@ -488,6 +488,59 @@ def test_current_window_is_the_prestaged_r12_list():
     assert names[:50] == amend_window(PRIORITY_R12, misses + never)
 
 
+def test_prestaged_r14_window_is_valid_under_both_simulated_histories():
+    """The window_r9..r13 pattern carried forward: the pre-staged r14
+    window (scripts/window_r14.py) must satisfy the freshness
+    invariant against a simulated all-green round 13 AND against a
+    round 13 with misses present, after the documented amend_window
+    round-start step."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, check_window, load_history
+    from window_r14 import PRIORITY_R14
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    assert len(PRIORITY_R14) == 50 and len(set(PRIORITY_R14)) == 50
+    assert all(n in reg_order for n in PRIORITY_R14)
+
+    base_lg, base_fg, _misses, newest = load_history(repo, reg_order)
+
+    def round_start_window(sim_misses: list[str], lg: dict[str, int]) -> list[str]:
+        never = [n for n in names if n not in lg and n not in sim_misses]
+        return amend_window(PRIORITY_R14, sim_misses + never)
+
+    # History 1: the next round goes all-green over the live window.
+    lg = dict(base_lg)
+    fg = dict(base_fg)
+    for n in names[:50]:
+        lg[n] = newest + 1
+        fg.setdefault(n, newest + 1)
+    w1 = round_start_window([], lg)
+    problems = check_window(w1, names, lg, fg, [], newest + 1)
+    assert problems == [], "all-green history:\n" + "\n".join(problems)
+    assert [n for n in names if n not in lg and n not in set(w1)] == []
+
+    # History 2: the next round produces misses — the amended window
+    # must re-check them first and stay green.
+    sim_misses = [names[0], names[7]]
+    lg2 = dict(base_lg)
+    fg2 = dict(base_fg)
+    for n in names[:50]:
+        if n in sim_misses:
+            lg2.pop(n, None)
+            continue
+        lg2[n] = newest + 1
+        fg2.setdefault(n, newest + 1)
+    amended = round_start_window(sim_misses, lg2)
+    assert len(amended) == 50 and amended[:2] == sim_misses
+    problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
+    assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
+
+
 def test_current_window_is_the_prestaged_r13_list():
     """The live round-13 window must equal the pre-staged list amended
     per the documented round-start policy (scripts/window_r13.py +
