@@ -450,6 +450,70 @@ def test_reconcile_staging_caches_file_side_and_merges_api_delta(spark, tmp_path
     spark.sql("DROP DATABASE IF EXISTS graft_stage_unittest CASCADE")
 
 
+def test_reconcile_staging_delta_classifier_multiset_edges(spark, tmp_path):
+    """The delta classifier must be MULTISET-correct for non-unique
+    keys (the r13 rewrite): a key with several rows — even
+    byte-identical duplicates — compares 'same' when its multiset is
+    unchanged (no spurious update from crossed row pairs), whole-key
+    adds still take the append path, and a changed duplicate-row
+    multiset or null join keys trigger the full re-land fallback."""
+    import os
+
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    loc = str(tmp_path / "staged")
+    staging = ReconcileStaging("graft_stage_msets", loc, num_buckets=2)
+    # key 'k1' has TWO rows (one a byte-identical duplicate pair class),
+    # key 'k2' one row
+    base = spark.createDataFrame(
+        [("k1", "a"), ("k1", "a"), ("k2", "b")], "node_name string, v string"
+    )
+    staging.land(base, "api", "node_name")
+    tdir = os.path.join(loc, "api_node_name")
+    files0 = {f for f in os.listdir(tdir) if not f.startswith("_")}
+
+    # identical multiset (row order shuffled): 'same' — zero write
+    again = spark.createDataFrame(
+        [("k2", "b"), ("k1", "a"), ("k1", "a")], "node_name string, v string"
+    )
+    out = staging.land(again, "api", "node_name")
+    assert out.count() == 3
+    assert {f for f in os.listdir(tdir) if not f.startswith("_")} == files0
+
+    # whole-key add on top of multi-row keys: append path (no _v1)
+    plus = again.unionByName(
+        spark.createDataFrame([("k3", "c")], "node_name string, v string")
+    )
+    out2 = staging.land(plus, "api", "node_name")
+    assert out2.count() == 4
+    tables = {t.name for t in spark.catalog.listTables("graft_stage_msets")}
+    assert "api_node_name_v1" not in tables
+
+    # duplicate-count change within an existing key: multiset differs
+    # → update → full re-land fallback under a serial name
+    mutated = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k3", "c")], "node_name string, v string"
+    )
+    out3 = staging.land(mutated, "api", "node_name")
+    assert out3.count() == 3
+    tables = {t.name for t in spark.catalog.listTables("graft_stage_msets")}
+    assert "api_node_name_v1" in tables
+
+    # null join keys on both sides: counted as del+new (plain equality
+    # join cannot match them) → fallback, result matches the new state
+    staging2 = ReconcileStaging("graft_stage_msets2", str(tmp_path / "s2"), num_buckets=2)
+    withnull = spark.createDataFrame(
+        [("k1", "a"), (None, "n")], "node_name string, v string"
+    )
+    staging2.land(withnull, "api", "node_name")
+    out4 = staging2.land(withnull, "api", "node_name")
+    assert out4.count() == 2
+    tables2 = {t.name for t in spark.catalog.listTables("graft_stage_msets2")}
+    assert "api_node_name_v1" in tables2  # null keys → conservative re-land
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_msets CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_msets2 CASCADE")
+
+
 def test_stage_bucketed_recovers_orphaned_directory(spark, tmp_path):
     """A managed bucket directory left by a previous session (whose
     in-memory catalog forgot the table) must not make re-landing fail
