@@ -548,3 +548,59 @@ def test_kcore_bsp_matches_sequential_peel(pairs, k):
 
     assert bsp_edges == seq_edges
     assert rounds <= max(len(nodes), 1)
+
+
+_DELTA_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(old_rows=_DELTA_ROWS, new_rows=_DELTA_ROWS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_staging_delta_merge_always_lands_exactly_the_new_state(
+    spark, tmp_path_factory, old_rows, new_rows
+):
+    """ReconcileStaging delta-merge invariant (r13): whatever path the
+    classifier takes — zero-write, append, or full re-land — landing
+    state B after state A must read back EXACTLY B's multiset.
+    Generated edges: empty sides, null keys, duplicate keys, duplicate
+    identical rows, adds/updates/deletes in one batch."""
+    import uuid
+
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+
+    tag = uuid.uuid4().hex[:10]
+    base = tmp_path_factory.mktemp(f"deltaprop_{tag}")
+    staging = ReconcileStaging(f"graft_prop_{tag}", str(base / "s"), num_buckets=2)
+
+    def frame(rows):
+        if not rows:
+            return spark.createDataFrame([], "node_name string, v int")
+        return spark.createDataFrame(
+            [(None if k is None else f"k{k}", v) for k, v in rows],
+            "node_name string, v int",
+        )
+
+    try:
+        staging.land(frame(old_rows), "api", "node_name")
+        out = staging.land(frame(new_rows), "api", "node_name")
+        got = sorted(
+            ((r["node_name"], r["v"]) for r in out.collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+        want = sorted(
+            ((None if k is None else f"k{k}", v) for k, v in new_rows),
+            key=lambda t: (t[0] is None, t),
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS graft_prop_{tag} CASCADE")
