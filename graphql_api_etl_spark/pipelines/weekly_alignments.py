@@ -262,42 +262,72 @@ class ReconcileStaging:
                 F.count(F.lit(1)).alias(cnt), F.sum(row_hash).alias(hsum)
             )
 
-        j = summarize(df, "__cnt_n", "__h_n").alias("n").join(
-            summarize(prev, "__cnt_o", "__h_o").alias("o"),
-            F.col(f"n.{key_col}") == F.col(f"o.{key_col}"),
-            "full_outer",
-        )
-        changed = (F.col("__cnt_n") != F.col("__cnt_o")) | (
-            F.col("__h_n") != F.col("__h_o")
-        )
-        flags = j.agg(
-            F.sum(F.when(F.col("__cnt_o").isNull(), 1).otherwise(0)).alias("n_new"),
-            F.sum(F.when(F.col("__cnt_n").isNull(), 1).otherwise(0)).alias("n_del"),
-            F.sum(
-                F.when(
-                    F.col("__cnt_n").isNotNull()
-                    & F.col("__cnt_o").isNotNull()
-                    & changed,
-                    1,
-                ).otherwise(0)
-            ).alias("n_upd"),
-        ).collect()[0]
-        if not flags["n_new"] and not flags["n_upd"] and not flags["n_del"]:
-            return prev  # identical state: zero rows written
-        if not flags["n_upd"] and not flags["n_del"]:
-            delta = df.select(*cols).join(
-                prev.select(key_col).distinct(), key_col, "left_anti"
+        j = (
+            summarize(df, "__cnt_n", "__h_n")
+            .alias("n")
+            .join(
+                summarize(prev, "__cnt_o", "__h_o").alias("o"),
+                F.col(f"n.{key_col}") == F.col(f"o.{key_col}"),
+                "full_outer",
             )
-            return append_bucketed_delta(
-                spark, name, delta, [key_col], num_buckets=self.num_buckets
+            # O(|keys|), reused by the flags agg AND the delta-key
+            # extraction — one classification pass, not two (measured
+            # r13: the old anti-join-vs-all-old-keys variant rescanned
+            # and reshuffled both key sets a second time).
+            .persist()
+        )
+        try:
+            changed = (F.col("__cnt_n") != F.col("__cnt_o")) | (
+                F.col("__h_n") != F.col("__h_o")
             )
-        # mutated beyond adds (or null join keys, counted as del+new):
-        # full re-land under a serial name so earlier readers stay
-        # valid.
-        self._serial += 1
-        vname = f"{name}_v{self._serial}"
-        self._api_names[key_col] = vname
-        return stage_bucketed(spark, df, vname, [key_col], num_buckets=self.num_buckets)
+            flags = j.agg(
+                F.sum(F.when(F.col("__cnt_o").isNull(), 1).otherwise(0)).alias("n_new"),
+                F.sum(F.when(F.col("__cnt_n").isNull(), 1).otherwise(0)).alias("n_del"),
+                F.sum(
+                    F.when(
+                        F.col("__cnt_n").isNotNull()
+                        & F.col("__cnt_o").isNotNull()
+                        & changed,
+                        1,
+                    ).otherwise(0)
+                ).alias("n_upd"),
+                # null-keyed NEW rows can't ride the key-equality
+                # semi-join below (it would silently drop them from
+                # the delta) — route them to the full re-land.
+                F.sum(
+                    F.when(
+                        F.col("__cnt_o").isNull() & F.col(f"n.{key_col}").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_nullkey"),
+            ).collect()[0]
+            if not flags["n_new"] and not flags["n_upd"] and not flags["n_del"]:
+                return prev  # identical state: zero rows written
+            if not flags["n_upd"] and not flags["n_del"] and not flags["n_nullkey"]:
+                new_keys = j.filter(F.col("__cnt_o").isNull()).select(
+                    F.col(f"n.{key_col}").alias(key_col)
+                )
+                # adds-only: the delta keys came out of the cached
+                # classification; broadcast them when small (the
+                # self-healing norm) so extracting the delta rows is a
+                # map-side semi-join over ONE scan of the new side.
+                if flags["n_new"] <= 1_000_000:
+                    new_keys = F.broadcast(new_keys)
+                delta = df.select(*cols).join(new_keys, key_col, "left_semi")
+                return append_bucketed_delta(
+                    spark, name, delta, [key_col], num_buckets=self.num_buckets
+                )
+            # mutated beyond adds (or null join keys, counted as
+            # del+new): full re-land under a serial name so earlier
+            # readers stay valid.
+            self._serial += 1
+            vname = f"{name}_v{self._serial}"
+            self._api_names[key_col] = vname
+            return stage_bucketed(
+                spark, df, vname, [key_col], num_buckets=self.num_buckets
+            )
+        finally:
+            j.unpersist()
 
 
 def reconcile_locations(
