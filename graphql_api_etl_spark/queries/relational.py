@@ -276,7 +276,11 @@ def flagship_reconcile_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".bucket_warehouse_heal",
     )
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
-    staging = ReconcileStaging(f"graft_heal_{tag}", wh, num_buckets=32)
+    # 8 buckets: the layout CONTRACT under test (equal bucket specs →
+    # exchange-free join; append keeps the spec) is bucket-count
+    # independent, and the gate's sf0.01 rows don't amortize 32 tiny
+    # files per landed table the deployment default writes.
+    staging = ReconcileStaging(f"graft_heal_{tag}", wh, num_buckets=8)
     customer = staging.land(
         _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0),
         "file",
