@@ -621,3 +621,44 @@ def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
     assert len(amended) == 50 and amended[:2] == sim_misses
     problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
     assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
+
+
+def test_no_decimal_rounded_interpolated_percentiles_in_catalog_source():
+    """Hazard-class guard (r12 off-gate sweep → r13 hardening): decimal
+    rounding of an INTERPOLATED percentile — round(quantile_cont(x,q),
+    k) / F.round(percentile(...), k) — is the knife-edge family that
+    flipped entries between engines (the interpolation result is an
+    inexact double; the two engines' decimal renderings can disagree
+    at a .x5 boundary). The established replacement is the
+    integer-scaled output pattern (scale-then-round-to-BIGINT:
+    a_percentiles' cents, events_interarrival_stats' *_x10,
+    curate_winsorize's *_x100). This meta-test keeps the hazard from
+    re-entering the catalog source; round-to-integer (no scale arg)
+    stays allowed."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qdir = os.path.join(repo, "graphql_api_etl_spark", "queries")
+    # decimal-scale rounding applied directly to an interpolated
+    # percentile, in SQL text or the Spark expression mirror
+    sql_pat = re.compile(
+        r"round\(\s*(?:quantile_cont|percentile)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s*,\s*\d",
+        re.I,
+    )
+    spark_pat = re.compile(
+        r"F\.round\(\s*F\.expr\(\s*[\"']percentile[^)]*\)\s*,\s*\d"
+    )
+    offenders = []
+    for fn in sorted(os.listdir(qdir)):
+        if not fn.endswith(".py"):
+            continue
+        src = open(os.path.join(qdir, fn)).read()
+        for pat in (sql_pat, spark_pat):
+            for m in pat.finditer(src):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{fn}:{line}: {m.group(0)[:60]}")
+    assert offenders == [], (
+        "decimal-rounded interpolated percentile(s) found — use the "
+        "integer-scaled output pattern instead:\n" + "\n".join(offenders)
+    )
