@@ -96,6 +96,46 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def estimate_hot_partition_bytes(
+    fact: DataFrame,
+    on: str | Sequence[str],
+    fraction: float = 0.01,
+    seed: int = 42,
+) -> int:
+    """Estimate the hottest join-key partition's size in bytes — the
+    ``hot_partition_bytes`` input :func:`skew_aware_join` wants — from
+    a SEEDED Bernoulli sample instead of a full per-key histogram.
+
+    At 100 TB the exact diagnosis (groupBy key → max/sum, the
+    j_skew_aware entry's bounded one-row pass) is itself a full
+    shuffle of (key, count) pairs; a hot key by definition owns a
+    large share of rows, so a 1% sample estimates its share with
+    tight relative error (a key holding p of N rows appears
+    ~Binomial(0.01·N, p) times — for the ≥1% shares that matter the
+    estimate is within a few percent at any fact size worth
+    diagnosing), while keys too cold to matter may vanish from the
+    sample entirely, which is exactly the right failure mode: their
+    absence reads as "no skew signal" and the router falls through to
+    the plain plan Catalyst/AQE already handle.
+
+    Deterministic for a given (fraction, seed) over the same input —
+    safe to call inside a catalog entry without breaking the
+    differential (the estimate feeds only the strategy pick, never
+    the result rows)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    sample = fact.sample(fraction=fraction, seed=seed)
+    hist = (
+        sample.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"), F.sum("n").alias("n_rows"))
+        .collect()[0]
+    )
+    if not hist["n_rows"]:
+        return 0
+    hot_share = hist["max_n"] / hist["n_rows"]
+    return int(plan_size_bytes(fact) * hot_share)
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for a frame (the same statistic the
     broadcast planner consults): optimizedPlan().stats.sizeInBytes.

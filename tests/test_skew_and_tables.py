@@ -268,6 +268,39 @@ def test_skew_aware_join_picks_measured_strategies(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_estimate_hot_partition_bytes_tracks_the_exact_share(spark, skewed):
+    """The sampled skew diagnosis (the 100 TB alternative to a full
+    per-key histogram) must land near the exact hot-key share on a
+    genuinely skewed input, be deterministic for a fixed seed, and
+    read an even key distribution as no-signal-worth-acting-on."""
+    from graphql_api_etl_spark.operators.skew import (
+        estimate_hot_partition_bytes,
+        plan_size_bytes,
+    )
+
+    # 'skewed' fixture: one key owns 90% of 1000 rows. Use a high
+    # fraction so the test is tight at this tiny scale; at real scale
+    # 1% gives the same relative error for hot keys.
+    big = skewed.crossJoin(
+        skewed.sparkSession.range(64).select(F.col("id").alias("rep"))
+    )
+    est = estimate_hot_partition_bytes(big, "k", fraction=0.2, seed=7)
+    exact_share = 0.9
+    size = plan_size_bytes(big)
+    assert 0.7 * exact_share * size <= est <= 1.2 * exact_share * size, (
+        est,
+        size,
+    )
+    # deterministic for a fixed (fraction, seed)
+    assert est == estimate_hot_partition_bytes(big, "k", fraction=0.2, seed=7)
+
+    even = skewed.sparkSession.range(64000).select((F.col("id") % 6400).alias("k"))
+    est_even = estimate_hot_partition_bytes(even, "k", fraction=0.2, seed=7)
+    # an even distribution's hottest key holds ~1/6400 of the rows —
+    # far under any split threshold at this size
+    assert est_even < plan_size_bytes(even) * 0.01
+
+
 def test_j_skew_aware_entry_takes_the_branch_its_inputs_call_for(spark, sf_dir):
     """The j_skew_aware CATALOG entry (VERDICT r12 ask #1: the strategy
     router needs an end-to-end consumer under the driver gate) must
