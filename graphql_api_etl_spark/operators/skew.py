@@ -173,8 +173,10 @@ def skew_aware_join(
 
     ``hot_partition_bytes`` is the caller's estimate of the hottest
     join-key partition (e.g. ``fact_bytes × hot_key_share`` from the
-    ``a_key_skew_report`` entry); ``dim_size_bytes`` defaults to
-    Catalyst's own estimate via :func:`plan_size_bytes`.  Explicit
+    ``a_key_skew_report`` entry, or — the 100 TB path —
+    :func:`estimate_hot_partition_bytes`'s seeded-sample estimate);
+    ``dim_size_bytes`` defaults to Catalyst's own estimate via
+    :func:`plan_size_bytes`.  Explicit
     salting is deliberately NOT in the table: measured within noise of
     plain SMJ (its dim×N replication eats the task-spread win) — it
     remains the manual fallback for engines/versions without AQE.
