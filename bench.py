@@ -147,6 +147,7 @@ def main() -> None:
         floors = _probe_floors(spark, sf_dir)
         floors.update(_probe_relational_floors(spark, sf_dir))
         floors.update(_probe_skew_floors(spark, sf_dir))
+        floors.update(_probe_delta_floors(spark, sf_dir))
         print(json.dumps({"metric": "floors_probe", "unit": "us_per_row",
                           "sf": sf, "floors": floors}))
         return
@@ -206,6 +207,7 @@ def main() -> None:
     floors = _probe_floors(spark, sf_dir)
     floors.update(_probe_relational_floors(spark, sf_dir))
     floors.update(_probe_skew_floors(spark, sf_dir))
+    floors.update(_probe_delta_floors(spark, sf_dir))
     floors.update(_probe_codec_floors())
 
     total = round(sum(timings.values()), 3)
@@ -1038,6 +1040,104 @@ def _probe_skew_floors(spark, sf_dir: str) -> dict:
         }
     except Exception as exc:  # noqa: BLE001
         out["_skew_floors_error"] = repr(exc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _probe_delta_floors(spark, sf_dir: str) -> dict:
+    """Self-healing pass-2 landing shoot-out (r13, VERDICT r12 ask #2):
+    the ReconcileStaging delta-merge vs the r12 full re-land, on the
+    healed-twin shape at 16x replication (~2.2 M rows, ~1% whole-key
+    delta).  Reported per strategy: wall seconds AND bytes written —
+    the delta path trades extra classify jobs (it scans the new side
+    twice) for an O(|delta|) write; locally writes are nearly free so
+    wall time favors the re-land, while on a replicated DFS the
+    re-land's full-row shuffle + 3x-replicated full-row write is the
+    term that kills a 100 TB recurring job (docs/PLANS.md).  The
+    zero-change classify row is the recurring-job norm: nothing
+    written at all."""
+    out: dict[str, dict] = {}
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="bench_delta_floors_")
+    try:
+        from pyspark.sql import functions as F
+
+        from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+        from graphql_api_etl_spark.sinks.tables import stage_bucketed
+        from graphql_api_etl_spark.sources.registry import load_table
+
+        rep = 16
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 50000
+        )
+        src = f"{tmp}/src"
+        (
+            base.crossJoin(spark.range(rep).select(F.col("id").alias("__r")))
+            .select(
+                (F.col("o_orderkey") * rep + F.col("__r")).alias("o_orderkey"),
+                (F.col("o_custkey") * rep + F.col("__r")).alias("o_custkey"),
+                "o_orderpriority",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        full = spark.read.parquet(src)
+        pass1 = full.filter(F.col("o_custkey") % 97 != 0)
+        n_full = full.count()
+        n_delta = n_full - pass1.count()
+
+        def du(path: str) -> int:
+            total = 0
+            for dp, _dirs, fns in os.walk(path):
+                for f in fns:
+                    total += os.path.getsize(os.path.join(dp, f))
+            return total
+
+        def timed(fn):
+            t0 = time.time()
+            fn()
+            return round(time.time() - t0, 3)
+
+        # r12 behavior: land pass 1, then a FULL re-land of the new state
+        st_a = ReconcileStaging("graft_bench_dfa", f"{tmp}/a", num_buckets=32)
+        st_a.land(pass1, "api", "o_custkey")
+        full_sec = timed(
+            lambda: stage_bucketed(
+                spark, full, "graft_bench_dfa.api_full2", ["o_custkey"], num_buckets=32
+            )
+        )
+        full_bytes = du(f"{tmp}/a/api_full2")
+
+        # r13 behavior: the delta-merge landing (adds-only append path)
+        st_b = ReconcileStaging("graft_bench_dfb", f"{tmp}/b", num_buckets=32)
+        st_b.land(pass1, "api", "o_custkey")
+        before = du(f"{tmp}/b/api_o_custkey")
+        delta_sec = timed(lambda: st_b.land(full, "api", "o_custkey"))
+        delta_bytes = du(f"{tmp}/b/api_o_custkey") - before
+
+        # zero-change pass 2: classification only, nothing written
+        same_sec = timed(lambda: st_b.land(full, "api", "o_custkey"))
+
+        out["reconcile_delta_landing"] = {
+            "n_rows": n_full,
+            "n_delta_rows": n_delta,
+            "full_reland_sec": full_sec,
+            "full_reland_bytes": full_bytes,
+            "delta_append_sec": delta_sec,
+            "delta_append_bytes": delta_bytes,
+            "identical_classify_sec": same_sec,
+            "identical_classify_bytes": 0,
+        }
+        spark.sql("DROP DATABASE IF EXISTS graft_bench_dfa CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS graft_bench_dfb CASCADE")
+    except Exception as exc:  # noqa: BLE001
+        out["_delta_floors_error"] = repr(exc)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
