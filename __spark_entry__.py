@@ -23,78 +23,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Round-13 window: CORRECTNESS_r12 had ZERO misses (50/50 green) and
-# no entries were registered after scripts/window_r13.py was staged
-# (flagship_reconcile_bucketed, the one mid-r12 registration, was
-# already folded into the staging baseline), so the round-start act is
-# `amend_window(PRIORITY_R13, [])` — the pre-staged
-# scripts/window_r13.py suggestion verbatim: a pure round-robin
-# refresh of the 50 oldest-evidence entries (r6 remainder + earliest
-# r7 cohort).  Mid-r13 two entries were registered — j_skew_aware
-# (the strategy-router consumer, VERDICT r12 ask #1) and
-# flagship_reconcile_healed (the delta-merge consumer, ask #2) — so
-# per the same policy the live window is now
-# `amend_window(PRIORITY_R13, ['flagship_reconcile_healed',
-# 'j_skew_aware'])` (never-checked entries front, in REGISTRATION
-# order — relational.py registers before aggregates.py); the last two
-# refresh fills (a_heavy_hitters_cms and stream_static_enrich_join,
-# green r7) drop to a later round.  tests/test_entry_contract.py's
-# test_current_window_is_the_prestaged_r13_list verifies the live
-# window equals amend_window(PRIORITY_R13, misses + never-checked)
+# Round-14 window: CORRECTNESS_r13 had ZERO misses (50/50 green), and
+# one entry was registered after scripts/window_r14.py was staged —
+# flagship_reconcile_mutated (the mutated-state fallback twin, VERDICT
+# r13 ask #4) — so per the documented round-start policy the live
+# window is `amend_window(PRIORITY_R14, ['flagship_reconcile_mutated'])`
+# (never-checked entries front in registration order; the displaced
+# refresh fill sink_snapshot_diff, green r8, drops to a later round).
+# tests/test_entry_contract.py's
+# test_current_window_is_the_prestaged_r14_list verifies the live
+# window equals amend_window(PRIORITY_R14, misses + never-checked)
 # exactly. Entries outside the window stay green on the local
 # driver-replica gate (tests/test_oracle_diff.py) at sf0.01 before
 # each commit.
 _PRIORITY = [
-    "flagship_reconcile_healed",  # never-checked: registered mid-r13 (reg order: relational.py)
-    "j_skew_aware",  # never-checked: registered mid-r13
-    "x_math_functions",  # refresh: green r6
-    "x_null_semantics",  # refresh: green r6
-    "events_anomaly_zscore",  # refresh: green r6
-    "so_union_schema_evolution",  # refresh: green r6
-    "source_schema_merge_read",  # refresh: green r6
-    "x_array_functions",  # refresh: green r6
-    "a_corr_covar",  # refresh: green r6
-    "x_regex_functions",  # refresh: green r6
-    "a_filtered_agg",  # refresh: green r6
-    "x_map_functions",  # refresh: green r6
-    "x_edit_distance",  # refresh: green r6
-    "a_histogram_bins",  # refresh: green r6
-    "a_mode_per_group",  # refresh: green r6
-    "events_max_concurrency",  # refresh: green r6
-    "x_scd2_history",  # refresh: green r6
-    "events_transition_matrix",  # refresh: green r6
-    "a_rfm_scores",  # refresh: green r6
-    "a_profile_columns",  # refresh: green r6
-    "dq_expectations",  # refresh: green r6
-    "text_sentence_split",  # refresh: green r6
-    "events_ewma_trailing",  # refresh: green r6
-    "a_benford_first_digit",  # refresh: green r7
-    "a_quantile_buckets",  # refresh: green r7
-    "a_entropy_per_group",  # refresh: green r7
-    "events_interarrival_stats",  # refresh: green r7
-    "a_monthly_growth",  # refresh: green r7
-    "events_range_frame_sum",  # refresh: green r7
-    "events_path_analysis",  # refresh: green r7
-    "events_ohlc_bars",  # refresh: green r7
-    "events_active_users",  # refresh: green r7
-    "a_key_skew_report",  # refresh: green r7
-    "source_fixed_width",  # refresh: green r7
-    "a_audience_overlap",  # refresh: green r7
-    "a_market_basket",  # refresh: green r7
-    "x_try_cast_tolerant",  # refresh: green r7
-    "a_group_ols",  # refresh: green r7
-    "layout_dpp_prune",  # refresh: green r7
-    "a_autocorr_lag",  # refresh: green r7
-    "graph_triangle_count",  # refresh: green r7
-    "graph_bfs_distances",  # refresh: green r7
-    "graph_link_prediction",  # refresh: green r7
-    "graph_label_propagation",  # refresh: green r7
-    "graph_degree_assortativity",  # refresh: green r7
-    "graph_modularity",  # refresh: green r7
-    "stream_hourly_counts",  # refresh: green r7
-    "stream_distinct_user_types",  # refresh: green r7
-    "stream_latest_state_upsert",  # refresh: green r7
-    "stream_session_windows",  # refresh: green r7
+    "flagship_reconcile_mutated",  # never-checked: registered mid-r14 (mutated-state fallback twin)
+    "stream_static_enrich_join",  # refresh: green r7
+    "a_heavy_hitters_cms",  # refresh: green r7
+    "j_fuzzy_blocked",  # refresh: green r7
+    "events_hypertable_rollup",  # refresh: green r7
+    "a_ab_test_ztest",  # refresh: green r7
+    "a_mad_outliers",  # refresh: green r7
+    "a_abc_pareto",  # refresh: green r7
+    "events_resample_interpolate",  # refresh: green r7
+    "ts_sax_symbols",  # refresh: green r7
+    "ts_similarity_topk",  # refresh: green r7
+    "a_forecast_seasonal_naive",  # refresh: green r7
+    "dq_table_checksums",  # refresh: green r7
+    "source_xml_records",  # refresh: green r7
+    "a_dow_seasonality",  # refresh: green r7
+    "a_growth_accounting",  # refresh: green r7
+    "a_decile_lift",  # refresh: green r7
+    "events_slo_error_budget",  # refresh: green r7
+    "a_contingency_chisq",  # refresh: green r7
+    "dq_pseudonymize",  # refresh: green r7
+    "a_weighted_median",  # refresh: green r7
+    "events_cusum_changepoint",  # refresh: green r7
+    "events_sma_crossover",  # refresh: green r7
+    "j_left_anti_unmatched",  # refresh: green r8
+    "mm_audio_zero_crossings",  # refresh: green r8
+    "mm_image_edge_density",  # refresh: green r8
+    "text_bpe_merges",  # refresh: green r8
+    "text_bpe_tokenize",  # refresh: green r8
+    "graph_pagerank_dangling",  # refresh: green r8
+    "graph_kcore",  # refresh: green r8
+    "graph_harmonic_centrality",  # refresh: green r8
+    "stream_late_data_drop",  # refresh: green r8
+    "stream_stream_interval_join",  # refresh: green r8
+    "stream_threshold_crossings",  # refresh: green r8
+    "x_decimal_money_exact",  # refresh: green r8
+    "a_adoption_curve",  # refresh: green r8
+    "a_repeat_purchase_rate",  # refresh: green r8
+    "a_kmv_distinct_sketch",  # refresh: green r8
+    "a_hll_registers",  # refresh: green r8
+    "a_mannwhitney_u",  # refresh: green r8
+    "a_gini_concentration",  # refresh: green r8
+    "dq_functional_deps",  # refresh: green r8
+    "a_poisson_bootstrap_ci",  # refresh: green r8
+    "dq_psi_drift",  # refresh: green r8
+    "a_ks_two_sample",  # refresh: green r8
+    "events_theilsen_trend",  # refresh: green r8
+    "events_attribution_credit",  # refresh: green r8
+    "a_ab_cuped_adjust",  # refresh: green r8
+    "a_ab_power_analysis",  # refresh: green r8
+    "a_order_to_ship_latency",  # refresh: green r8
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

@@ -154,6 +154,23 @@ def build_hierarchy_tree(edges: DataFrame, child_col: str = "child", parent_col:
 # ---------------------------------------------------------------------------
 
 
+def null_distinguishing_row_hash(cols: list[str]) -> F.Column:
+    """64-bit row hash that DISTINGUISHES which columns hold null.
+
+    ``xxhash64`` skips null inputs entirely (the seed passes through
+    unchanged), so ``('x', NULL)`` and ``(NULL, 'x')`` hash identically
+    — a value moving between columns, or a value↔null swap, would read
+    as "row unchanged" and the delta classifier would silently return
+    stale state (r13 ADVICE, reproduced end-to-end).  Interleaving each
+    column with its never-null ``isNull()`` flag pins every value to
+    its position: the flags always contribute to the hash, so two rows
+    agree only when the same columns are null AND the non-null values
+    match column-for-column."""
+    return F.xxhash64(
+        *[e for c in cols for e in (F.col(c).isNull(), F.col(c))]
+    )
+
+
 def choose_location_key(api_locations: DataFrame) -> str:
     """F8 plan switch (ETL:390, 481): if every API remoteId is empty,
     join on location name; else on Unit↔remoteId. One tiny boolean
@@ -257,7 +274,10 @@ class ReconcileStaging:
         cols = prev.columns
 
         def summarize(frame: DataFrame, cnt: str, hsum: str) -> DataFrame:
-            row_hash = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            # null-distinguishing: a plain xxhash64 over the columns
+            # skips nulls, so column-to-column value moves / null swaps
+            # would classify as 'unchanged' (r13 ADVICE, high).
+            row_hash = null_distinguishing_row_hash(cols).cast("decimal(38,0)")
             return frame.select(*cols).groupBy(key_col).agg(
                 F.count(F.lit(1)).alias(cnt), F.sum(row_hash).alias(hsum)
             )

@@ -288,24 +288,24 @@ def j_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured r11 strategy table (broadcast > AQE-split-fired >
     SHUFFLE_HASH > plain SMJ, docs/PLANS.md) picking the join strategy
     from the ACTUAL inputs — dim size via Catalyst stats, hot-partition
-    estimate diagnosed from the fact's own key histogram (the
-    a_key_skew_report statistic: max per-key rows ÷ total rows ×
-    Catalyst's fact size). The oracle is the PLAIN join, proving the
-    router is strategy-transparent: every branch returns identical
-    rows. tests/test_plans.py asserts this entry's executed plan takes
-    the branch its inputs call for (broadcast at test scale — the dim
-    fits the budget; at 100 TB the same call degrades to SMJ + AQE
-    skew split as the stats cross the thresholds, with SHUFFLE_HASH
-    for the skewed-but-under-split-threshold middle band).
-
-    The diagnosis pass is ONE partial-aggregated shuffle over the fact
-    collapsing to a single row (per-key counts → max/sum) — at 100 TB
-    you run it on a seeded sample or reuse a standing skew report, so
-    it is priced like a_key_skew_report, not like the join itself.
+    size via the SIZE-SWITCHED diagnosis (VERDICT r13 ask #1:
+    operators/skew.diagnose_hot_partition_bytes — exact per-key
+    histogram while the fact's Catalyst estimate is under 1 GiB, the
+    seeded 1% Bernoulli sample past it, so at 100 TB the diagnosis is
+    priced like a sample scan, never like the join itself). The oracle
+    is the PLAIN join, proving the router is strategy-transparent:
+    every branch returns identical rows. tests/test_plans.py asserts
+    this entry's executed plan takes the branch its inputs call for
+    (broadcast at test scale — the dim fits the budget; at 100 TB the
+    same call degrades to SMJ + AQE skew split as the stats cross the
+    thresholds, with SHUFFLE_HASH for the
+    skewed-but-under-split-threshold middle band), and
+    tests/test_skew_and_tables.py pins that the sampled and exact
+    diagnoses pick the SAME strategy on the skewed fixture.
     Cites ETL:391–415 (the reconcile fact-fact joins, the skew-exposed
     shape at scale)."""
     from graphql_api_etl_spark.operators.skew import (
-        plan_size_bytes,
+        diagnose_hot_partition_bytes,
         skew_aware_join,
     )
 
@@ -315,15 +315,9 @@ def j_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     )
-    # Skew diagnosis (bounded: one row back to the driver).
-    hist = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("max_n"), F.sum("n").alias("n_rows"))
-        .collect()[0]
-    )
-    hot_share = hist["max_n"] / max(hist["n_rows"], 1)
-    hot_bytes = int(plan_size_bytes(li) * hot_share)
+    # Skew diagnosis (bounded: one row back to the driver; exact under
+    # the size switch at gate scale, seeded-sample at 100 TB).
+    hot_bytes = diagnose_hot_partition_bytes(li, on="l_orderkey")
     joined = skew_aware_join(li, o, on="l_orderkey", hot_partition_bytes=hot_bytes)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

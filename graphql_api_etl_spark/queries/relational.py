@@ -228,17 +228,16 @@ def flagship_reconcile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables under the repo-local bucket warehouse; the in-memory
     catalog forgets between sessions and stage_bucketed clears the
     orphaned directory before re-landing."""
-    import os as _os
-
     from graphql_api_etl_spark.sinks.tables import (
+        bucket_warehouse_path,
         ensure_bucket_database,
         stage_bucketed,
     )
 
-    wh = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".bucket_warehouse",
-    )
+    # Root injectable via SPARK_GRAFT_BUCKET_WAREHOUSE (VERDICT r13
+    # ask #6); per-sf collisions are avoided here by the _fb_{tag}
+    # table names rather than per-tag directories.
+    wh = bucket_warehouse_path(".bucket_warehouse")
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
     ensure_bucket_database(spark, "graft_buckets", wh)
     for base, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
@@ -267,15 +266,18 @@ def flagship_reconcile_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the write saved: pass 2 lands O(|loaded delta|)
     instead of re-bucketing the whole API side (docs/PLANS.md).
     Cites ETL:474–506 (the reference's re-fetch-everything pass 2)."""
-    import os as _os
-
     from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+    from graphql_api_etl_spark.sinks.tables import bucket_warehouse_path
 
-    wh = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".bucket_warehouse_heal",
-    )
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    # Per-TAG location (r13 ADVICE, medium): the graft_heal_<tag>
+    # databases use ReconcileStaging's tag-independent table names
+    # (api_o_custkey, file_c_custkey), so two sf_dirs sharing one
+    # warehouse directory would map two catalog tables onto the same
+    # files — the second landing deletes the first's data out from
+    # under its catalog entry. Root injectable via
+    # SPARK_GRAFT_BUCKET_WAREHOUSE (VERDICT r13 ask #6).
+    wh = bucket_warehouse_path(".bucket_warehouse_heal", tag)
     # 8 buckets: the layout CONTRACT under test (equal bucket specs →
     # exchange-free join; append keeps the spec) is bucket-count
     # independent, and the gate's sf0.01 rows don't amortize 32 tiny
@@ -295,12 +297,59 @@ def flagship_reconcile_healed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_report(customer, orders_healed)
 
 
+@_q("flagship_reconcile_mutated", _FLAGSHIP_SQL)
+def flagship_reconcile_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutated-state twin of flagship_reconcile (r14, VERDICT r13 ask
+    #4): puts ReconcileStaging's classify→FALLBACK decision under the
+    hash gate. Pass 1 lands a CORRUPTED API state — every 97th
+    customer's orders carry a stale o_totalprice (+1000) — then pass 2
+    lands the true full state. The delta classifier sees per-key hash
+    sums disagree on existing keys (updates, not adds), so the
+    adds-only append is ILLEGAL and the staging must take the
+    correctness fallback: a full re-land under the serial name
+    ``api_o_custkey_v1`` (weekly_alignments.ReconcileStaging, the
+    updates/deletes branch). The oracle is the plain flagship SQL over
+    the true state, proving the fallback's result is row-identical to
+    a from-scratch landing — and tests/test_weekly_pipeline.py::
+    test_flagship_mutated_twin_takes_the_serial_fallback pins that the
+    _v1 serial actually appeared (the branch fired, not the append).
+    The +1000 perturbation stays inside the >50000 filter band, so the
+    key SET is unchanged between passes — pure mutation, the exact
+    shape the adds-only classifier must refuse.
+    Cites ETL:474–506 (the reference's re-fetch-everything pass 2:
+    there a stale pass-1 state is silently absorbed by the full
+    re-fetch; here the classifier has to DETECT it to stay correct
+    while writing deltas)."""
+    from graphql_api_etl_spark.pipelines.weekly_alignments import ReconcileStaging
+    from graphql_api_etl_spark.sinks.tables import bucket_warehouse_path
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    wh = bucket_warehouse_path(".bucket_warehouse_mut", tag)
+    staging = ReconcileStaging(f"graft_mut_{tag}", wh, num_buckets=8)
+    customer = staging.land(
+        _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0),
+        "file",
+        "c_custkey",
+    )
+    orders_true = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    stale = orders_true.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 97 == 0, F.col("o_totalprice") + F.lit(1000.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    staging.land(stale, "api", "o_custkey")
+    orders_healed = staging.land(orders_true, "api", "o_custkey")
+    return _flagship_report(customer, orders_healed)
+
+
 __catalog_exports__ = [
     '_FLAGSHIP_SQL',
     '_flagship_report',
     'flagship_reconcile',
     'flagship_reconcile_bucketed',
     'flagship_reconcile_healed',
+    'flagship_reconcile_mutated',
     'j_outer_provenance_counts',
     'j_left_anti_unmatched',
     'j_left_semi_matched',

@@ -141,9 +141,12 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, so every driver round rebuilds from the current parquet."""
     import os as _os
 
-    from graphql_api_etl_spark.sinks.tables import write_bucketed_table
+    from graphql_api_etl_spark.sinks.tables import (
+        bucket_warehouse_path,
+        write_bucketed_table,
+    )
 
-    wh = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))), ".bucket_warehouse")
+    wh = bucket_warehouse_path(".bucket_warehouse")
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
     spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '{wh}'")
     tables = {
@@ -156,9 +159,11 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the in-memory catalog forgets between sessions but the
             # managed location survives on disk — clear it or
             # saveAsTable refuses with LOCATION_ALREADY_EXISTS
-            import shutil as _shutil
+            # (scheme-agnostic delete: the warehouse root is
+            # env-injectable and may be hdfs:// or s3a://)
+            from graphql_api_etl_spark.sinks.tables import _delete_dir
 
-            _shutil.rmtree(_os.path.join(wh, f"{base}_b_{tag}"), ignore_errors=True)
+            _delete_dir(spark, _os.path.join(wh, f"{base}_b_{tag}"))
             write_bucketed_table(_t(spark, sf_dir, base), name, [key], num_buckets=8, sort_cols=sort)
     o = spark.table(f"graft_buckets.orders_b_{tag}").filter(
         F.col("o_orderdate") < F.lit("1995-06-15").cast("timestamp")

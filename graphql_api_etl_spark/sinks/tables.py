@@ -17,9 +17,27 @@ The 100 TB layout story:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def bucket_warehouse_path(*parts: str) -> str:
+    """Root for bucketed staging warehouses, injectable for deployment.
+
+    Reads ``SPARK_GRAFT_BUCKET_WAREHOUSE`` (r13 VERDICT ask #6: a real
+    deployment points staging at durable storage — HDFS/S3 — instead
+    of a path derived from the package location); default stays the
+    repo-local dot-directory the gate entries have always used, so
+    local runs and the driver see identical behavior.  ``parts`` are
+    joined under the root (e.g. a per-entry subdir, then a per-sf tag
+    so two scale factors never share one table directory — r13 ADVICE,
+    medium)."""
+    root = os.environ.get("SPARK_GRAFT_BUCKET_WAREHOUSE") or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, *parts)
 
 
 def write_partitioned(

@@ -568,6 +568,35 @@ def test_current_window_is_the_prestaged_r13_list():
     assert names[:50] == amend_window(PRIORITY_R13, misses + never)
 
 
+def test_current_window_is_the_prestaged_r14_list():
+    """The live round-14 window must equal the pre-staged list amended
+    per the documented round-start policy (scripts/window_r14.py +
+    rotate_window.amend_window): real r13 misses first (there were
+    none — CORRECTNESS_r13 is 50/50 green), then entries registered
+    after window_r14.py was staged (flagship_reconcile_mutated, the
+    mutated-state fallback twin), so the window is
+    amend_window(PRIORITY_R14, ['flagship_reconcile_mutated']) — the
+    displaced refresh fill sink_snapshot_diff drops to a later
+    round."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, load_history
+    from window_r14 import PRIORITY_R14
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    lg, _fg, misses, newest = load_history(repo, reg_order)
+    if newest != 13:
+        pytest.skip("only meaningful while r13 is the newest history")
+    never = [n for n in QUERIES if n not in lg and n not in misses]
+    assert names[:50] == amend_window(PRIORITY_R14, misses + never)
+
+
 def test_prestaged_r10_window_is_valid_under_both_simulated_histories():
     """The window_r9 pattern carried forward: the pre-staged r10 window
     (scripts/window_r10.py) must satisfy the freshness invariant

