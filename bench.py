@@ -203,6 +203,40 @@ def main() -> None:
     else:
         duck_error = None
 
+    # Fixed-cost control (VERDICT r13 ask #5): a 1-row scan measured
+    # with the same interleaved best-of-N, on BOTH engines. Its data
+    # work is nil, so its number is pure harness floor — JVM job
+    # scheduling + task dispatch on the Spark side, statement overhead
+    # on DuckDB's. When a round's headline numbers inflate uniformly
+    # while the control inflates with them, the window was noisy (the
+    # r13 adjudication, done then by cross-referencing solo anchors);
+    # a plan regression moves its query WITHOUT moving the control.
+    control: dict[str, float] = {}
+    try:
+        from graphql_api_etl_spark.sources.registry import load_table
+
+        ctrl_df = load_table(spark, sf_dir, "region").limit(1)
+        ctrl_df.write.format("noop").mode("overwrite").save()  # warm-up
+        ctrl_samples = []
+        for _ in range(ROUNDS):
+            t0 = time.time()
+            ctrl_df.write.format("noop").mode("overwrite").save()
+            ctrl_samples.append(round(time.time() - t0, 4))
+        control["spark_fixed_sec"] = min(ctrl_samples)
+        control["spark_fixed_med"] = round(
+            sorted(ctrl_samples)[len(ctrl_samples) // 2], 4
+        )
+        if duck:
+            dctrl = []
+            con.execute("SELECT * FROM region LIMIT 1").fetchall()  # warm-up
+            for _ in range(ROUNDS):
+                t0 = time.time()
+                con.execute("SELECT * FROM region LIMIT 1").fetchall()
+                dctrl.append(round(time.time() - t0, 4))
+            control["duckdb_fixed_sec"] = min(dctrl)
+    except Exception:  # noqa: BLE001 — the control is diagnostic only
+        pass
+
     marginal = _probe_marginal(spark, sf_dir)
     floors = _probe_floors(spark, sf_dir)
     floors.update(_probe_relational_floors(spark, sf_dir))
@@ -237,6 +271,8 @@ def main() -> None:
         out["marginal_rows_per_sec"] = marginal
     if floors:
         out["floors"] = floors
+    if control:
+        out["control"] = control
     print(json.dumps(out))
     # FINAL line: compact summary (VERDICT r5 ask #3). The driver's
     # BENCH_r*.json keeps only the LAST 2000 chars of stdout, which
@@ -273,6 +309,8 @@ def main() -> None:
         + ([duck[n], round(med(duck_samples[n]), 3)] if n in duck else [])
         for n in names
     }
+    if control:
+        compact["control"] = control
     if "ratio_vs_duckdb" in out:
         compact["ratio_vs_duckdb"] = out["ratio_vs_duckdb"]
         common = [n for n in duck if n in timings]

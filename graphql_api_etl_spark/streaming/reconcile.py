@@ -26,6 +26,7 @@ swap the versioned parquet state for an ACID table format
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from collections.abc import Callable
@@ -134,15 +135,24 @@ class IncrementalReconciler:
             os.path.join(self.state_dir, f"v{batch_id}")
         )
 
+    def _retired_versions(self, batch_id: int) -> list[int]:
+        """Retention rule, gap-safe: keep THIS version and the newest
+        version BELOW the batch (the input a retry of this batch_id
+        re-reads). With dense versions that is {B, B-1} — the original
+        rule — but adds-only delta batches (the bucketed subclass)
+        leave version-number gaps, where 'keep v >= B-1' would delete
+        the retry input."""
+        versions = _versions(self.state_dir, self._version_prefix)
+        prev = max([v for v in versions if v < batch_id], default=None)
+        keep = {batch_id} | ({prev} if prev is not None else set())
+        return [v for v in versions if v not in keep]
+
     def _retire(self, batch_id: int) -> None:
-        """Retention: keep this version and its input (the input of a
-        potential retry of the NEXT batch is THIS version)."""
-        for v in _versions(self.state_dir, self._version_prefix):
-            if v < batch_id - 1:
-                shutil.rmtree(
-                    os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
-                    ignore_errors=True,
-                )
+        for v in self._retired_versions(batch_id):
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
+                ignore_errors=True,
+            )
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -184,14 +194,27 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
       reports) is exchange-free too — the same layout contract
       ReconcileStaging gives the weekly job.
 
-    Idempotency protocol unchanged from the parent (versioned state;
-    a retried batch_id re-reads the version BEFORE it and rewrites its
-    own version — ``stage_bucketed``'s overwrite + orphan-directory
-    recovery make the rewrite safe after crashes mid-landing).  After
-    a session restart the in-memory catalog forgets the tables while
-    their managed directories survive; ``current_state`` falls back to
-    reading the committed directory as plain parquet (the bucket spec
-    is re-established at the next landed version).
+    Batches that classify ADDS-ONLY against the committed state take
+    the delta fast path (``_try_adds_only_append``, VERDICT r13 ask
+    #3): append O(|batch|) rows into the current version's bucketed
+    table instead of re-landing the full merged state — the same
+    classify→append story the batch pipeline's ReconcileStaging delta
+    merge runs, including the null-distinguishing row hash. A
+    ``applied_b{B}_to_v{P}`` commit marker (written only after the
+    append's job commit) short-circuits retries; correctness never
+    depends on it — a marker-less retry re-classifies and reads its
+    own keys as already-present-identical.
+
+    Idempotency protocol otherwise unchanged from the parent
+    (versioned state; a retried batch_id re-reads the newest version
+    BEFORE it and rewrites its own version — ``stage_bucketed``'s
+    overwrite + orphan-directory recovery make the rewrite safe after
+    crashes mid-landing; retention is gap-safe for the version-number
+    holes delta batches leave).  After a session restart the in-memory
+    catalog forgets the tables while their managed directories
+    survive; ``current_state`` falls back to reading the committed
+    directory as plain parquet (the bucket spec and the delta fast
+    path re-establish at the next landed version).
     """
 
     _version_prefix = "state_v"  # managed bucketed-table directory names
@@ -203,10 +226,153 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         key: str | list[str],
         num_buckets: int = 32,
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        compact_after_appends: int = 16,
     ):
         super().__init__(state_dir=location, key=key, transform=transform)
         self.database = database
         self.num_buckets = num_buckets
+        # after this many consecutive adds-only delta appends onto one
+        # base version, force a full re-land: each append adds a file
+        # per touched bucket, and a bounded file count keeps the
+        # bucketed scan healthy (the join stays exchange-free either
+        # way; this caps small-file accumulation).
+        self.compact_after_appends = compact_after_appends
+
+    def _marker(self, batch_id: int, base: int) -> str:
+        return os.path.join(self.state_dir, f"applied_b{batch_id}_to_v{base}")
+
+    def _try_adds_only_append(
+        self, spark: SparkSession, state: DataFrame, batch: DataFrame, batch_id: int
+    ) -> bool:
+        """Adds-only fast path (VERDICT r13 ask #3: align the streaming
+        state with the batch pipeline's delta merge): when every batch
+        key is ABSENT from the committed state, append just the batch's
+        rows into the CURRENT bucketed version via
+        sinks.tables.append_bucketed_delta — write cost O(|batch|), no
+        new version, the state table keeps its bucket spec — instead of
+        re-landing the full merged state.
+
+        Retry protocol (foreachBatch is at-least-once; the versioned
+        contract must survive a crash at ANY point):
+
+        - marker present (``applied_b{B}_to_v{P}``, written only AFTER
+          the append's job commit) → the delta is in the files; pure
+          no-op.
+        - crash AFTER the append committed but BEFORE the marker: the
+          retry re-classifies the batch against the state — its keys
+          are now present with IDENTICAL per-key multisets (the same
+          null-distinguishing hash the batch delta merge uses), which
+          reads as "already applied" → no-op, marker rewritten.
+        - crash DURING the append (job not committed): Spark's commit
+          protocol leaves only uncommitted temporaries, so the retry
+          still sees the keys absent → appends again. Exactly-once
+          either way, with the CLASSIFICATION as the correctness
+          mechanism and the marker as the cheap short-circuit.
+
+        Declines (returns False → the caller takes the full versioned
+        land): schema drift, null batch keys (the key-equality join
+        cannot classify them), any batch key already present with a
+        DIFFERENT multiset (an update — appends would duplicate), the
+        state being the post-restart plain-parquet fallback (no table
+        to append into), or ``compact_after_appends`` deltas already
+        sitting on the base version (bounded small-file growth)."""
+        from graphql_api_etl_spark.pipelines.weekly_alignments import (
+            null_distinguishing_row_hash,
+        )
+        from graphql_api_etl_spark.sinks.tables import append_bucketed_delta
+
+        versions = [
+            v
+            for v in _versions(self.state_dir, self._version_prefix)
+            if v < batch_id
+        ]
+        if not versions:
+            return False
+        base = versions[-1]
+        if os.path.exists(self._marker(batch_id, base)):
+            return True  # this batch's delta already committed
+        name = self._table(base)
+        if not spark.catalog.tableExists(name):
+            return False  # post-restart parquet fallback: no append target
+        if set(batch.columns) != set(state.columns):
+            return False
+        n_applied = len(
+            glob.glob(os.path.join(self.state_dir, f"applied_b*_to_v{base}"))
+        )
+        if n_applied >= self.compact_after_appends:
+            return False  # compaction due: full re-land bounds file count
+        cols = state.columns
+
+        def summarize(frame: DataFrame) -> DataFrame:
+            h = null_distinguishing_row_hash(cols).cast("decimal(38,0)")
+            return frame.select(*cols).groupBy(*self.key).agg(
+                F.count(F.lit(1)).alias("__cnt"), F.sum(h).alias("__h")
+            )
+
+        bkeys = batch.select(*self.key).distinct()
+        # only the state rows sharing a batch key matter — broadcast
+        # semi-filter keeps the state side exchange-free and the
+        # summary batch-sized.
+        overlap = state.join(F.broadcast(bkeys), self.key, "left_semi")
+        j = (
+            summarize(batch)
+            .withColumnsRenamed({"__cnt": "__cnt_b", "__h": "__h_b"})
+            .join(summarize(overlap), self.key, "left_outer")
+            .persist()
+        )
+        try:
+            nullkey = F.lit(False)
+            for k in self.key:
+                nullkey = nullkey | F.col(k).isNull()
+            flags = j.agg(
+                F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).alias("n_new"),
+                F.sum(
+                    F.when(
+                        F.col("__cnt").isNotNull()
+                        & (
+                            (F.col("__cnt") != F.col("__cnt_b"))
+                            | (F.col("__h") != F.col("__h_b"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_diff"),
+                F.sum(F.when(nullkey, 1).otherwise(0)).alias("n_nullkey"),
+            ).collect()[0]
+            if flags["n_nullkey"] or flags["n_diff"]:
+                return False  # updates (or unclassifiable keys): full land
+            if flags["n_new"]:
+                new_keys = F.broadcast(
+                    j.filter(F.col("__cnt").isNull()).select(*self.key)
+                )
+                delta = batch.join(new_keys, self.key, "left_semi").select(*cols)
+                append_bucketed_delta(
+                    spark, name, delta, self.key, num_buckets=self.num_buckets
+                )
+            # n_new == 0 → every key already present and identical: a
+            # replayed (or redundant) batch — zero rows written.
+        finally:
+            j.unpersist()
+        with open(self._marker(batch_id, base), "w") as fh:
+            fh.write('{"batch_id": %d, "applied_to_version": %d}\n' % (batch_id, base))
+        # a retry of this batch re-reads the newest version below it —
+        # the append target itself — so anything older is retirable
+        # (same keep-set rule as the full-land path).
+        self._retire(batch_id)
+        return True
+
+    def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if self.transform is not None:
+            batch = self.transform(batch)
+        batch = self._dedup_batch(batch)
+        state = self.current_state(spark, before=batch_id)
+        if state is not None and self._try_adds_only_append(
+            spark, state, batch, batch_id
+        ):
+            return
+        merged = self._merge_into_state(state, batch)
+        self._write_version(merged, batch_id)
+        self._retire(batch_id)
 
     def _table(self, version: int) -> str:
         return f"{self.database}.state_v{version}"
@@ -249,11 +415,18 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        for v in _versions(self.state_dir, self._version_prefix):
-            if v < batch_id - 1:
-                if spark is not None:
-                    spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
-                shutil.rmtree(
-                    os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
-                    ignore_errors=True,
-                )
+        for v in self._retired_versions(batch_id):
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
+                ignore_errors=True,
+            )
+            # delta-commit markers ride their base version's lifetime
+            for m in glob.glob(
+                os.path.join(self.state_dir, f"applied_b*_to_v{v}")
+            ):
+                try:
+                    os.remove(m)
+                except OSError:
+                    pass

@@ -223,6 +223,135 @@ def test_bucketed_incremental_reconcile_equals_batch_and_retry(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS graft_stream_state CASCADE")
 
 
+def test_bucketed_adds_only_batches_append_instead_of_relanding(spark, tmp_path):
+    """VERDICT r13 ask #3: an adds-only micro-batch must take the
+    delta fast path — append O(|batch|) rows into the CURRENT bucketed
+    version (commit marker written, no new version directory, pass-1
+    files untouched) — while updates still take the full versioned
+    land, and the compaction cap forces a re-land after N appends."""
+    import os
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    loc = str(tmp_path / "bstate")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_delta", loc, key="id", num_buckets=4,
+        compact_after_appends=2,
+    )
+    rec.upsert_batch(
+        spark.createDataFrame([("a", "A0"), ("b", "B0")], "id string, v string"), 0
+    )
+    tdir = os.path.join(loc, "state_v0")
+    files0 = {f for f in os.listdir(tdir) if not f.startswith("_")}
+
+    # adds-only batch 1: append — same version, marker, superset files
+    rec.upsert_batch(spark.createDataFrame([("c", "C0")], "id string, v string"), 1)
+    assert os.path.exists(os.path.join(loc, "applied_b1_to_v0"))
+    assert not os.path.isdir(os.path.join(loc, "state_v1"))
+    files1 = {f for f in os.listdir(tdir) if not f.startswith("_")}
+    assert files0 <= files1 and len(files1) > len(files0)
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state == {"a": "A0", "b": "B0", "c": "C0"}
+
+    # adds-only batch 2: second append onto v0 (cap is 2, one applied)
+    rec.upsert_batch(spark.createDataFrame([("d", "D0")], "id string, v string"), 2)
+    assert os.path.exists(os.path.join(loc, "applied_b2_to_v0"))
+    assert not os.path.isdir(os.path.join(loc, "state_v2"))
+
+    # adds-only batch 3: compaction cap reached → full re-land, the
+    # markers retire with nothing left pointing at stale versions
+    rec.upsert_batch(spark.createDataFrame([("e", "E0")], "id string, v string"), 3)
+    assert os.path.isdir(os.path.join(loc, "state_v3"))
+    assert spark.catalog.tableExists("graft_stream_delta.state_v3")
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state == {"a": "A0", "b": "B0", "c": "C0", "d": "D0", "e": "E0"}
+
+    # an UPDATE batch never appends: full land (b mutates)
+    rec.upsert_batch(
+        spark.createDataFrame([("b", "B1"), ("f", "F0")], "id string, v string"), 4
+    )
+    assert os.path.isdir(os.path.join(loc, "state_v4"))
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state["b"] == "B1" and state["f"] == "F0"
+
+    # null batch keys decline the fast path (key join can't classify)
+    rec.upsert_batch(
+        spark.createDataFrame([(None, "N0")], "id string, v string"), 5
+    )
+    assert os.path.isdir(os.path.join(loc, "state_v5"))
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_delta CASCADE")
+
+
+def test_bucketed_adds_only_kill_and_retry_is_exactly_once(spark, tmp_path):
+    """Kill-and-retry property over the delta fast path: whatever
+    point the writer dies at, a foreachBatch replay of the same
+    batch_id converges to the same state with no duplicate rows.
+
+    Crash points simulated: (a) clean commit then replay (marker
+    short-circuit); (b) append committed but the marker write lost
+    (the classification must read the keys as already-present-
+    identical and no-op); (c) nothing committed (plain first apply).
+    Each step is checked against a driver-side last-write-wins
+    reference."""
+    import os
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    loc = str(tmp_path / "bstate")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_killretry", loc, key="id", num_buckets=2
+    )
+    reference: dict[str, str] = {}
+
+    def apply_ref(rows):
+        for k, v in rows:
+            reference[k] = v
+
+    def check():
+        got = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+        assert got == reference, (got, reference)
+        # no duplicate keys anywhere in the committed state
+        n = rec.current_state(spark).count()
+        assert n == len(reference)
+
+    schedule = [
+        (0, [("a", "A0"), ("b", "B0")], None),      # seed land
+        (1, [("c", "C0")], "marker"),                # (a) replay w/ marker
+        (2, [("d", "D0")], "lost_marker"),           # (b) marker lost
+        (3, [("b", "B1")], "marker"),                # update: full land, replay
+        (4, [("e", "E0"), ("a", "A0")], "lost_marker"),  # adds + identical overlap
+    ]
+    for batch_id, rows, crash in schedule:
+        batch = spark.createDataFrame(rows, "id string, v string")
+        rec.upsert_batch(batch, batch_id)
+        apply_ref(rows)
+        check()
+        if crash is None:
+            continue
+        if crash == "lost_marker":
+            # crash AFTER the append's job commit, BEFORE the marker:
+            # the marker never hit disk but the rows did.
+            for m in (
+                p for p in os.listdir(loc) if p.startswith(f"applied_b{batch_id}_")
+            ):
+                os.remove(os.path.join(loc, m))
+        # the replay foreachBatch delivers: same batch, same id
+        rec.upsert_batch(batch, batch_id)
+        check()
+        # and a second replay (retries can repeat)
+        rec.upsert_batch(batch, batch_id)
+        check()
+
+    # batch 4 was adds+identical-overlap: it must have ridden the
+    # delta path (no state_v4 version), and ONLY the new key appended.
+    assert not os.path.isdir(os.path.join(loc, "state_v4"))
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_killretry CASCADE")
+
+
 def test_threshold_alerts_stateful_across_batches(spark, tmp_path):
     """applyInPandasWithState: lifetime per-key running totals emit one
     alert per crossed threshold multiple, with state carried across
