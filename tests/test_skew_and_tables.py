@@ -449,6 +449,28 @@ def test_bucketed_scan_order_claim_requires_single_file_per_bucket(spark, sf_dir
     spark.sql("DROP DATABASE IF EXISTS graft_multi_file CASCADE")
 
 
+def test_bucket_warehouse_path_env_injection(monkeypatch, tmp_path):
+    """VERDICT r13 ask #6: the bucketed staging root must be
+    deployment-injectable via SPARK_GRAFT_BUCKET_WAREHOUSE, with the
+    repo-local default unchanged when the variable is unset/empty."""
+    import os
+
+    from graphql_api_etl_spark.sinks.tables import bucket_warehouse_path
+
+    monkeypatch.delenv("SPARK_GRAFT_BUCKET_WAREHOUSE", raising=False)
+    default = bucket_warehouse_path(".bucket_warehouse")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert default == os.path.join(repo_root, ".bucket_warehouse")
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_WAREHOUSE", str(tmp_path))
+    assert bucket_warehouse_path(".bucket_warehouse_heal", "sf0_01") == os.path.join(
+        str(tmp_path), ".bucket_warehouse_heal", "sf0_01"
+    )
+    # empty string falls back to the default (unset-equivalent)
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_WAREHOUSE", "")
+    assert bucket_warehouse_path(".bucket_warehouse") == default
+
+
 def test_stage_bucketed_requires_qualified_name_and_idempotent_db(spark, tmp_path):
     """stage_bucketed refuses an unqualified table name (the orphan
     cleanup needs the database location), and ensure_bucket_database
