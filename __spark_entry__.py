@@ -24,12 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
 # Round-14 window: CORRECTNESS_r13 had ZERO misses (50/50 green), and
-# one entry was registered after scripts/window_r14.py was staged —
+# two entries were registered after scripts/window_r14.py was staged —
 # flagship_reconcile_mutated (the mutated-state fallback twin, VERDICT
-# r13 ask #4) — so per the documented round-start policy the live
-# window is `amend_window(PRIORITY_R14, ['flagship_reconcile_mutated'])`
-# (never-checked entries front in registration order; the displaced
-# refresh fill sink_snapshot_diff, green r8, drops to a later round).
+# r13 ask #4) and flagship_reconcile_streamed (the streaming adds-only
+# delta twin, gated consumer of r13 ask #3) — so per the documented
+# round-start policy the live window is
+# `amend_window(PRIORITY_R14, ['flagship_reconcile_mutated',
+# 'flagship_reconcile_streamed'])` (never-checked entries front in
+# registration order; the displaced refresh fills sink_snapshot_diff
+# and a_order_to_ship_latency, both green r8, drop to a later round).
 # tests/test_entry_contract.py's
 # test_current_window_is_the_prestaged_r14_list verifies the live
 # window equals amend_window(PRIORITY_R14, misses + never-checked)
@@ -38,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # each commit.
 _PRIORITY = [
     "flagship_reconcile_mutated",  # never-checked: registered mid-r14 (mutated-state fallback twin)
+    "flagship_reconcile_streamed",  # never-checked: registered mid-r14 (streaming adds-only delta twin)
     "stream_static_enrich_join",  # refresh: green r7
     "a_heavy_hitters_cms",  # refresh: green r7
     "j_fuzzy_blocked",  # refresh: green r7
@@ -86,7 +90,6 @@ _PRIORITY = [
     "events_attribution_credit",  # refresh: green r8
     "a_ab_cuped_adjust",  # refresh: green r8
     "a_ab_power_analysis",  # refresh: green r8
-    "a_order_to_ship_latency",  # refresh: green r8
 ]
 def _ordered() -> list[str]:
     front = [n for n in _PRIORITY if n in QUERIES]

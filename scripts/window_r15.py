@@ -3,13 +3,15 @@ pattern, VERDICT r7 ask #8 lineage).
 
 Computed by scripts/rotate_window.suggest_window against the committed
 CORRECTNESS_r01..r13 history PLUS a simulated all-green round 14 over
-the LIVE round-14 window — PRIORITY_R14 amended with the one mid-r14
-registration (flagship_reconcile_mutated took the front slot;
-sink_snapshot_diff, green r8, was displaced to this list).  With the
-never-checked backlog otherwise zero, every slot is again a
-round-robin refresh: the 50 entries whose latest green is OLDEST —
-the displaced r8 fill, then the rest of the r8 cohort and the
-earliest r9 cohort — in (latest_green, registration) order.
+the LIVE round-14 window — PRIORITY_R14 amended with the two mid-r14
+registrations (flagship_reconcile_mutated then
+flagship_reconcile_streamed took the front slots;
+a_order_to_ship_latency and sink_snapshot_diff, both green r8, were
+displaced to this list).  With the never-checked backlog otherwise
+zero, every slot is again a round-robin refresh: the 50 entries whose
+latest green is OLDEST — the two displaced r8 fills, then the rest of
+the r8 cohort and the earliest r9 cohort — in (latest_green,
+registration) order.
 
 At round-15 start the rotation is a one-commit act:
 
@@ -28,6 +30,7 @@ amend_window).
 """
 
 PRIORITY_R15 = [
+    "a_order_to_ship_latency",  # green r8 (displaced r14 refresh fill)
     "sink_snapshot_diff",  # green r8
     "x_largest_remainder_alloc",  # green r8
     "a_spearman_corr",  # green r8
@@ -77,5 +80,4 @@ PRIORITY_R15 = [
     "text_ngram_novelty",  # green r9
     "mm_jpeg_thumbnail",  # green r9
     "mm_gif_decode",  # green r9
-    "mm_audio_ulaw",  # green r9
 ]

@@ -541,6 +541,61 @@ def test_prestaged_r14_window_is_valid_under_both_simulated_histories():
     assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
 
 
+def test_prestaged_r15_window_is_valid_under_both_simulated_histories():
+    """The window_r9..r14 pattern carried one round further: the
+    pre-staged r15 window (scripts/window_r15.py) must (a) be EXACTLY
+    what rotate_window.suggest_window produces from the committed
+    history plus a simulated all-green round 14 over the LIVE window
+    (the docstring's reproduction claim), and (b) satisfy the
+    freshness invariant under that history AND under a round 14 with
+    misses present, after the documented amend_window round-start
+    step."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from rotate_window import amend_window, check_window, load_history, suggest_window
+    from window_r15 import PRIORITY_R15
+
+    names = list(entry.queries())
+    reg_order = {n: i for i, n in enumerate(names)}
+    assert len(PRIORITY_R15) == 50 and len(set(PRIORITY_R15)) == 50
+    assert all(n in reg_order for n in PRIORITY_R15)
+
+    base_lg, base_fg, _misses, newest = load_history(repo, reg_order)
+    if newest != 13:
+        pytest.skip("only meaningful while r13 is the newest history")
+
+    # History 1: round 14 goes all-green over the live window.
+    lg = dict(base_lg)
+    fg = dict(base_fg)
+    for n in names[:50]:
+        lg[n] = newest + 1
+        fg.setdefault(n, newest + 1)
+    sugg, _tags = suggest_window(reg_order, lg, [], 50)
+    assert PRIORITY_R15 == sugg  # staged list reproduces suggest_window
+    w1 = amend_window(PRIORITY_R15, [])
+    problems = check_window(w1, names, lg, fg, [], newest + 1)
+    assert problems == [], "all-green history:\n" + "\n".join(problems)
+
+    # History 2: round 14 produces misses — the amended window must
+    # re-check them first and stay fresh.
+    sim_misses = [names[0], names[7]]
+    lg2 = dict(base_lg)
+    fg2 = dict(base_fg)
+    for n in names[:50]:
+        if n in sim_misses:
+            lg2.pop(n, None)
+            continue
+        lg2[n] = newest + 1
+        fg2.setdefault(n, newest + 1)
+    amended = amend_window(PRIORITY_R15, sim_misses)
+    assert len(amended) == 50 and amended[:2] == sim_misses
+    problems2 = check_window(amended, names, lg2, fg2, sim_misses, newest + 1)
+    assert problems2 == [], "misses-present history:\n" + "\n".join(problems2)
+
+
 def test_current_window_is_the_prestaged_r13_list():
     """The live round-13 window must equal the pre-staged list amended
     per the documented round-start policy (scripts/window_r13.py +
@@ -574,9 +629,11 @@ def test_current_window_is_the_prestaged_r14_list():
     rotate_window.amend_window): real r13 misses first (there were
     none — CORRECTNESS_r13 is 50/50 green), then entries registered
     after window_r14.py was staged (flagship_reconcile_mutated, the
-    mutated-state fallback twin), so the window is
-    amend_window(PRIORITY_R14, ['flagship_reconcile_mutated']) — the
-    displaced refresh fill sink_snapshot_diff drops to a later
+    mutated-state fallback twin, then flagship_reconcile_streamed, the
+    streaming adds-only delta twin), so the window is
+    amend_window(PRIORITY_R14, ['flagship_reconcile_mutated',
+    'flagship_reconcile_streamed']) — the displaced refresh fills
+    sink_snapshot_diff and a_order_to_ship_latency drop to a later
     round."""
     import os
     import sys

@@ -690,3 +690,31 @@ def test_threshold_crossing_events_state_carries_across_batches(spark, tmp_path)
         for r in spark.table(name).collect()
     ]
     assert rows == [(103, 55_000, 1)]
+
+
+def test_flagship_streamed_twin_rides_the_delta_fast_path(spark, sf_dir):
+    """The gated streaming twin (flagship_reconcile_streamed) must
+    actually exercise the adds-only delta path, not just produce the
+    right report: after one evaluation, batch 0's full land is the ONLY
+    state version ever written (``state_v0``) and batches 1–2 left their
+    ``applied_b{B}_to_v0`` commit markers — i.e. they were classified
+    adds-only and appended via append_bucketed_delta instead of
+    re-landing. Rows are pinned identical to the plain batch flagship
+    (the driver's oracle is the same SQL; this is the local replica)."""
+    import os
+
+    from graphql_api_etl_spark.queries import QUERIES
+    from graphql_api_etl_spark.sinks.tables import bucket_warehouse_path
+
+    streamed, _ = QUERIES["flagship_reconcile_streamed"]
+    plain, _ = QUERIES["flagship_reconcile"]
+    got = {tuple(r) for r in streamed(spark, sf_dir).collect()}
+    want = {tuple(r) for r in plain(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    state = os.path.join(bucket_warehouse_path(".bucket_warehouse_stream", tag), "state")
+    versions = sorted(d for d in os.listdir(state) if d.startswith("state_v"))
+    markers = sorted(m for m in os.listdir(state) if m.startswith("applied_b"))
+    assert versions == ["state_v0"]  # batches 1-2 never re-landed
+    assert markers == ["applied_b1_to_v0", "applied_b2_to_v0"]
