@@ -413,7 +413,14 @@ def flagship_reconcile_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = rec.attach(stream, checkpoint=os.path.join(root, "ckpt"))
     try:
-        q.awaitTermination()  # availableNow: terminates after batch 2
+        # availableNow terminates after batch 2; a bounded wait turns a
+        # pathological hang into a NAMED failure instead of stalling the
+        # driver gate (a False return would silently report partial state).
+        if not q.awaitTermination(600):
+            raise RuntimeError(
+                "flagship_reconcile_streamed: availableNow run did not "
+                "terminate within 600s"
+            )
     finally:
         q.stop()
     customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
