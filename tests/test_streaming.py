@@ -718,3 +718,23 @@ def test_flagship_streamed_twin_rides_the_delta_fast_path(spark, sf_dir):
     markers = sorted(m for m in os.listdir(state) if m.startswith("applied_b"))
     assert versions == ["state_v0"]  # batches 1-2 never re-landed
     assert markers == ["applied_b1_to_v0", "applied_b2_to_v0"]
+
+
+def test_flagship_streamed_two_sf_dirs_share_no_state(spark):
+    """Two sf_dirs evaluated interleaved in ONE session (the r13 ADVICE
+    failure shape that hit the healed twin): per-tag warehouse roots and
+    per-tag databases mean the second landing must not touch the
+    first's files — both reports stay correct, and the FIRST frame
+    re-collected after the second sf landed still reads its own state."""
+    from graphql_api_etl_spark.queries import QUERIES
+
+    streamed, _ = QUERIES["flagship_reconcile_streamed"]
+    plain, _ = QUERIES["flagship_reconcile"]
+    d1 = streamed(spark, "/root/testdata/sf0.001")
+    r1a = {tuple(r) for r in d1.collect()}
+    r2 = {tuple(r) for r in streamed(spark, "/root/testdata/sf0.01").collect()}
+    r1b = {tuple(r) for r in d1.collect()}
+    w1 = {tuple(r) for r in plain(spark, "/root/testdata/sf0.001").collect()}
+    w2 = {tuple(r) for r in plain(spark, "/root/testdata/sf0.01").collect()}
+    assert r1a == w1 and r2 == w2
+    assert r1b == w1  # stale-frame re-read unaffected by the other sf
