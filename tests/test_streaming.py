@@ -738,3 +738,61 @@ def test_flagship_streamed_two_sf_dirs_share_no_state(spark):
     w2 = {tuple(r) for r in plain(spark, "/root/testdata/sf0.01").collect()}
     assert r1a == w1 and r2 == w2
     assert r1b == w1  # stale-frame re-read unaffected by the other sf
+
+
+def test_bucketed_reconciler_update_batch_through_real_stream_takes_full_land(
+    spark, tmp_path
+):
+    """Completes the attach() coverage matrix: the streamed twin pins
+    adds-only batches through a real availableNow run; here a real run
+    delivers an UPDATE batch — the classifier must refuse the append
+    and land a NEW full state version, and the final state is
+    last-write-wins. Files are mtime-ordered, maxFilesPerTrigger=1, so
+    the engine delivers batches 0,1,2 deterministically."""
+    import glob as g
+    import os
+    import shutil
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name, rows, mtime):
+        stage = str(tmp_path / ("_" + name))
+        spark.createDataFrame(rows, "id string, v string").coalesce(1).write.parquet(stage)
+        part = g.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, name + ".parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    write("b0", [("a", "A0"), ("b", "B0")], 1_700_000_000)  # seed full land
+    write("b1", [("c", "C0")], 1_700_000_100)               # adds-only append
+    write("b2", [("a", "A1"), ("d", "D0")], 1_700_000_200)  # UPDATE a -> full land
+
+    loc = str(tmp_path / "state")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_updtest", loc, key="id", num_buckets=2
+    )
+    stream = (
+        spark.readStream.schema("id string, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = rec.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert got == {"a": "A1", "b": "B0", "c": "C0", "d": "D0"}
+    # batch 1 rode the delta path (marker on v0), batch 2 did NOT (it
+    # landed its own version; retention keeps v0 as the retry input)
+    assert os.path.exists(os.path.join(loc, "applied_b1_to_v0"))
+    versions = sorted(d for d in os.listdir(loc) if d.startswith("state_v"))
+    assert versions == ["state_v0", "state_v2"]
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_updtest CASCADE")
