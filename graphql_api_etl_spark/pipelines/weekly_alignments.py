@@ -171,6 +171,29 @@ def null_distinguishing_row_hash(cols: list[str]) -> F.Column:
     )
 
 
+def keyed_multiset_summary(
+    frame: DataFrame,
+    key: str | list[str],
+    cols: list[str],
+    cnt: str = "__cnt",
+    hsum: str = "__h",
+) -> DataFrame:
+    """Per-key multiset fingerprint: (row count, exact sum of
+    null-distinguishing 64-bit row hashes as DECIMAL(38,0) —
+    order-independent and overflow-free). The ONE classifier summary
+    both delta paths compare — ReconcileStaging._merge_api_delta (the
+    batch self-healing pass) and
+    BucketedIncrementalReconciler._try_adds_only_append (the streaming
+    adds-only fast path) — so a hardening fix to either (e.g. the r13
+    null-swap ADVICE) lands in both by construction instead of
+    drifting between two hand-copied aggregations."""
+    keys = [key] if isinstance(key, str) else list(key)
+    row_hash = null_distinguishing_row_hash(cols).cast("decimal(38,0)")
+    return frame.select(*cols).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(cnt), F.sum(row_hash).alias(hsum)
+    )
+
+
 def choose_location_key(api_locations: DataFrame) -> str:
     """F8 plan switch (ETL:390, 481): if every API remoteId is empty,
     join on location name; else on Unit↔remoteId. One tiny boolean
@@ -273,20 +296,11 @@ class ReconcileStaging:
         prev = spark.table(name)
         cols = prev.columns
 
-        def summarize(frame: DataFrame, cnt: str, hsum: str) -> DataFrame:
-            # null-distinguishing: a plain xxhash64 over the columns
-            # skips nulls, so column-to-column value moves / null swaps
-            # would classify as 'unchanged' (r13 ADVICE, high).
-            row_hash = null_distinguishing_row_hash(cols).cast("decimal(38,0)")
-            return frame.select(*cols).groupBy(key_col).agg(
-                F.count(F.lit(1)).alias(cnt), F.sum(row_hash).alias(hsum)
-            )
-
         j = (
-            summarize(df, "__cnt_n", "__h_n")
+            keyed_multiset_summary(df, key_col, cols, "__cnt_n", "__h_n")
             .alias("n")
             .join(
-                summarize(prev, "__cnt_o", "__h_o").alias("o"),
+                keyed_multiset_summary(prev, key_col, cols, "__cnt_o", "__h_o").alias("o"),
                 F.col(f"n.{key_col}") == F.col(f"o.{key_col}"),
                 "full_outer",
             )

@@ -26,9 +26,6 @@ swap the versioned parquet state for an ACID table format
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -41,14 +38,62 @@ from graphql_api_etl_spark.operators.join import (
 )
 
 
-def _versions(state_dir: str, prefix: str = "v") -> list[int]:
-    """Committed (_SUCCESS-marked) state versions, ascending."""
-    if not os.path.isdir(state_dir):
+# -- scheme-agnostic state-directory IO --------------------------------
+#
+# The warehouse root is deployment-injectable (SPARK_GRAFT_BUCKET_WAREHOUSE
+# may point at hdfs:// or s3a:// — sinks.tables.bucket_warehouse_path), so
+# every version/marker operation resolves its filesystem FROM the path via
+# the Hadoop FileSystem API (the r12 ADVICE pattern sinks.tables._delete_dir
+# established) instead of os/shutil/glob, which only understand local
+# paths — a remote state_dir would otherwise list no versions and every
+# full land would silently replace the whole state with one batch.
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    """(FileSystem, Path) for the scheme the uri carries."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _fs_listdir(spark: SparkSession, dir_uri: str) -> list[str]:
+    """Child entry NAMES of a directory ([] if it doesn't exist)."""
+    fs, path = _hadoop_fs(spark, dir_uri)
+    if not fs.exists(path):
         return []
+    return [st.getPath().getName() for st in fs.listStatus(path)]
+
+
+def _fs_exists(spark: SparkSession, uri: str) -> bool:
+    fs, path = _hadoop_fs(spark, uri)
+    return bool(fs.exists(path))
+
+
+def _fs_touch(spark: SparkSession, uri: str, content: str) -> None:
+    """Create (overwrite) a small file — the commit-marker write."""
+    fs, path = _hadoop_fs(spark, uri)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_delete(spark: SparkSession, uri: str, recursive: bool = False) -> None:
+    fs, path = _hadoop_fs(spark, uri)
+    fs.delete(path, recursive)
+
+
+def _versions(spark: SparkSession, state_dir: str, prefix: str = "v") -> list[int]:
+    """Committed (_SUCCESS-marked) state versions, ascending."""
     out = []
     n = len(prefix)
-    for d in os.listdir(state_dir):
-        if d.startswith(prefix) and d[n:].isdigit() and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+    for d in _fs_listdir(spark, state_dir):
+        if (
+            d.startswith(prefix)
+            and d[n:].isdigit()
+            and _fs_exists(spark, f"{state_dir}/{d}/_SUCCESS")
+        ):
             out.append(int(d[n:]))
     return sorted(out)
 
@@ -83,13 +128,13 @@ class IncrementalReconciler:
         batch_id — what a retried batch must re-read)."""
         versions = [
             v
-            for v in _versions(self.state_dir, self._version_prefix)
+            for v in _versions(spark, self.state_dir, self._version_prefix)
             if before is None or v < before
         ]
         if not versions:
             return None
         return spark.read.parquet(
-            os.path.join(self.state_dir, f"{self._version_prefix}{versions[-1]}")
+            f"{self.state_dir}/{self._version_prefix}{versions[-1]}"
         )
 
     # -- the foreachBatch hook -----------------------------------------
@@ -132,26 +177,27 @@ class IncrementalReconciler:
 
     def _write_version(self, merged: DataFrame, batch_id: int) -> None:
         merged.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"v{batch_id}")
+            f"{self.state_dir}/v{batch_id}"
         )
 
-    def _retired_versions(self, batch_id: int) -> list[int]:
+    def _retired_versions(self, spark: SparkSession, batch_id: int) -> list[int]:
         """Retention rule, gap-safe: keep THIS version and the newest
         version BELOW the batch (the input a retry of this batch_id
         re-reads). With dense versions that is {B, B-1} — the original
         rule — but adds-only delta batches (the bucketed subclass)
         leave version-number gaps, where 'keep v >= B-1' would delete
         the retry input."""
-        versions = _versions(self.state_dir, self._version_prefix)
+        versions = _versions(spark, self.state_dir, self._version_prefix)
         prev = max([v for v in versions if v < batch_id], default=None)
         keep = {batch_id} | ({prev} if prev is not None else set())
         return [v for v in versions if v not in keep]
 
-    def _retire(self, batch_id: int) -> None:
-        for v in self._retired_versions(batch_id):
-            shutil.rmtree(
-                os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
-                ignore_errors=True,
+    def _retire(self, spark: SparkSession, batch_id: int) -> None:
+        for v in self._retired_versions(spark, batch_id):
+            _fs_delete(
+                spark,
+                f"{self.state_dir}/{self._version_prefix}{v}",
+                recursive=True,
             )
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -162,7 +208,7 @@ class IncrementalReconciler:
         state = self.current_state(spark, before=batch_id)
         merged = self._merge_into_state(state, batch)
         self._write_version(merged, batch_id)
-        self._retire(batch_id)
+        self._retire(spark, batch_id)
 
     # -- wiring --------------------------------------------------------
 
@@ -238,8 +284,23 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # way; this caps small-file accumulation).
         self.compact_after_appends = compact_after_appends
 
+    # broadcast ceiling for the classifier's key sets — the same 1M-key
+    # gate ReconcileStaging._merge_api_delta applies; above it the
+    # semi-joins run un-hinted (the state side is bucketed on the key,
+    # so its scan stays exchange-free either way — only the batch-sized
+    # side shuffles to the bucket layout).
+    BROADCAST_KEY_CAP = 1_000_000
+
     def _marker(self, batch_id: int, base: int) -> str:
-        return os.path.join(self.state_dir, f"applied_b{batch_id}_to_v{base}")
+        return f"{self.state_dir}/applied_b{batch_id}_to_v{base}"
+
+    def _applied_markers(self, spark: SparkSession, base: int) -> list[str]:
+        """Names of commit markers recording deltas applied to ``base``."""
+        return [
+            d
+            for d in _fs_listdir(spark, self.state_dir)
+            if d.startswith("applied_b") and d.endswith(f"_to_v{base}")
+        ]
 
     def _try_adds_only_append(
         self, spark: SparkSession, state: DataFrame, batch: DataFrame, batch_id: int
@@ -277,47 +338,45 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         to append into), or ``compact_after_appends`` deltas already
         sitting on the base version (bounded small-file growth)."""
         from graphql_api_etl_spark.pipelines.weekly_alignments import (
-            null_distinguishing_row_hash,
+            keyed_multiset_summary,
         )
         from graphql_api_etl_spark.sinks.tables import append_bucketed_delta
 
         versions = [
             v
-            for v in _versions(self.state_dir, self._version_prefix)
+            for v in _versions(spark, self.state_dir, self._version_prefix)
             if v < batch_id
         ]
         if not versions:
             return False
         base = versions[-1]
-        if os.path.exists(self._marker(batch_id, base)):
+        if _fs_exists(spark, self._marker(batch_id, base)):
             return True  # this batch's delta already committed
         name = self._table(base)
         if not spark.catalog.tableExists(name):
             return False  # post-restart parquet fallback: no append target
         if set(batch.columns) != set(state.columns):
             return False
-        n_applied = len(
-            glob.glob(os.path.join(self.state_dir, f"applied_b*_to_v{base}"))
-        )
-        if n_applied >= self.compact_after_appends:
+        if len(self._applied_markers(spark, base)) >= self.compact_after_appends:
             return False  # compaction due: full re-land bounds file count
         cols = state.columns
 
-        def summarize(frame: DataFrame) -> DataFrame:
-            h = null_distinguishing_row_hash(cols).cast("decimal(38,0)")
-            return frame.select(*cols).groupBy(*self.key).agg(
-                F.count(F.lit(1)).alias("__cnt"), F.sum(h).alias("__h")
-            )
-
         bkeys = batch.select(*self.key).distinct()
-        # only the state rows sharing a batch key matter — broadcast
-        # semi-filter keeps the state side exchange-free and the
-        # summary batch-sized.
-        overlap = state.join(F.broadcast(bkeys), self.key, "left_semi")
+        # only the state rows sharing a batch key matter — a semi-filter
+        # keeps the classifier summary batch-sized; broadcast the key
+        # set when it is small (the micro-batch norm), fall back to the
+        # bucketed-scan join above the cap instead of forcing tens of
+        # millions of keys through the driver.
+        n_bkeys = bkeys.count()
+        sem = F.broadcast(bkeys) if n_bkeys <= self.BROADCAST_KEY_CAP else bkeys
+        overlap = state.join(sem, self.key, "left_semi")
         j = (
-            summarize(batch)
-            .withColumnsRenamed({"__cnt": "__cnt_b", "__h": "__h_b"})
-            .join(summarize(overlap), self.key, "left_outer")
+            keyed_multiset_summary(batch, self.key, cols, "__cnt_b", "__h_b")
+            .join(
+                keyed_multiset_summary(overlap, self.key, cols, "__cnt", "__h"),
+                self.key,
+                "left_outer",
+            )
             .persist()
         )
         try:
@@ -341,9 +400,9 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             if flags["n_nullkey"] or flags["n_diff"]:
                 return False  # updates (or unclassifiable keys): full land
             if flags["n_new"]:
-                new_keys = F.broadcast(
-                    j.filter(F.col("__cnt").isNull()).select(*self.key)
-                )
+                new_keys = j.filter(F.col("__cnt").isNull()).select(*self.key)
+                if flags["n_new"] <= self.BROADCAST_KEY_CAP:
+                    new_keys = F.broadcast(new_keys)
                 delta = batch.join(new_keys, self.key, "left_semi").select(*cols)
                 append_bucketed_delta(
                     spark, name, delta, self.key, num_buckets=self.num_buckets
@@ -352,12 +411,15 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             # replayed (or redundant) batch — zero rows written.
         finally:
             j.unpersist()
-        with open(self._marker(batch_id, base), "w") as fh:
-            fh.write('{"batch_id": %d, "applied_to_version": %d}\n' % (batch_id, base))
+        _fs_touch(
+            spark,
+            self._marker(batch_id, base),
+            '{"batch_id": %d, "applied_to_version": %d}\n' % (batch_id, base),
+        )
         # a retry of this batch re-reads the newest version below it —
         # the append target itself — so anything older is retirable
         # (same keep-set rule as the full-land path).
-        self._retire(batch_id)
+        self._retire(spark, batch_id)
         return True
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -372,7 +434,7 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             return
         merged = self._merge_into_state(state, batch)
         self._write_version(merged, batch_id)
-        self._retire(batch_id)
+        self._retire(spark, batch_id)
 
     def _table(self, version: int) -> str:
         return f"{self.database}.state_v{version}"
@@ -380,7 +442,7 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
     def current_state(self, spark: SparkSession, before: int | None = None) -> DataFrame | None:
         versions = [
             v
-            for v in _versions(self.state_dir, self._version_prefix)
+            for v in _versions(spark, self.state_dir, self._version_prefix)
             if before is None or v < before
         ]
         if not versions:
@@ -392,7 +454,7 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # directory survives — plain-parquet fallback (bucket spec
         # returns at the next landed version).
         return spark.read.parquet(
-            os.path.join(self.state_dir, f"{self._version_prefix}{versions[-1]}")
+            f"{self.state_dir}/{self._version_prefix}{versions[-1]}"
         )
 
     def _write_version(self, merged: DataFrame, batch_id: int) -> None:
@@ -410,23 +472,29 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             self.key,
             num_buckets=self.num_buckets,
         )
+        # A full land of version V starts a NEW incarnation of it: any
+        # surviving applied_b*_to_vV markers describe deltas applied to
+        # the PREVIOUS incarnation and must not short-circuit future
+        # batches. The case is real, not theoretical: restart the
+        # stream with a FRESH checkpoint over a kept state_dir and
+        # batch ids restart at 0 — batch 0 re-lands v0 in place, then
+        # batch 1 arrives carrying new data; a stale applied_b1_to_v0
+        # would silently swallow it (classification never runs when the
+        # marker short-circuits). Purging on land restores the
+        # documented invariant that correctness never depends on a
+        # marker. Purge-after-land is retry-safe: a crash in between
+        # re-runs this batch_id, which re-lands and purges again.
+        for m in self._applied_markers(spark, batch_id):
+            _fs_delete(spark, f"{self.state_dir}/{m}")
 
-    def _retire(self, batch_id: int) -> None:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        for v in self._retired_versions(batch_id):
-            if spark is not None:
-                spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
-            shutil.rmtree(
-                os.path.join(self.state_dir, f"{self._version_prefix}{v}"),
-                ignore_errors=True,
+    def _retire(self, spark: SparkSession, batch_id: int) -> None:
+        for v in self._retired_versions(spark, batch_id):
+            spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
+            _fs_delete(
+                spark,
+                f"{self.state_dir}/{self._version_prefix}{v}",
+                recursive=True,
             )
             # delta-commit markers ride their base version's lifetime
-            for m in glob.glob(
-                os.path.join(self.state_dir, f"applied_b*_to_v{v}")
-            ):
-                try:
-                    os.remove(m)
-                except OSError:
-                    pass
+            for m in self._applied_markers(spark, v):
+                _fs_delete(spark, f"{self.state_dir}/{m}")

@@ -796,3 +796,69 @@ def test_bucketed_reconciler_update_batch_through_real_stream_takes_full_land(
     versions = sorted(d for d in os.listdir(loc) if d.startswith("state_v"))
     assert versions == ["state_v0", "state_v2"]
     spark.sql("DROP DATABASE IF EXISTS graft_stream_updtest CASCADE")
+
+
+def test_fresh_checkpoint_restart_purges_stale_markers(spark, tmp_path):
+    """The review-found silent-drop case: restart the stream with a
+    FRESH checkpoint over a KEPT state_dir — batch ids restart at 0, so
+    batch 0 re-lands v0 in place while the previous incarnation's
+    applied_b1_to_v0 marker survives on disk. Batch 1 then arrives with
+    NEW data; before the purge-on-land fix the stale marker
+    short-circuited _try_adds_only_append and the rows were silently
+    swallowed (checkpoint committed, no retry). Pins: the re-land
+    purges the stale markers, and the restarted batch 1 lands its
+    rows."""
+    import os
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    loc = str(tmp_path / "state")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_stalemark", loc, key="id", num_buckets=2
+    )
+    # incarnation 1: seed + adds-only delta (leaves applied_b1_to_v0)
+    rec.upsert_batch(spark.createDataFrame([("a", "A0")], "id string, v string"), 0)
+    rec.upsert_batch(spark.createDataFrame([("b", "B0")], "id string, v string"), 1)
+    assert os.path.exists(os.path.join(loc, "applied_b1_to_v0"))
+
+    # incarnation 2: fresh checkpoint, batch ids restart at 0
+    rec2 = BucketedIncrementalReconciler(
+        "graft_stream_stalemark", loc, key="id", num_buckets=2
+    )
+    rec2.upsert_batch(
+        spark.createDataFrame([("a", "A0"), ("b", "B0")], "id string, v string"), 0
+    )
+    # the in-place re-land of v0 must have purged the stale marker
+    assert not os.path.exists(os.path.join(loc, "applied_b1_to_v0"))
+    # new data under the REUSED batch id must land, not be swallowed
+    rec2.upsert_batch(spark.createDataFrame([("c", "C0")], "id string, v string"), 1)
+    got = {r["id"]: r["v"] for r in rec2.current_state(spark).collect()}
+    assert got == {"a": "A0", "b": "B0", "c": "C0"}
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_stalemark CASCADE")
+
+
+def test_adds_only_classifier_above_broadcast_cap_still_appends(spark, tmp_path):
+    """With BROADCAST_KEY_CAP forced to 0 (every key set 'too big'),
+    the classifier must take the un-hinted join branch — the driver
+    never materializes the key sets — and the adds-only append still
+    lands the right rows (the state side is bucketed on the key, so
+    its scan stays exchange-free either way)."""
+    import os
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_nobcast", str(tmp_path / "state"), key="id", num_buckets=2
+    )
+    rec.BROADCAST_KEY_CAP = 0  # instance override: force the big-batch branch
+    rec.upsert_batch(spark.createDataFrame([("a", "A0")], "id string, v string"), 0)
+    rec.upsert_batch(spark.createDataFrame([("b", "B0")], "id string, v string"), 1)
+    # rode the delta path despite no broadcast hints
+    assert os.path.exists(os.path.join(str(tmp_path / "state"), "applied_b1_to_v0"))
+    got = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert got == {"a": "A0", "b": "B0"}
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_nobcast CASCADE")
