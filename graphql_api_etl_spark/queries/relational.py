@@ -373,7 +373,14 @@ def flagship_reconcile_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free bucketed state scan; the state never re-shuffles and
     never rewrites (docs/PLANS.md).
     Cites ETL:474–506 (the reference's serial re-fetch pass — here the
-    re-fetch is a stream and the state absorbs it incrementally)."""
+    re-fetch is a stream and the state absorbs it incrementally).
+
+    The twin fabricates its stream SOURCE with local os/glob/shutil by
+    design — it is a gate fixture manufacturing mtime-ordered files on
+    the driver host. The RECONCILER it exercises does all state and
+    marker IO through the Hadoop FileSystem API (streaming/reconcile),
+    so the state side honors a remote SPARK_GRAFT_BUCKET_WAREHOUSE;
+    a deployment's source would be a real stream, not these files."""
     import glob as _glob
     import os
     import shutil
