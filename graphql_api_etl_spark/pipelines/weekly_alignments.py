@@ -171,6 +171,14 @@ def null_distinguishing_row_hash(cols: list[str]) -> F.Column:
     )
 
 
+# Broadcast ceiling for delta-classifier key sets — shared by the batch
+# self-healing merge below and the streaming adds-only fast path
+# (streaming/reconcile.BucketedIncrementalReconciler), so the two delta
+# paths cannot drift apart on when a key set is "small enough" to pull
+# through the driver.
+DELTA_BROADCAST_KEY_CAP = 1_000_000
+
+
 def keyed_multiset_summary(
     frame: DataFrame,
     key: str | list[str],
@@ -345,7 +353,7 @@ class ReconcileStaging:
                 # classification; broadcast them when small (the
                 # self-healing norm) so extracting the delta rows is a
                 # map-side semi-join over ONE scan of the new side.
-                if flags["n_new"] <= 1_000_000:
+                if flags["n_new"] <= DELTA_BROADCAST_KEY_CAP:
                     new_keys = F.broadcast(new_keys)
                 delta = df.select(*cols).join(new_keys, key_col, "left_semi")
                 return append_bucketed_delta(

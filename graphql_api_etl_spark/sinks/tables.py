@@ -144,20 +144,60 @@ def ensure_bucket_database(spark: SparkSession, database: str, location: str) ->
     return database
 
 
-def _delete_dir(spark: SparkSession, uri: str) -> None:
-    """Scheme-agnostic recursive delete via the Hadoop FileSystem API
-    (r12 ADVICE: the old ``shutil.rmtree`` only understood local
-    ``file:`` paths, so an orphaned staging directory on hdfs:// or
-    s3a:// silently survived and re-landing failed with
-    LOCATION_ALREADY_EXISTS).  The filesystem is resolved FROM the
-    URI, so whatever scheme the database location carries — file,
-    hdfs, s3a — gets the right client.  Missing paths are a no-op
+# -- scheme-agnostic filesystem helpers --------------------------------
+#
+# ONE home for the Hadoop FileSystem resolution (r12 ADVICE lineage):
+# the filesystem is resolved FROM each URI, so whatever scheme a
+# warehouse/state path carries — file, hdfs, s3a — gets the right
+# client. Consumers: the bucketed staging cleanup here and the
+# streaming reconciler's version/marker IO (streaming/reconcile.py).
+
+
+def hadoop_fs(spark: SparkSession, uri: str):
+    """(FileSystem, Path) for the scheme ``uri`` carries."""
+    path = spark._jvm.org.apache.hadoop.fs.Path(uri)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def fs_exists(spark: SparkSession, uri: str) -> bool:
+    fs, path = hadoop_fs(spark, uri)
+    return bool(fs.exists(path))
+
+
+def fs_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Full paths matching a Hadoop glob pattern — ONE metadata RPC,
+    however many entries match (``globStatus``); a missing parent or
+    zero matches yield []."""
+    fs, path = hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(path)
+    if statuses is None:
+        return []
+    return [st.getPath().toString() for st in statuses]
+
+
+def fs_touch(spark: SparkSession, uri: str, content: str) -> None:
+    """Create (overwrite) a small file — commit-marker writes."""
+    fs, path = hadoop_fs(spark, uri)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_delete(spark: SparkSession, uri: str, recursive: bool = False) -> None:
+    """Delete a file or directory; missing paths are a no-op
     (``FileSystem.delete`` returns false)."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    fs.delete(path, True)
+    fs, path = hadoop_fs(spark, uri)
+    fs.delete(path, recursive)
+
+
+def _delete_dir(spark: SparkSession, uri: str) -> None:
+    """Scheme-agnostic recursive delete (r12 ADVICE: the old
+    ``shutil.rmtree`` only understood local ``file:`` paths, so an
+    orphaned staging directory on hdfs:// or s3a:// silently survived
+    and re-landing failed with LOCATION_ALREADY_EXISTS)."""
+    fs_delete(spark, uri, recursive=True)
 
 
 def stage_bucketed(

@@ -43,57 +43,32 @@ from graphql_api_etl_spark.operators.join import (
 # The warehouse root is deployment-injectable (SPARK_GRAFT_BUCKET_WAREHOUSE
 # may point at hdfs:// or s3a:// — sinks.tables.bucket_warehouse_path), so
 # every version/marker operation resolves its filesystem FROM the path via
-# the Hadoop FileSystem API (the r12 ADVICE pattern sinks.tables._delete_dir
-# established) instead of os/shutil/glob, which only understand local
-# paths — a remote state_dir would otherwise list no versions and every
-# full land would silently replace the whole state with one batch.
+# the shared Hadoop FileSystem helpers in sinks.tables instead of
+# os/shutil/glob, which only understand local paths — a remote state_dir
+# would otherwise list no versions and every full land would silently
+# replace the whole state with one batch. Listings use single-RPC
+# ``fs_glob`` calls so a remote store pays O(1) metadata round trips per
+# scan, not one per version directory.
 
-
-def _hadoop_fs(spark: SparkSession, uri: str):
-    """(FileSystem, Path) for the scheme the uri carries."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
-
-
-def _fs_listdir(spark: SparkSession, dir_uri: str) -> list[str]:
-    """Child entry NAMES of a directory ([] if it doesn't exist)."""
-    fs, path = _hadoop_fs(spark, dir_uri)
-    if not fs.exists(path):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(path)]
-
-
-def _fs_exists(spark: SparkSession, uri: str) -> bool:
-    fs, path = _hadoop_fs(spark, uri)
-    return bool(fs.exists(path))
-
-
-def _fs_touch(spark: SparkSession, uri: str, content: str) -> None:
-    """Create (overwrite) a small file — the commit-marker write."""
-    fs, path = _hadoop_fs(spark, uri)
-    out = fs.create(path, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _fs_delete(spark: SparkSession, uri: str, recursive: bool = False) -> None:
-    fs, path = _hadoop_fs(spark, uri)
-    fs.delete(path, recursive)
+from graphql_api_etl_spark.pipelines.weekly_alignments import (  # noqa: E402
+    DELTA_BROADCAST_KEY_CAP as _DELTA_BROADCAST_KEY_CAP,
+)
+from graphql_api_etl_spark.sinks.tables import (  # noqa: E402
+    fs_delete,
+    fs_exists,
+    fs_glob,
+    fs_touch,
+)
 
 
 def _versions(spark: SparkSession, state_dir: str, prefix: str = "v") -> list[int]:
-    """Committed (_SUCCESS-marked) state versions, ascending."""
+    """Committed (_SUCCESS-marked) state versions, ascending — one
+    glob RPC over the commit markers themselves."""
     out = []
     n = len(prefix)
-    for d in _fs_listdir(spark, state_dir):
-        if (
-            d.startswith(prefix)
-            and d[n:].isdigit()
-            and _fs_exists(spark, f"{state_dir}/{d}/_SUCCESS")
-        ):
+    for p in fs_glob(spark, f"{state_dir}/{prefix}*/_SUCCESS"):
+        d = p.rstrip("/").rsplit("/", 2)[-2]
+        if d.startswith(prefix) and d[n:].isdigit():
             out.append(int(d[n:]))
     return sorted(out)
 
@@ -193,12 +168,20 @@ class IncrementalReconciler:
         return [v for v in versions if v not in keep]
 
     def _retire(self, spark: SparkSession, batch_id: int) -> None:
+        # Retirement is best-effort CLEANUP: the new version is already
+        # committed, correctness never depends on old versions leaving,
+        # and _retired_versions re-lists leftovers on the next batch —
+        # so a transient delete error (remote-store 503, permissions)
+        # must not kill the streaming query after the state landed.
         for v in self._retired_versions(spark, batch_id):
-            _fs_delete(
-                spark,
-                f"{self.state_dir}/{self._version_prefix}{v}",
-                recursive=True,
-            )
+            try:
+                fs_delete(
+                    spark,
+                    f"{self.state_dir}/{self._version_prefix}{v}",
+                    recursive=True,
+                )
+            except Exception:  # noqa: BLE001 — cleanup retries next batch
+                pass
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -284,22 +267,24 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # way; this caps small-file accumulation).
         self.compact_after_appends = compact_after_appends
 
-    # broadcast ceiling for the classifier's key sets — the same 1M-key
-    # gate ReconcileStaging._merge_api_delta applies; above it the
-    # semi-joins run un-hinted (the state side is bucketed on the key,
-    # so its scan stays exchange-free either way — only the batch-sized
-    # side shuffles to the bucket layout).
-    BROADCAST_KEY_CAP = 1_000_000
+    # broadcast ceiling for the classifier's key sets — ONE constant
+    # shared with ReconcileStaging._merge_api_delta (imported below),
+    # so tuning the batch pipeline's gate moves this one too; above it
+    # the semi-joins run un-hinted (the state side is bucketed on the
+    # key, so its scan stays exchange-free either way — only the
+    # batch-sized side shuffles to the bucket layout). Class attribute
+    # so tests can force the fallback branch per instance.
+    BROADCAST_KEY_CAP = _DELTA_BROADCAST_KEY_CAP
 
     def _marker(self, batch_id: int, base: int) -> str:
         return f"{self.state_dir}/applied_b{batch_id}_to_v{base}"
 
     def _applied_markers(self, spark: SparkSession, base: int) -> list[str]:
-        """Names of commit markers recording deltas applied to ``base``."""
+        """NAMES of commit markers recording deltas applied to ``base``
+        — one glob RPC."""
         return [
-            d
-            for d in _fs_listdir(spark, self.state_dir)
-            if d.startswith("applied_b") and d.endswith(f"_to_v{base}")
+            p.rstrip("/").rsplit("/", 1)[-1]
+            for p in fs_glob(spark, f"{self.state_dir}/applied_b*_to_v{base}")
         ]
 
     def _try_adds_only_append(
@@ -350,7 +335,7 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         if not versions:
             return False
         base = versions[-1]
-        if _fs_exists(spark, self._marker(batch_id, base)):
+        if fs_exists(spark, self._marker(batch_id, base)):
             return True  # this batch's delta already committed
         name = self._table(base)
         if not spark.catalog.tableExists(name):
@@ -366,8 +351,11 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # keeps the classifier summary batch-sized; broadcast the key
         # set when it is small (the micro-batch norm), fall back to the
         # bucketed-scan join above the cap instead of forcing tens of
-        # millions of keys through the driver.
-        n_bkeys = bkeys.count()
+        # millions of keys through the driver. The gate reads the raw
+        # batch row count (a narrow count, no distinct shuffle) —
+        # _dedup_batch already guarantees one row per key, so it EQUALS
+        # the distinct key count.
+        n_bkeys = batch.count()
         sem = F.broadcast(bkeys) if n_bkeys <= self.BROADCAST_KEY_CAP else bkeys
         overlap = state.join(sem, self.key, "left_semi")
         j = (
@@ -411,7 +399,7 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             # replayed (or redundant) batch — zero rows written.
         finally:
             j.unpersist()
-        _fs_touch(
+        fs_touch(
             spark,
             self._marker(batch_id, base),
             '{"batch_id": %d, "applied_to_version": %d}\n' % (batch_id, base),
@@ -483,18 +471,29 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # marker short-circuits). Purging on land restores the
         # documented invariant that correctness never depends on a
         # marker. Purge-after-land is retry-safe: a crash in between
-        # re-runs this batch_id, which re-lands and purges again.
+        # re-runs this batch_id, which re-lands and purges again. The
+        # purge deliberately PROPAGATES a delete error (unlike
+        # retirement, which is tolerant cleanup): a surviving stale
+        # marker would reintroduce the silent-swallow bug, so failing
+        # the batch — foreachBatch retries, the re-land is idempotent —
+        # is the correct outcome.
         for m in self._applied_markers(spark, batch_id):
-            _fs_delete(spark, f"{self.state_dir}/{m}")
+            fs_delete(spark, f"{self.state_dir}/{m}")
 
     def _retire(self, spark: SparkSession, batch_id: int) -> None:
+        # Best-effort cleanup, same contract as the parent: the state
+        # is already committed, leftovers re-list next batch, so a
+        # transient remote-store error must not kill the query.
         for v in self._retired_versions(spark, batch_id):
-            spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
-            _fs_delete(
-                spark,
-                f"{self.state_dir}/{self._version_prefix}{v}",
-                recursive=True,
-            )
-            # delta-commit markers ride their base version's lifetime
-            for m in self._applied_markers(spark, v):
-                _fs_delete(spark, f"{self.state_dir}/{m}")
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
+                fs_delete(
+                    spark,
+                    f"{self.state_dir}/{self._version_prefix}{v}",
+                    recursive=True,
+                )
+                # delta-commit markers ride their base version's lifetime
+                for m in self._applied_markers(spark, v):
+                    fs_delete(spark, f"{self.state_dir}/{m}")
+            except Exception:  # noqa: BLE001 — cleanup retries next batch
+                pass
