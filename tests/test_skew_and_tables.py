@@ -492,3 +492,54 @@ def test_stage_bucketed_requires_qualified_name_and_idempotent_db(spark, tmp_pat
     out2 = stage_bucketed(spark, df, "graft_stage_idem.t", ["k"], num_buckets=2)
     assert out2.count() == 4
     spark.sql("DROP DATABASE IF EXISTS graft_stage_idem CASCADE")
+
+
+def test_bucket_file_names_carry_the_bucket_id_of_their_rows(spark, tmp_path):
+    """Pins the bucket-file naming contract every exchange-free read —
+    and any future bucket-local compaction (ROUND_NOTES r15 candidate
+    #3) — depends on: each data file of a bucketed table (original land
+    AND delta appends) embeds its bucket id as the ``_NNNNN`` filename
+    suffix, and every row inside the file hashes to exactly that
+    bucket (``pmod(hash(cols), num_buckets)`` — Spark's Murmur3 bucket
+    routing IS the SQL hash function). A Spark upgrade changing either
+    the naming or the routing would break bucket-file surgery silently;
+    this test makes it loud."""
+    import os
+    import re
+
+    from graphql_api_etl_spark.sinks.tables import (
+        append_bucketed_delta,
+        ensure_bucket_database,
+        stage_bucketed,
+    )
+
+    loc = str(tmp_path / "wh")
+    ensure_bucket_database(spark, "graft_bucket_contract", loc)
+    base = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    stage_bucketed(spark, base, "graft_bucket_contract.t", ["k"], num_buckets=4)
+    delta = spark.range(40, 60).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    append_bucketed_delta(spark, "graft_bucket_contract.t", delta, ["k"], num_buckets=4)
+
+    table_dir = os.path.join(loc, "t")
+    files = [
+        f for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(files) > 4  # land + append: touched buckets hold >1 file
+    pat = re.compile(r"_(\d{5})\.")
+    seen_buckets = set()
+    for f in files:
+        m = pat.search(f)
+        assert m, f"bucketed data file without a bucket-id suffix: {f}"
+        bucket_id = int(m.group(1))
+        seen_buckets.add(bucket_id)
+        rows = spark.read.parquet(os.path.join(table_dir, f))
+        got = {
+            r[0]
+            for r in rows.select(
+                F.pmod(F.hash(F.col("k")), F.lit(4)).alias("b")
+            ).distinct().collect()
+        }
+        assert got == {bucket_id}, (f, got)
+    assert seen_buckets == {0, 1, 2, 3}  # 60 keys cover all 4 buckets
+    spark.sql("DROP DATABASE IF EXISTS graft_bucket_contract CASCADE")
