@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,114 @@ def compact_parquet(
 
     shutil.rmtree(old, ignore_errors=True)
     return path
+
+
+# bucket id embedded in a bucketed data file's name (part-00000-<uuid>_00003.c000...)
+_BUCKET_SUFFIX = re.compile(r"_(\d{5})\.")
+
+
+def _bucket_table_location(spark: SparkSession, name: str) -> str:
+    """Managed-table directory: the database's location + table name
+    (the same derivation sinks.tables.stage_bucketed's orphan cleanup
+    uses)."""
+    db, table = name.split(".", 1)
+    loc = (
+        spark.sql(f"DESCRIBE DATABASE {db}")
+        .filter("info_name = 'Location'")
+        .collect()
+    )
+    return f"{loc[0]['info_value']}/{table}"
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """BUCKET-LOCAL compaction of a bucketed staging table: build
+    ``dst`` (same bucket spec) where each SINGLE-file bucket of ``src``
+    is byte-copied (no decode, no shuffle, no rewrite) and only the
+    multi-file buckets — the ones delta appends
+    (sinks.tables.append_bucketed_delta) actually touched — are read
+    and rewritten into one file each.
+
+    This is the write-cost answer to the streaming reconciler's
+    ``compact_after_appends`` full re-land (ROUND_NOTES r15 candidate
+    #3): a full re-land decodes, shuffles, and rewrites O(|state|); this
+    helper's rewrite is O(|hot-bucket rows|) plus raw byte copies for
+    the cold buckets — at 100 TB with appends concentrated in few
+    buckets, that is the difference between rewriting the state and
+    rewriting a slice of it. The copy step relies on two contracts
+    pinned by tests/test_skew_and_tables.py::
+    test_bucket_file_names_carry_the_bucket_id_of_their_rows: a
+    bucketed data file embeds its bucket id as the ``_NNNNN`` filename
+    suffix, and its rows hash to exactly that bucket — so a copied
+    file keeps both its name and its routing validity in ``dst``.
+
+    Commit semantics: the placeholder files of the empty create
+    (including its ``_SUCCESS``) are deleted first and ``_SUCCESS`` is
+    re-touched only AFTER all copies and the hot-bucket rewrite land,
+    so a versioned consumer that gates on ``_SUCCESS`` (the streaming
+    reconciler's ``_versions``) never sees a half-built directory.
+    All file IO is scheme-agnostic (Hadoop FileSystem, fs_glob /
+    FileUtil.copy) — an hdfs:// or s3a:// warehouse works.
+
+    ``dst`` must not already exist as a table; the result is returned
+    as the catalog-backed read (bucket spec attached)."""
+    from graphql_api_etl_spark.sinks.tables import (
+        append_bucketed_delta,
+        fs_delete,
+        fs_glob,
+        fs_touch,
+        hadoop_fs,
+        stage_bucketed,
+    )
+
+    if "." not in src or "." not in dst:
+        raise ValueError("compact_bucketed_table needs database-qualified names")
+    if spark.catalog.tableExists(dst):
+        raise ValueError(f"compact_bucketed_table target {dst!r} already exists")
+    src_df = spark.table(src)
+    # empty create pins the bucket spec in the catalog; its placeholder
+    # files (and premature _SUCCESS) are cleared before assembly.
+    stage_bucketed(spark, src_df.limit(0), dst, bucket_cols, num_buckets, sort_cols)
+    src_loc = _bucket_table_location(spark, src)
+    dst_loc = _bucket_table_location(spark, dst)
+    for p in fs_glob(spark, f"{dst_loc}/*"):
+        fs_delete(spark, p, recursive=True)
+
+    by_bucket: dict[int, list[str]] = {}
+    for p in fs_glob(spark, f"{src_loc}/*.parquet"):
+        fname = p.rstrip("/").rsplit("/", 1)[-1]
+        if fname.startswith((".", "_")):
+            continue
+        m = _BUCKET_SUFFIX.search(fname)
+        if not m:
+            raise ValueError(f"non-bucketed data file in {src!r}: {fname}")
+        by_bucket.setdefault(int(m.group(1)), []).append(p)
+
+    cold = [files[0] for files in by_bucket.values() if len(files) == 1]
+    hot = [p for files in by_bucket.values() if len(files) > 1 for p in files]
+    if cold:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in cold:
+            sfs, spath = hadoop_fs(spark, p)
+            dfs, dpath = hadoop_fs(
+                spark, f"{dst_loc}/{p.rstrip('/').rsplit('/', 1)[-1]}"
+            )
+            jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, spath, dfs, dpath, False, conf)
+    if hot:
+        rows = spark.read.parquet(*hot).select(*src_df.columns)
+        append_bucketed_delta(spark, dst, rows, bucket_cols, num_buckets, sort_cols)
+    fs_touch(spark, f"{dst_loc}/_SUCCESS", "")
+    # the byte copies happened behind the catalog's back — drop the
+    # cached (empty-create) file listing or an all-cold build reads 0 rows
+    spark.catalog.refreshTable(dst)
+    return spark.table(dst)
 
 
 def collect_table_stats(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> Row:
