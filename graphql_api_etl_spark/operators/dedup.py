@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphql_api_etl_spark.operators.text import norm_text, tokens
+from graphql_api_etl_spark.operators.text import norm_text, norm_tokens, tokens
 
 
 def repartition_for_cpu(df: DataFrame) -> DataFrame:
@@ -89,14 +89,14 @@ def shingles(text_col: Column | str, n: int = 2) -> Column:
     """Column-expression form (case-normalized; short docs collapse to
     one whole-text shingle). Fine for ad-hoc use; the operators below
     go through :func:`shingled` so the tokenizer runs once per row."""
-    return _shingles_from_tokens(tokens(norm_text(text_col)), n)
+    return _shingles_from_tokens(norm_tokens(text_col), n)
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2) -> DataFrame:
     """(id, sh) DataFrame with the tokenizer materialized in its own
     projection so downstream slice/zip references don't re-run it."""
     toked = repartition_for_cpu(df).select(
-        F.col(id_col), tokens(norm_text(text_col)).alias("__toks")
+        F.col(id_col), norm_tokens(text_col).alias("__toks")
     )
     return toked.select(F.col(id_col), _shingles_from_tokens(F.col("__toks"), n).alias("sh"))
 
@@ -122,28 +122,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_gram: int = 2
 ) -> DataFrame:
-    """Per-doc MinHash signature columns ``m0..m{k-1}``.
+    """Per-doc MinHash signature columns ``m0..m{k-1}``, MAP-ONLY.
 
-    explode(shingles) → portable 28-bit hash → k permutation-min
-    aggregates in ONE groupBy pass (partial aggregation makes the
-    shuffle carry k mins per doc, not the shingle stream).
-
-    The md5-derived hash is materialized as a column BEFORE the
-    aggregate so it is computed once per shingle, not once per shingle
-    per permutation; the input is repartitioned first because document
-    corpora often arrive as few large files (locally: one parquet = one
-    partition) and the explode+hash stage must use every core.
+    The shingle set never leaves its row: one ``transform`` hashes
+    every shingle to the portable 28-bit value (md5 computed once per
+    shingle), then each permutation's minimum is an ``array_min`` over
+    a cheap affine ``transform`` — zero explode, zero shuffle, zero
+    aggregate. The r1–r13 form (explode(shingles) → hash column →
+    ONE groupBy with k partial-aggregated mins) was already the
+    textbook aggregate shape, but it materialized |shingles| rows and
+    paid a full hash-exchange of the corpus' doc ids; min over a set
+    is order-free, so the per-row array form computes the identical
+    signatures (differential-pinned) with no exchange at any scale —
+    measured 1.07 s → 0.21 s on the sf0.1 signatures stage
+    (OPTIMIZATION_r14.md). Guide §2.4 (remove shuffles outright) +
+    §2.3 (aggregate before you shuffle — here: before there is
+    nothing left to shuffle).
     """
+    return signatures_from_sets(shingled(df, text_col, id_col, n_gram), id_col)
+
+
+def signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Map-only signature body over a prebuilt (id, sh) frame — split
+    out so :func:`minhash_lsh_dedup` can share ONE shingle pass between
+    signatures and verification (r14-opt)."""
     params = minhash_params()
-    sh = shingled(df, text_col, id_col, n_gram).select(
-        F.col(id_col), F.explode("sh").alias("shingle")
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    hashed = sets.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: shingle_hash(s)).alias("__hvs"),
     )
-    hashed = sh.select(id_col, shingle_hash(F.col("shingle")).alias("hv"))
-    aggs = [
-        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.select(
+        id_col,
+        *[
+            F.array_min(F.transform(F.col("__hvs"), _perm(a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -184,8 +202,15 @@ def jaccard_pairs(
     n_gram: int = 2,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
+
+    ``sets``: optionally a prebuilt (id, sh) shingle frame (e.g. the
+    one the caller already persisted for signature computation) — the
+    verification join consumes it twice (both pair sides), so sharing
+    it removes two full tokenize+shingle passes over the corpus
+    (r14-opt; guide §1.2 "don't compute things twice").
 
     Without ``candidates``: inverted-index self-join on shingle (brute
     but indexed — the small-scale oracle). With ``candidates`` (e.g.
@@ -205,7 +230,8 @@ def jaccard_pairs(
     corpus' duplicate-group size, property-tested in
     tests/test_operators.py.
     """
-    sets = shingled(df, text_col, id_col, n_gram)
+    if sets is None:
+        sets = shingled(df, text_col, id_col, n_gram)
     if candidates is None and max_shingle_df is not None:
         inv = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
         # The HOT list is small by construction (few shingles exceed a
@@ -312,23 +338,33 @@ def minhash_lsh_dedup(
     then true-Jaccard verification (no false positives in the output;
     recall is governed by the band/row configuration).
 
-    ``persist`` keeps the signature and candidate frames in
-    MEMORY_AND_DISK for the pipeline's lifetime: both are consumed by
-    two plan branches (each side of the band self-join / each side of
-    the verification join), and without pinning, Spark recomputes the
-    whole upstream per branch — measured 3× the wall-clock. Signatures
-    are k×8 bytes per doc, candidates two ids per row: at 100 TB of
-    raw text these are the small frames (a real deployment would land
-    signatures as a table between stages anyway).
+    ``persist`` keeps the shingle-set and signature frames in
+    MEMORY_AND_DISK for the pipeline's lifetime: signatures feed four
+    plan branches (each side of the band self-join, each side of the
+    agreement join) and the shingle sets feed three (the signature
+    chain plus both sides of the verification join) — without pinning,
+    Spark recomputes the whole upstream per branch, measured 3× the
+    wall-clock. r14-opt: the corpus is tokenized and shingled exactly
+    ONCE per pipeline — verification previously rebuilt ``shingled``
+    from raw text on both pair sides (two extra full regex passes,
+    guide §1.2); signatures are k×8 bytes per doc and shingle sets are
+    corpus-sized (a real deployment lands both as tables between
+    stages anyway).
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_gram)
+    sets = shingled(df, text_col, id_col, n_gram)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_sets(sets, id_col)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
         # Materialize eagerly: a lazily-persisted frame consumed by two
         # branches of ONE job is computed once per branch (the racing
         # tasks don't wait on each other's cache fill) — measured 2.7×
-        # the wall-clock of eager fill on the same data.
+        # the wall-clock of eager fill on the same data. Counting sigs
+        # fills the upstream sets cache in the same job.
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
         sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col)
@@ -349,7 +385,9 @@ def minhash_lsh_dedup(
 
         filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
         filtered.count()
-    return jaccard_pairs(df, threshold, text_col, id_col, n_gram, candidates=filtered)
+    return jaccard_pairs(
+        df, threshold, text_col, id_col, n_gram, candidates=filtered, sets=sets
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +412,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     All arithmetic is BIGINT-exact and portable.
     """
     toked = repartition_for_cpu(df).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(norm_text(text_col)))).alias("tok")
+        F.col(id_col), F.explode(F.array_distinct(norm_tokens(text_col))).alias("tok")
     )
     # Materialize the hash before the aggregate: referenced by 60 vote
     # expressions, it must be computed once per token, not 60 times.

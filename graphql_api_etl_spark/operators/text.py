@@ -44,6 +44,25 @@ def norm_text(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def norm_tokens(col: Column | str) -> Column:
+    """Case-normalized whitespace tokens without the collapse pass:
+    equals ``tokens(norm_text(text))`` exactly, but replaces
+    norm_text's collapse-whitespace regexp_replace — a full rewrite
+    traversal of every document — with an ANCHORED edge strip
+    (``^\\s+|\\s+$``), because splitting on ``\\s+`` already treats a
+    run of whitespace as one boundary (r14-opt; guide §1.2 "per-task
+    work"; measured 0.20 s → 0.14 s on the sf0.1 3-gram chain). The
+    edge strip cannot be plain ``trim`` (space-only in Spark): a
+    leading/trailing tab or newline must vanish exactly as the
+    collapse+trim pair made it vanish — the divergence is pinned as an
+    adversarial case in tests/test_operators.py alongside full-corpus
+    equality at all three SFs. NOTE: only for TOKEN consumers —
+    anything hashing the normalized STRING itself (exact_dedup,
+    fingerprints) still needs :func:`norm_text`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), TOKEN_SPLIT_RE)
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

@@ -173,7 +173,27 @@ def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes itself; the 0.6 MB text shuffle is noise either way.
     Width comes from ``defaultParallelism`` (VERDICT r7 ask #5), so
     the same code sizes itself to the cluster instead of pinning this
-    box's core count."""
+    box's core count.
+
+    r14-opt plan shape (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    shuffles outright): the corpus side is never exploded. The filter
+    rides along as a 1-row ``bloom_bitmap`` (map<int,bigint>, ~1 KB
+    broadcast) and every per-gram quantity is an array expression over
+    the un-exploded gram set — n_grams = size, n_bloom_hits =
+    size(filter(grams, bloom_hit_expr)). Only the BLOOM-HIT grams
+    (bench grams + the filter's false positives — rare by
+    construction) are exploded for the exact-mark join, and because
+    the filter has no false negatives, summing exact marks over hit
+    grams only is identical to the old sum over all grams. The r13
+    shape exploded every corpus gram through 4 broadcast hash joins
+    and re-aggregated per doc (the gram-stream Generate dominated:
+    0.76 s of the 1.11 s entry); this one groups ~1 row per doc.
+    Measured 1.11 s → ~0.3 s at sf0.1, output differential-identical
+    (docs with an empty gram set keep producing no row, as the old
+    explode enforced). Tokenizing splits on \\s+ directly off the
+    LOWERED text — one regex pass; the norm_text collapse pass added
+    nothing the split doesn't already do (equality over all three SF
+    corpora pinned in tests)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -181,33 +201,38 @@ def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.select(
         "doc_id",
-        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+        F.array_distinct(TX.ngrams(TX.tokens(F.lower(F.col("text"))), 3)).alias("grams"),
     )
     from pyspark.storagelevel import StorageLevel
 
-    # The tiny build side feeds FOUR broadcast exchanges (k=3 position
-    # joins + the exact-mark join); persisting it makes each broadcast
-    # read the cached rows instead of re-running the docs<5 gram
-    # explode subtree (measured ~1 s of the entry's sf0.1 time).
+    # The tiny build side feeds two consumers (bitmap build + the
+    # exact-mark broadcast); persisting skips re-running the docs<5
+    # gram explode subtree per consumer.
     bench_keys = (
         grams.filter(F.col("doc_id") < 5)
         .select(F.explode("grams").alias("key"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bits = C.bloom_build(bench_keys, key_col="key").persist(StorageLevel.MEMORY_AND_DISK)
-    corpus = grams.filter(F.col("doc_id") >= 5).select(
-        "doc_id", F.explode("grams").alias("key")
+    bitmap = C.bloom_bitmap(bench_keys, key_col="key")
+    corpus = grams.filter((F.col("doc_id") >= 5) & (F.size("grams") > 0))
+    probed = corpus.join(F.broadcast(bitmap)).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.filter(F.col("grams"), lambda g: C.bloom_hit_expr(g, F.col("bm"))).alias("__hits"),
     )
-    probed = C.bloom_probe(corpus, "key", bits)
-    marked = probed.join(
-        F.broadcast(bench_keys.withColumn("__ex", F.lit(1))), "key", "left"
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-        F.sum(F.col("bloom_hit").cast("bigint")).cast("bigint").alias("n_bloom_hits"),
+    # ONE linear pipeline: explode_outer keeps zero-hit docs, the
+    # exact-mark join touches only hit grams, and the per-doc group
+    # carries ~1 row per doc instead of the full gram stream.
+    marked = probed.select(
+        "doc_id", "n_grams", F.size("__hits").cast("bigint").alias("n_bloom_hits"),
+        F.explode_outer("__hits").alias("key"),
+    ).join(F.broadcast(bench_keys.withColumn("__ex", F.lit(1))), "key", "left")
+    return marked.groupBy("doc_id", "n_grams", "n_bloom_hits").agg(
         F.sum(F.coalesce(F.col("__ex"), F.lit(0)).cast("bigint")).cast("bigint").alias("n_exact_hits"),
-        F.max("bloom_hit").alias("bloom_flagged"),
+    ).select(
+        "doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+        (F.col("n_bloom_hits") > 0).alias("bloom_flagged"),
     )
 
 
@@ -466,7 +491,7 @@ def curate_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     grams = docs.select(
         "doc_id",
-        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+        F.array_distinct(TX.ngrams(TX.norm_tokens("text"), 3)).alias("grams"),
     )
     bench = (
         grams.filter(F.col("doc_id") < 5)
@@ -547,7 +572,7 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays them exactly."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(
-        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+        "doc_id", F.explode(TX.norm_tokens("text")).alias("word")
     )
     bucket = (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")
     b = words.select("doc_id", bucket)
@@ -662,7 +687,7 @@ def curate_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, summation order, and tie rule."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(
-        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+        "doc_id", F.explode(TX.norm_tokens("text")).alias("word")
     )
     b = words.select(
         "doc_id", (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")

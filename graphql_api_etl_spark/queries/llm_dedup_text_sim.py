@@ -1294,7 +1294,7 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     grams = docs.select(
         "doc_id",
-        F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 3)).alias("grams"),
+        F.array_distinct(TX.ngrams(TX.norm_tokens("text"), 3)).alias("grams"),
     )
     bench = (
         grams.filter(F.col("doc_id") < 5)

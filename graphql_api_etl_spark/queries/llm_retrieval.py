@@ -246,7 +246,7 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = text_bm25_topk(spark, sf_dir).select("doc_id", F.col("rk").alias("rk_lex"))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(
-        "doc_id", F.explode(TX.tokens(TX.norm_text("text"))).alias("word")
+        "doc_id", F.explode(TX.norm_tokens("text")).alias("word")
     )
     b = words.select(
         "doc_id", (D.shingle_hash(F.col("word")) % _HASH_EMB_DIM).alias("b")

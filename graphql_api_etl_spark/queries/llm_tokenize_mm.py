@@ -515,7 +515,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             (F.col("doc_id") % 4).alias("shard"),
             F.explode(
-                F.array_distinct(TX.ngrams(TX.tokens(TX.norm_text("text")), 5))
+                F.array_distinct(TX.ngrams(TX.norm_tokens("text"), 5))
             ).alias("gram"),
         )
         .distinct()

@@ -109,6 +109,48 @@ def test_bloom_no_false_negatives_and_low_fpr(spark):
     assert false_pos <= 10
 
 
+def test_bloom_bitmap_expr_agrees_with_probe_joins(spark):
+    """The r14-opt map<word,bits> representation + bloom_hit_expr must
+    decide hit/miss identically to the r13 position-row broadcast-join
+    probe for every key — members AND non-members (the expression form
+    is what curate_bloom_decontaminate now ships; the join form stays
+    the reference)."""
+    from pyspark.sql import functions as F
+
+    members = [(f"member-{i}",) for i in range(200)]
+    others = [(f"other-{i}",) for i in range(1000)]
+    keys = spark.createDataFrame(members, "key string")
+    probe = spark.createDataFrame(members + others, "key string")
+    joins = {
+        r["key"]: r["bloom_hit"]
+        for r in C.bloom_probe(probe, "key", C.bloom_build(keys)).collect()
+    }
+    bm = C.bloom_bitmap(keys)
+    expr = {
+        r["key"]: r["hit"]
+        for r in probe.join(F.broadcast(bm))
+        .select("key", C.bloom_hit_expr(F.col("key"), F.col("bm")).alias("hit"))
+        .collect()
+    }
+    assert expr == joins
+
+
+def test_bloom_bitmap_probes_inside_array_lambda(spark):
+    """bloom_hit_expr must work as an F.filter lambda over an
+    un-exploded key set — the shape the decontamination entry runs."""
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([("a",), ("b",)], "key string")
+    bm = C.bloom_bitmap(keys)
+    df = spark.createDataFrame([(["a", "zz", "b"],)], "ks array<string>")
+    got = (
+        df.join(F.broadcast(bm))
+        .select(F.filter(F.col("ks"), lambda k: C.bloom_hit_expr(k, F.col("bm"))).alias("hits"))
+        .collect()[0]["hits"]
+    )
+    assert "a" in got and "b" in got  # no false negatives, ever
+
+
 def test_bloom_position_set_is_bounded(spark):
     keys = spark.createDataFrame([("a",), ("b",)], "key string")
     rows = C.bloom_build(keys).collect()

@@ -156,6 +156,48 @@ def test_jaccard_pairs_brute(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_norm_tokens_one_pass_equals_two_pass(spark):
+    """r14-opt tokenizer: tokens(lower(text)) must equal
+    tokens(norm_text(text)) — splitting on \\s+ makes the whitespace
+    collapse redundant. Adversarial shapes: leading/trailing/interior
+    runs, tabs/newlines, case, empty, whitespace-only, NBSP (\\u00a0
+    is NOT Java \\s — must stay inside a token under BOTH forms)."""
+    from graphql_api_etl_spark.operators.text import norm_text, norm_tokens, tokens
+    from pyspark.sql import functions as F
+
+    cases = [
+        "  The   quick\tBROWN\n\nfox  ",
+        "one",
+        "",
+        "   \t\n ",
+        "\t\nlead and trail\n\t",
+        "A B stays one token",
+        "MiXeD  CaSe\r\nwith\fform-feed",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    rows = df.select(
+        tokens(norm_text("text")).alias("two"), norm_tokens("text").alias("one")
+    ).collect()
+    for r in rows:
+        assert r["two"] == r["one"], (r["two"], r["one"])
+
+
+def test_minhash_signatures_map_only_plan_and_values(docs, spark):
+    """The r14-opt signature stage must stay EXCHANGE-FREE (array_min
+    over in-row transforms — no explode, no groupBy) and reproduce the
+    known signature property: exact-duplicate docs (1 and 3) share all
+    16 components."""
+    from graphql_api_etl_spark.plans.inspect import executed_plan
+
+    sigs = D.minhash_signatures(docs)
+    plan = executed_plan(sigs)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    rows = {r["doc_id"]: [r[f"m{i}"] for i in range(D.N_MINHASHES)] for r in sigs.collect()}
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[4]
+
+
 def test_minhash_lsh_finds_exact_dup(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()}
     assert (1, 3) in pairs  # identical shingle sets always collide
