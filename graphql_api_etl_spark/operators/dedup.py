@@ -30,16 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphql_api_etl_spark.operators.text import norm_text, norm_tokens, tokens
-
-
-def repartition_for_cpu(df: DataFrame) -> DataFrame:
-    """Spread a narrow-partitioned input across the cluster's cores
-    before a CPU-heavy map stage. No-op when already wide enough."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from graphql_api_etl_spark.operators.text import (  # noqa: F401 — repartition_for_cpu re-exported for its existing D.* consumers
+    norm_text,
+    norm_tokens,
+    repartition_for_cpu,
+    tokens,
+)
 
 # MinHash parameters: h is a 28-bit md5 prefix, so a*h + b stays far
 # below 2^63 for a < 2^31 (no overflow in any BIGINT engine).

@@ -31,6 +31,17 @@ DEFAULT_LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def repartition_for_cpu(df: DataFrame) -> DataFrame:
+    """Spread a narrow-partitioned input across the cluster's cores
+    before a CPU-heavy map stage. No-op when already wide enough.
+    (Moved here from operators.dedup in r14-opt so text operators can
+    use it without a circular import; dedup re-exports it.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -244,7 +255,13 @@ def winnowing_fingerprints(
     the selection depends only on hash VALUES, so the classic O(1)
     rolling update is a constant-factor optimization the oracle
     doesn't need), window minima via slice+array_min, then distinct.
-    Emits ``fingerprints`` (sorted distinct array) per doc."""
+    Emits ``fingerprints`` (sorted distinct array) per doc.
+
+    r14-opt: the input is spread across cores first — ~L md5 calls
+    per document make this the heaviest native map stage in the
+    catalog, and a one-row-group source ran it on ONE task (measured
+    13.0 s → ~1 s at sf0.1 on 32 cores; guide §2.5 input skew)."""
+    df = repartition_for_cpu(df)
     expr = (
         "CASE WHEN length({norm}) >= {k} "
         "THEN transform(sequence(1, length({norm}) - {k} + 1), i -> "

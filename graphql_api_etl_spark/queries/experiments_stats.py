@@ -179,10 +179,19 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: map-only weight expansion (40× rows, but k·cents folds into
     the partial aggregate immediately — no materialized blowup), one
     40-row shuffle, a 40-row window, a scalar point estimate."""
+    from graphql_api_etl_spark.operators.text import repartition_for_cpu
+
     o = _t(spark, sf_dir, "orders")
-    base = o.select(
-        F.col("o_orderkey").cast("bigint").alias("okey"),
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    # r14-opt: 40 replicates × one md5 per (row, b) is the catalog's
+    # densest hash stage, and a one-row-group source ran it all on ONE
+    # task (measured 5.6 s → ~0.5 s at sf0.1; guide §2.5). The shuffle
+    # moves 16 bytes/row; every downstream sum is exact BIGINT, so
+    # partitioning cannot move the result.
+    base = repartition_for_cpu(
+        o.select(
+            F.col("o_orderkey").cast("bigint").alias("okey"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
     )
     drawn = base.select(
         "cents",

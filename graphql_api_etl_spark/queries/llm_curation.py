@@ -1453,7 +1453,13 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only float op."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -1511,7 +1517,13 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrelevant."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:

@@ -776,7 +776,13 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_sources_sinks."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -837,7 +843,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels stay pytest-verified (test_sources_sinks)."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -1179,8 +1191,16 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (duplicate-2-gram
     fraction, immediate token stutters) — map-only native expressions
     over the documents scan; the filters that use them compose with
-    the curation gate at zero extra passes."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    the curation gate at zero extra passes.
+
+    r14-opt: spread across cores first — the per-doc 2-gram dup
+    counting is quadratic-ish in doc length and a one-row-group
+    source ran it on ONE task (measured 5.0 s → ~0.5 s at sf0.1;
+    guide §2.5). Values are per-row integer ratios, so partitioning
+    cannot move them."""
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return TX.with_repetition_stats(docs).select(
         "doc_id", "n_2grams", "dup_2gram_frac", "n_stutters"
     )

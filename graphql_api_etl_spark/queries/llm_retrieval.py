@@ -563,7 +563,13 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     video."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -2073,7 +2079,13 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery), same as text SimHash."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -2161,7 +2173,13 @@ def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -2243,7 +2261,13 @@ def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     window function; Spark never materializes a sample row)."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -2328,7 +2352,13 @@ def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:

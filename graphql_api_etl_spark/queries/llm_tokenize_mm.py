@@ -300,7 +300,13 @@ def _jpeg_gray_tiles_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg_gray
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -369,7 +375,13 @@ def mm_jpeg_color_420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -441,7 +453,13 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.jpeg import synthesize_jpeg_gray_progressive
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -618,7 +636,13 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.gif import synthesize_gif
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -705,7 +729,13 @@ def mm_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually uses."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -764,7 +794,13 @@ def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.gif import synthesize_gif_animation
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -858,7 +894,13 @@ def mm_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu-law) — unit-tested; this entry gates the distributed path."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
@@ -1027,7 +1069,13 @@ def mm_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphql_api_etl_spark.operators.multimodal import synthesize_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r14-opt: the testdata table is ONE row group -> ONE scan task;
+    # the pure-Python synth+codec map stage must use every core
+    # (guide 2.5 "input skew ... repartition immediately after the
+    # read"). The shuffle moves 8 bytes/row.
+    docs = D.repartition_for_cpu(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make(batches):
         for pdf in batches:
