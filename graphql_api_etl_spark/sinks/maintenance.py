@@ -88,6 +88,7 @@ def compact_bucketed_table(
     bucket_cols: list[str],
     num_buckets: int,
     sort_cols: list[str] | None = None,
+    extra_rows: DataFrame | None = None,
 ) -> DataFrame:
     """BUCKET-LOCAL compaction of a bucketed staging table: build
     ``dst`` (same bucket spec) where each SINGLE-file bucket of ``src``
@@ -116,6 +117,14 @@ def compact_bucketed_table(
     reconciler's ``_versions``) never sees a half-built directory.
     All file IO is scheme-agnostic (Hadoop FileSystem, fs_glob /
     FileUtil.copy) — an hdfs:// or s3a:// warehouse works.
+
+    ``extra_rows`` (r14-opt, the streaming reconciler's compaction
+    path): additional rows landed INTO ``dst`` in the SAME append job
+    as the hot-bucket rewrite, so ``_SUCCESS`` still appears only once
+    everything — copies, rewrite, and the extra delta — is in place
+    (two separate appends would expose a committed-but-incomplete
+    directory between them, because saveAsTable's job commit drops its
+    own ``_SUCCESS``).
 
     ``dst`` must not already exist as a table; the result is returned
     as the catalog-backed read (bucket spec attached)."""
@@ -151,8 +160,30 @@ def compact_bucketed_table(
             raise ValueError(f"non-bucketed data file in {src!r}: {fname}")
         by_bucket.setdefault(int(m.group(1)), []).append(p)
 
-    cold = [files[0] for files in by_bucket.values() if len(files) == 1]
-    hot = [p for files in by_bucket.values() if len(files) > 1 for p in files]
+    extra = None
+    extra_buckets: set[int] = set()
+    if extra_rows is not None:
+        extra = extra_rows.select(*src_df.columns)
+        # the buckets the extra delta routes to must be REWRITTEN, not
+        # byte-copied, or they end up with two files (copy + append) —
+        # routing per the pinned contract: pmod(hash(cols), buckets)
+        bid = F.pmod(
+            F.hash(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)
+        )
+        extra_buckets = {
+            r["b"] for r in extra.select(bid.alias("b")).distinct().collect()
+        }
+    cold = [
+        files[0]
+        for b, files in by_bucket.items()
+        if len(files) == 1 and b not in extra_buckets
+    ]
+    hot = [
+        p
+        for b, files in by_bucket.items()
+        if len(files) > 1 or b in extra_buckets
+        for p in files
+    ]
     if cold:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -162,8 +193,12 @@ def compact_bucketed_table(
                 spark, f"{dst_loc}/{p.rstrip('/').rsplit('/', 1)[-1]}"
             )
             jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, spath, dfs, dpath, False, conf)
+    rows = None
     if hot:
         rows = spark.read.parquet(*hot).select(*src_df.columns)
+    if extra is not None:
+        rows = extra if rows is None else rows.unionByName(extra)
+    if rows is not None:
         append_bucketed_delta(spark, dst, rows, bucket_cols, num_buckets, sort_cols)
     fs_touch(spark, f"{dst_loc}/_SUCCESS", "")
     # the byte copies happened behind the catalog's back — drop the

@@ -261,10 +261,13 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         self.database = database
         self.num_buckets = num_buckets
         # after this many consecutive adds-only delta appends onto one
-        # base version, force a full re-land: each append adds a file
-        # per touched bucket, and a bounded file count keeps the
+        # base version, land the next version through BUCKET-LOCAL
+        # compaction (r14-opt; was a full re-land): each append adds a
+        # file per touched bucket, and a bounded file count keeps the
         # bucketed scan healthy (the join stays exchange-free either
-        # way; this caps small-file accumulation).
+        # way; this caps small-file accumulation). Cold buckets are
+        # byte-copied, only delta-touched buckets rewrite — write cost
+        # O(|hot rows| + |batch|), not O(|state|).
         self.compact_after_appends = compact_after_appends
 
     # broadcast ceiling for the classifier's key sets — ONE constant
@@ -318,10 +321,30 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         Declines (returns False → the caller takes the full versioned
         land): schema drift, null batch keys (the key-equality join
         cannot classify them), any batch key already present with a
-        DIFFERENT multiset (an update — appends would duplicate), the
-        state being the post-restart plain-parquet fallback (no table
-        to append into), or ``compact_after_appends`` deltas already
-        sitting on the base version (bounded small-file growth)."""
+        DIFFERENT multiset (an update — appends would duplicate), or
+        the state being the post-restart plain-parquet fallback (no
+        table to append into).
+
+        Compaction (r14-opt, ROUND_NOTES r15 candidate #3 wired in):
+        when ``compact_after_appends`` deltas already sit on the base
+        version, an adds-only batch no longer falls back to the full
+        re-land (decode + shuffle + rewrite of O(|state|)); it lands
+        the NEW version through
+        ``sinks.maintenance.compact_bucketed_table`` — cold (single
+        file) buckets are raw byte copies, only the delta-touched hot
+        buckets are decoded and rewritten to one file each, and the
+        batch's own delta rides the same single append job, so
+        ``_SUCCESS`` (which ``_versions`` gates on) appears only after
+        the complete state is in place. Write cost drops from
+        O(|state|) to O(|hot-bucket rows| + |batch|) plus byte copies.
+        Retry protocol: the new version directory IS the commit — a
+        crash at any earlier point leaves no ``_SUCCESS``, so the
+        retry re-classifies against the still-newest base and rebuilds
+        the half-built version from scratch (drop + delete, then
+        compact again); a crash after commit re-runs the same rebuild
+        to the identical bytes-equivalent state (base survives
+        retirement — the newest version BELOW the batch id is always
+        kept)."""
         from graphql_api_etl_spark.pipelines.weekly_alignments import (
             keyed_multiset_summary,
         )
@@ -342,8 +365,9 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             return False  # post-restart parquet fallback: no append target
         if set(batch.columns) != set(state.columns):
             return False
-        if len(self._applied_markers(spark, base)) >= self.compact_after_appends:
-            return False  # compaction due: full re-land bounds file count
+        compact_due = (
+            len(self._applied_markers(spark, base)) >= self.compact_after_appends
+        )
         cols = state.columns
 
         bkeys = batch.select(*self.key).distinct()
@@ -387,11 +411,17 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
             ).collect()[0]
             if flags["n_nullkey"] or flags["n_diff"]:
                 return False  # updates (or unclassifiable keys): full land
+            delta = None
             if flags["n_new"]:
                 new_keys = j.filter(F.col("__cnt").isNull()).select(*self.key)
                 if flags["n_new"] <= self.BROADCAST_KEY_CAP:
                     new_keys = F.broadcast(new_keys)
                 delta = batch.join(new_keys, self.key, "left_semi").select(*cols)
+            if compact_due:
+                self._compact_to_version(spark, name, batch_id, delta)
+                self._retire(spark, batch_id)
+                return True
+            if delta is not None:
                 append_bucketed_delta(
                     spark, name, delta, self.key, num_buckets=self.num_buckets
                 )
@@ -409,6 +439,44 @@ class BucketedIncrementalReconciler(IncrementalReconciler):
         # (same keep-set rule as the full-land path).
         self._retire(spark, batch_id)
         return True
+
+    def _compact_to_version(
+        self,
+        spark: SparkSession,
+        base_table: str,
+        batch_id: int,
+        delta: DataFrame | None,
+    ) -> None:
+        """Land version ``batch_id`` as the BUCKET-LOCAL compaction of
+        ``base_table`` plus this batch's (adds-only) ``delta`` — see
+        ``_try_adds_only_append``'s compaction note. Retry hygiene: a
+        previous attempt's half-built table/directory is dropped first
+        (the base stays the newest committed version until this one's
+        ``_SUCCESS`` lands, so a rebuild always starts from the same
+        bytes). Stale ``applied_b*_to_v{batch_id}`` markers are purged
+        exactly as a full land would (they describe deltas applied to
+        a PREVIOUS incarnation of this version number; the purge
+        propagates errors for the same reason ``_write_version``'s
+        does)."""
+        from graphql_api_etl_spark.sinks.maintenance import compact_bucketed_table
+
+        new_name = self._table(batch_id)
+        spark.sql(f"DROP TABLE IF EXISTS {new_name}")
+        fs_delete(
+            spark,
+            f"{self.state_dir}/{self._version_prefix}{batch_id}",
+            recursive=True,
+        )
+        compact_bucketed_table(
+            spark,
+            base_table,
+            new_name,
+            self.key,
+            self.num_buckets,
+            extra_rows=delta,
+        )
+        for m in self._applied_markers(spark, batch_id):
+            fs_delete(spark, f"{self.state_dir}/{m}")
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

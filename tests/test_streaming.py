@@ -260,8 +260,9 @@ def test_bucketed_adds_only_batches_append_instead_of_relanding(spark, tmp_path)
     assert os.path.exists(os.path.join(loc, "applied_b2_to_v0"))
     assert not os.path.isdir(os.path.join(loc, "state_v2"))
 
-    # adds-only batch 3: compaction cap reached → full re-land, the
-    # markers retire with nothing left pointing at stale versions
+    # adds-only batch 3: compaction cap reached → bucket-local
+    # compaction lands the new version (r14-opt; was a full re-land);
+    # the markers retire with nothing left pointing at stale versions
     rec.upsert_batch(spark.createDataFrame([("e", "E0")], "id string, v string"), 3)
     assert os.path.isdir(os.path.join(loc, "state_v3"))
     assert spark.catalog.tableExists("graft_stream_delta.state_v3")
@@ -282,6 +283,119 @@ def test_bucketed_adds_only_batches_append_instead_of_relanding(spark, tmp_path)
     )
     assert os.path.isdir(os.path.join(loc, "state_v5"))
     spark.sql("DROP DATABASE IF EXISTS graft_stream_delta CASCADE")
+
+
+def test_bucketed_compaction_is_bucket_local_and_carries_the_batch(spark, tmp_path):
+    """r14-opt: when the append cap is hit, the new version must be
+    built BUCKET-LOCALLY — cold buckets of the base version arrive as
+    byte-identical copies (same file name, same size: never decoded),
+    every bucket is back to one file, the triggering batch's rows ride
+    the same landing (no marker: the version directory is the commit),
+    and the compacted state still classifies future deltas correctly."""
+    import os
+    import re as _re
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    def data_files(d):
+        return {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+
+    loc = str(tmp_path / "bstate")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_compact", loc, key="id", num_buckets=4,
+        compact_after_appends=1,
+    )
+    # batch 0: keys spread over all 4 buckets, one file per bucket
+    rec.upsert_batch(
+        spark.createDataFrame(
+            [(f"k{i}", f"V{i}") for i in range(12)], "id string, v string"
+        ),
+        0,
+    )
+    v0 = data_files(os.path.join(loc, "state_v0"))
+    # batch 1: ONE new key → delta append touches exactly one bucket
+    rec.upsert_batch(spark.createDataFrame([("zz", "Z0")], "id string, v string"), 1)
+    assert os.path.exists(os.path.join(loc, "applied_b1_to_v0"))
+    hot_bucket = None
+    for f in set(data_files(os.path.join(loc, "state_v0"))) - set(v0):
+        hot_bucket = int(_re.search(r"_(\d{5})\.", f).group(1))
+    assert hot_bucket is not None
+
+    # batch 2: cap (1) reached → bucket-local compaction into state_v2
+    rec.upsert_batch(spark.createDataFrame([("yy", "Y0")], "id string, v string"), 2)
+    v2_dir = os.path.join(loc, "state_v2")
+    assert os.path.isdir(v2_dir)
+    assert os.path.exists(os.path.join(v2_dir, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(loc, "applied_b2_to_v0"))
+    v2 = data_files(v2_dir)
+    # one file per bucket again
+    buckets = [int(_re.search(r"_(\d{5})\.", f).group(1)) for f in v2]
+    assert sorted(buckets) == sorted(set(buckets))
+    # cold buckets (neither batch 1's nor batch 2's) are byte copies
+    cold = {
+        f for f in v0
+        if int(_re.search(r"_(\d{5})\.", f).group(1)) != hot_bucket
+    }
+    copied = {f for f in cold if f in v2 and v2[f] == v0[f]}
+    # every cold bucket file that batch 2's key didn't land in is a copy
+    assert len(copied) >= len(cold) - 1, (cold, set(v2))
+    # state content: everything, exactly once
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state == {**{f"k{i}": f"V{i}" for i in range(12)}, "zz": "Z0", "yy": "Y0"}
+
+    # the compacted version keeps classifying: an update now full-lands
+    rec.upsert_batch(spark.createDataFrame([("k0", "V0x")], "id string, v string"), 3)
+    assert os.path.isdir(os.path.join(loc, "state_v3"))
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state["k0"] == "V0x" and len(state) == 14
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_compact CASCADE")
+
+
+def test_bucketed_compaction_retry_rebuilds_the_half_built_version(spark, tmp_path):
+    """A compaction attempt that died mid-build (table registered,
+    directory half-written, no _SUCCESS) must be rebuilt from the
+    still-committed base on replay — the versioned contract's
+    'directory is the commit' rule."""
+    import os
+
+    from graphql_api_etl_spark.streaming.reconcile import (
+        BucketedIncrementalReconciler,
+    )
+
+    loc = str(tmp_path / "bstate")
+    rec = BucketedIncrementalReconciler(
+        "graft_stream_cretry", loc, key="id", num_buckets=4,
+        compact_after_appends=1,
+    )
+    rec.upsert_batch(
+        spark.createDataFrame([("a", "A0"), ("b", "B0")], "id string, v string"), 0
+    )
+    rec.upsert_batch(spark.createDataFrame([("c", "C0")], "id string, v string"), 1)
+
+    # simulate the crash: a half-built v2 (catalog entry + partial dir,
+    # no _SUCCESS) left by a previous attempt of batch 2
+    from graphql_api_etl_spark.sinks.tables import stage_bucketed
+
+    stage_bucketed(
+        spark,
+        spark.createDataFrame([("junk", "J")], "id string, v string"),
+        "graft_stream_cretry.state_v2",
+        ["id"],
+        num_buckets=4,
+    )
+    os.remove(os.path.join(loc, "state_v2", "_SUCCESS"))
+
+    rec.upsert_batch(spark.createDataFrame([("d", "D0")], "id string, v string"), 2)
+    assert os.path.exists(os.path.join(loc, "state_v2", "_SUCCESS"))
+    state = {r["id"]: r["v"] for r in rec.current_state(spark).collect()}
+    assert state == {"a": "A0", "b": "B0", "c": "C0", "d": "D0"}
+    spark.sql("DROP DATABASE IF EXISTS graft_stream_cretry CASCADE")
 
 
 def test_bucketed_adds_only_kill_and_retry_is_exactly_once(spark, tmp_path):
